@@ -1,0 +1,92 @@
+"""Temporal join operators Spark lacks as primitives: as-of join and
+range join, expressed as compositions of built-in ops (no UDFs).
+
+The as-of join uses the union + partitioned-window trick instead of a
+cross/range join: both sides are tagged and unioned, sorted once per key, and
+the last right-side timestamp is carried forward with ``last(ignorenulls)``.
+At 100 TB this costs ONE shuffle on the key (same as any join) and never
+materializes candidate pairs — the classic scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str] | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (backward as-of,
+    inclusive — DuckDB ``ASOF LEFT JOIN`` semantics).
+
+    Returns all left columns plus ``<right_ts><suffix>`` and each payload
+    column as ``<col><suffix>``.
+    """
+    payload = right_payload or []
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+    ).withColumn("__side", F.lit(0))
+
+    # Align schemas for the union: left rows carry null right-fields.
+    for c in ["__rts"] + [f"__p_{c}" for c in payload]:
+        lt = lt.withColumn(c, F.lit(None).cast(rt.schema[c].dataType))
+    right_cols = [on, "__rts", *[f"__p_{c}" for c in payload], "__side"]
+    left_cols = [c for c in lt.columns if c not in right_cols]
+    rt_full = rt
+    for c in left_cols:
+        rt_full = rt_full.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    unioned = lt.select(*left_cols, *right_cols).unionByName(rt_full.select(*left_cols, *right_cols))
+
+    # Order right-side rows BEFORE left rows at equal timestamps → inclusive.
+    ts_expr = F.when(F.col("__side") == 0, F.col("__rts")).otherwise(F.col(left_ts))
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_expr.asc(), F.col("__side").asc(), F.col("__rts").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(f"{right_ts}{suffix}", F.last("__rts", ignorenulls=True).over(w))
+    for c in payload:
+        carried = carried.withColumn(f"{c}{suffix}", F.last(f"__p_{c}", ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).drop(
+        "__side", "__rts", *[f"__p_{c}" for c in payload]
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower: Column,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Count right rows with ``left_ts - lower <= right_ts <= left_ts`` per
+    left row (equi-key + time-range join).
+
+    The equi-key keeps this a hash/sort-merge join with a residual range
+    predicate — NOT a cross join; at scale the key carries the shuffle.
+    """
+    r = right.select(F.col(on).alias("__ron"), F.col(right_ts).alias("__rts"))
+    cond = (
+        (left[on] == r["__ron"])
+        & (r["__rts"] >= left[left_ts] - lower)
+        & (r["__rts"] <= left[left_ts])
+    )
+    joined = left.join(r, cond, "left")
+    group_cols = [left[c] for c in left.columns]
+    return joined.groupBy(*group_cols).agg(F.count("__rts").alias(count_alias))

@@ -1,0 +1,82 @@
+"""Text-analysis operators for LLM-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (regexp/split/aggregate) — they run inside
+whole-stage codegen and their DuckDB oracle twins match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopword sets per language for the n-gram/stopword langid heuristic.
+# Deterministic and tiny by design — a real pipeline would plug a fastText
+# model in via pandas_udf; the engine surface (score → argmax → label) is
+# identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "pt": ("de", "que", "em", "uma"),
+    "es": ("el", "la", "los", "una"),
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+")).cast("bigint")
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + single punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), 0)).cast("bigint")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
+
+
+def langid_expr(text: Column | str) -> Column:
+    """Stopword-marker language heuristic: argmax of per-language marker hit
+    counts, 'und' (undetermined) when no marker fires. Ties break by language
+    code order (deterministic)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), r"\s+")
+    scores = [(lang, _marker_hits(toks, marks)) for lang, marks in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # First language (in sorted order) achieving the max wins.
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality signals: length, token counts, type-token ratio,
+    mean token length, non-alnum ratio."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count_ws(t).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("type_token_ratio"),
+        F.round(
+            (F.length(t) - (F.size(toks) - 1)) / F.size(toks), 4
+        ).alias("mean_token_len"),
+        F.round(
+            (F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))) / F.length(t), 4
+        ).alias("non_alnum_ratio"),
+    )
+
+
+def fingerprint_expr(text: Column | str) -> Column:
+    """Document fingerprint: md5 over the normalized text (lowercase,
+    whitespace collapsed) — the exact-dedup key for noisy duplicates."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

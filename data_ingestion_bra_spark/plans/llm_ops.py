@@ -1,0 +1,348 @@
+"""LLM-training-data pipeline tier (BASELINE.json north star): dedup,
+similarity search, text analysis, multimodal column plumbing — each as a
+`queries()` entry with a DuckDB oracle twin where SQL-expressible.
+
+All hashes are md5-based specifically so the oracle reproduces them
+bit-for-bit (engine-native xxhash64/murmur are NOT portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators import dedup, similarity, text
+from data_ingestion_bra_spark.plans.registry import register
+from data_ingestion_bra_spark.sources.tables import load_table
+
+# Shared DuckDB CTE: distinct 3-gram shingles per document.
+_SH_CTE = """
+    toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      FROM toks WHERE len(toks) >= 3
+    )
+"""
+
+_JACCARD_TAIL = """
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      {cand_join}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE ROUND(i / (sa.sz + sb.sz - i), 4) >= {thr}
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one shuffle on md5(text); at
+    100 TB the fingerprint (32 B) shuffles, never the document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH " + _SH_CTE + "," + _JACCARD_TAIL.format(cand_join="", thr=0.1),
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-gram Jaccard ≥ 0.1 — the verification tier; the
+    shingle self-join is the quadratic step LSH avoids at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _SH_CTE
+    + """,
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS (
+      SELECT doc, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
+      FROM sh CROSS JOIN seeds GROUP BY doc, seed
+    ),
+    buckets AS (
+      SELECT doc, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM sig GROUP BY doc, seed // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ),
+    """
+    + _JACCARD_TAIL.format(
+        cand_join="JOIN cand ON cand.doc_a = a.doc AND cand.doc_b = b.doc", thr=0.1
+    ),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate generation,
+    exact-Jaccard verification ≥ 0.1 — the 100 TB dedup path: candidate
+    pairs come from equi-joins on (band, bucket), so cost tracks bucket
+    collisions, not n²."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.1, pair_filter=cand)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH tk AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+                FROM documents WHERE doc_id < 200),
+    h AS (SELECT doc, md5(tok) AS h FROM tk),
+    bits AS (SELECT doc, h, unnest(generate_series(0, 31)) AS bit FROM h),
+    w AS (SELECT doc, bit,
+                 ((strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1)
+                   >> (bit % 4)) & 1 AS b
+          FROM bits),
+    s AS (SELECT doc, bit, SUM(2 * b - 1) AS s FROM w GROUP BY doc, bit),
+    fp AS (SELECT doc,
+                  CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END) * (1::BIGINT << bit)) AS BIGINT)
+                    AS simhash
+           FROM s GROUP BY doc)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (Hamming ≤ 6) over the first 200 docs.
+
+    md5-nibble projection keeps the fingerprint oracle-portable; at scale
+    pairs come from pigeonhole bucketing on fingerprint bytes, not the
+    all-pairs comparison used at fixture size."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fps = dedup.simhash_fingerprints(d, "doc_id", "text", nibbles=8)
+    return dedup.simhash_near_pairs(fps, max_hamming=6)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+_VEC_CTE = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    n AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v)
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    "WITH "
+    + _VEC_CTE
+    + """,
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+                   / (q.nrm * c.nrm), 4) AS cosine
+      FROM (SELECT * FROM n WHERE vec_id < 10) q
+      JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rank FROM s)
+    SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "bruteforce"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<10 (zip_with dot product,
+    queries broadcast, per-query heap via row_number)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, id_col="vec_id", vec_col="embedding", k=5
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    "WITH "
+    + _VEC_CTE
+    + """,
+    cent AS (SELECT * FROM n WHERE vec_id < 8),
+    asg0 AS (
+      SELECT nv.vec_id AS vid, c.vec_id AS cell,
+             ROUND(list_sum(list_transform(list_zip(nv.e, c.e), p -> p[1] * p[2]))
+                   / (nv.nrm * c.nrm), 4) AS sim
+      FROM n nv CROSS JOIN cent c
+    ),
+    asg AS (SELECT vid, cell FROM (
+              SELECT vid, cell, row_number() OVER (PARTITION BY vid
+                                                   ORDER BY sim DESC, cell) AS rn
+              FROM asg0) WHERE rn = 1),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             ROUND(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+                   / (q.nrm * c.nrm), 4) AS cosine
+      FROM (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id WHERE n.vec_id < 10) q
+      JOIN (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id) c
+        ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS rank FROM s)
+    SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 (probe=1, 8 data-derived centroids) — the scale path:
+    candidates restricted to the query's cell via an equi-join on cell id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, id_col="vec_id", vec_col="embedding", n_centroids=8, query_ids=list(range(10)), k=5
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_quality_scores",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           ROUND(len(list_distinct(toks)) / len(toks), 4) AS type_token_ratio,
+           ROUND((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_token_len,
+           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 / length(text), 4) AS non_alnum_ratio
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length / token stats / symbol ratio) —
+    the filter features of a pretraining-data quality gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_metrics(d, "doc_id", "text")
+
+
+@register(
+    "text_langid",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(text), '\s+') AS toks
+               FROM documents),
+    sc AS (SELECT doc_id,
+                  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','una'], x))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(toks, x -> list_contains(['de','que','em','uma'], x))) AS BIGINT) AS s_pt
+           FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_pt) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_pt) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_pt) THEN 'es'
+                ELSE 'pt' END AS lang_pred
+    FROM sc
+    """,
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic (argmax over marker hit counts,
+    deterministic tie-break). The production slot for a fastText pandas_udf;
+    the engine surface is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.langid_expr("text").alias("lang_pred"))
+
+
+@register(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_tokens_bpe
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts (the budget/packing metric of
+    a training-data pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens_ws"),
+        text.token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase, collapse whitespace, md5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns: binary payload plumbing (SQL-checkable part).
+# The decode/resize/frame-sample pipeline lives in operators/multimodal.py
+# (mapInPandas; deterministic fake decode) — not SQL-expressible.
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           lang AS modality_tag
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: payload size + content hash + typed
+    metadata — the schema pattern for image/audio columns (payload stays
+    opaque; metadata drives partitioning and routing)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.col("lang").alias("modality_tag"),
+    )

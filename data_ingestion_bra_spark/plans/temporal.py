@@ -1,0 +1,194 @@
+"""Temporal / event-stream query tier over the ``events`` fixture.
+
+Batch twins of the streaming operators (SURVEY §2.10 — ABSENT in the
+reference, added Spark-native): tumbling / sliding / session windows, plus
+as-of and range joins. The streaming module reuses the same expressions with
+``readStream`` + watermarks; these batch forms are what the DuckDB oracle
+can check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators.temporal import asof_join_backward, range_join_count
+from data_ingestion_bra_spark.plans.registry import register
+from data_ingestion_bra_spark.sources.tables import load_table
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "events_tumbling_hourly",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window-agg", "streaming-twin"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — batch twin of the streaming
+    ``groupBy(window('ts','1 hour'))`` (streaming/jobs.py uses the same
+    expression behind a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_30m",
+    f"""
+    WITH t AS (
+      SELECT value,
+             date_trunc('hour', ts)
+               + CASE WHEN ts - date_trunc('hour', ts) >= INTERVAL 30 MINUTE
+                      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS t30
+      FROM events
+    )
+    SELECT strftime(ws, '{TS_FMT_DUCK}') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100) // COUNT(*) AS BIGINT)
+             AS avg_value_e4
+    FROM (SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS ws, value FROM t)
+    GROUP BY ws
+    """,
+    tags=("window-agg", "sliding", "streaming-twin"),
+)
+def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide (each event lands in 2
+    windows). Oracle expands the two covering window starts manually."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            # fixed-point average: inputs are exact 2-decimals, so cents sum
+            # exactly in int64 and integer floor-division is engine-portable
+            # (float averages can land on rounding boundaries — see sliding
+            # window avg 73.91375 in the build log)
+            F.expr("CAST((SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100) div COUNT(*) AS BIGINT)").alias(
+                "avg_value_e4"
+            ),
+        )
+        .select(F.date_format("w.start", TS_FMT_SPARK).alias("window_start"), "n", "avg_value_e4")
+    )
+
+
+@register(
+    "events_session_windows",
+    f"""
+    WITH brk AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM brk
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("session-window", "streaming-twin"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user — ``session_window`` in batch
+    mode; oracle is the classic gaps-and-islands rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_asof_purchase_click",
+    f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("asof-join",),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Implemented union+window (operators/temporal.py) — one shuffle on
+    user_id, no candidate-pair blowup; oracle is DuckDB's native ASOF JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", suffix="_click"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.date_format("ts_click", TS_FMT_SPARK).alias("click_ts"),
+    )
+
+
+@register(
+    "events_range_join_clicks_before_purchase",
+    f"""
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_5m
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    tags=("range-join",),
+)
+def events_range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within [purchase-5min, purchase] per purchase.
+    Equi-key on user_id keeps it a hash join with a residual range predicate."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    counted = range_join_count(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower=F.expr("INTERVAL 5 MINUTES"),
+        count_alias="n_clicks_5m",
+    )
+    return counted.select(
+        "event_id", "user_id", F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"), "n_clicks_5m"
+    )
