@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": "<dir>"}
+
+Each query is timed to full materialization (count of the result — results
+are small aggregates/top-ks, so the timing is dominated by the scan/shuffle
+work, not driver collection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from data_ingestion_bra_spark.plans.registry import get_queries
+from data_ingestion_bra_spark.session import get_spark, tune_session
+
+# Headline set: one per operator family, weighted toward the shuffling /
+# scale-relevant paths (joins, window aggs, sessionization, dedup, ANN).
+HEADLINE = [
+    "flagship_customer_orders",
+    "agg_pricing_summary",
+    "join_customers_per_region",
+    "join_left_outer_order_counts",
+    "count_distinct_customers_per_status",
+    "window_top3_orders_per_customer",
+    "rollup_status_priority",
+    "scalar_cast_suite",
+    "events_tumbling_hourly",
+    "events_session_windows",
+    "events_asof_purchase_click",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "text_quality_scores",
+    "text_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    tune_session(spark)
+    queries = get_queries()
+
+    # Warm the JVM/codegen once on a trivial action so query timings measure
+    # the plan, not session startup.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -94,23 +94,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-    ),
-    """
-    + _JACCARD_TAIL.format(
-        cand_join="JOIN cand ON cand.doc_a = a.doc AND cand.doc_b = b.doc", thr=0.1
-    ),
+    )
+    SELECT c.doc_a, c.doc_b,
+           SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS jaccard_est
+    FROM cand c
+    JOIN sig sa ON sa.doc = c.doc_a
+    JOIN sig sb ON sb.doc = c.doc_b AND sb.seed = sa.seed
+    GROUP BY c.doc_a, c.doc_b
+    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
+    """,
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 hashes) + LSH (4 bands × 4 rows) candidate generation,
-    exact-Jaccard verification ≥ 0.1 — the 100 TB dedup path: candidate
-    pairs come from equi-joins on (band, bucket), so cost tracks bucket
-    collisions, not n²."""
+    signature-estimate verification (≥ 0.25) — the 100 TB dedup path:
+    candidate pairs come from equi-joins on (band, bucket) so cost tracks
+    bucket collisions, not n², and similarity is estimated from signature
+    agreement without touching document text again."""
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
-    sig = dedup.minhash_signatures(sh, num_hashes=16)
-    cand = dedup.lsh_candidate_pairs(sig, band_size=4)
-    return dedup.jaccard_pairs(sh, min_jaccard=0.1, pair_filter=cand)
+    # sig feeds both the banding and the estimate joins; persist so the
+    # md5-heavy signature aggregation runs once, not once per branch.
+    sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
+    return est.filter(F.col("jaccard_est") >= 0.25)
 
 
 @register(
