@@ -312,6 +312,7 @@ def set_union_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present in BOTH customer and supplier: INTERSECT."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("bigint").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("bigint").alias("nationkey"))
     return c.intersect(s)
@@ -447,6 +448,7 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rollup", "agg"),
 )
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → grand total."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
@@ -463,6 +465,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("cube", "agg"),
 )
 def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations of (status, priority)."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
 

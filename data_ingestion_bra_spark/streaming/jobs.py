@@ -1,0 +1,81 @@
+"""Structured Streaming jobs over the events schema (SURVEY §2.10 — the
+tier the reference lacks entirely).
+
+Each transformation is shared with its batch twin in ``plans/temporal.py``
+(same expressions; the DuckDB oracle checks the batch form, streaming tests
+check the incremental form through a memory sink). Watermarks bound state:
+late events beyond the watermark are dropped instead of growing state
+forever — the property that matters at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark, path: str, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over event parquet drops (each arriving file is a
+    micro-batch — the standard replay/backfill harness)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, *, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling window counts+sums with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "10 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Session windows per user (gap-based), streaming-native."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sw.start").alias("session_start"), "user_id", "n_events")
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, *, name: str, output_mode: str = "append"):
+    """Drive a streaming DF into an in-memory table and process everything
+    available (test/backfill harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

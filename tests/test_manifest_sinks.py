@@ -1,0 +1,87 @@
+from __future__ import annotations
+
+import json
+import os
+from datetime import date, datetime
+
+from data_ingestion_bra_spark.manifest import (
+    count_file_lines,
+    write_manifest_from_file,
+    write_metadata_from_df,
+)
+from data_ingestion_bra_spark.sinks.writer import today_yyyymmdd, write_partitioned
+
+
+def test_today_yyyymmdd_injectable():
+    assert today_yyyymmdd(date(2025, 10, 20)) == "20251020"
+
+
+def test_partitioned_parquet_write_layout(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    part_dir = write_partitioned(
+        df, str(tmp_path), "tb_x", partition_value="20251020", fmt="parquet"
+    )
+    assert part_dir.endswith("tb_x/anomesdia=20251020")
+    assert os.path.isdir(part_dir)
+    back = spark.read.parquet(str(tmp_path / "tb_x"))
+    assert back.count() == 2
+    assert "anomesdia" in back.columns  # partition discovery
+
+
+def test_partitioned_csv_single_file(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    part_dir = write_partitioned(
+        df, str(tmp_path), "tb_y", partition_value="20251020", fmt="csv", single_file=True
+    )
+    data_files = [f for f in os.listdir(part_dir) if not f.startswith(("_", "."))]
+    assert len(data_files) == 1  # reference writes exactly one file/partition
+    text = open(os.path.join(part_dir, data_files[0])).read()
+    assert text.splitlines()[0] == "k;v"
+
+
+def test_manifest_from_df_fields(spark, tmp_path):
+    df = spark.createDataFrame([(1, None), (2, "b"), (3, "c")], "k bigint, v string")
+    part_dir = write_partitioned(
+        df, str(tmp_path), "tb_m", partition_value="20251020", fmt="csv", single_file=True
+    )
+    mpath = write_metadata_from_df(
+        df,
+        part_dir,
+        dataset="tb_m",
+        origem="unit-test",
+        delimitador=";",
+        encoding="utf-8",
+        partition_key="anomesdia",
+        partition_value="20251020",
+        producer="tests",
+        now=datetime(2025, 10, 20, 17, 45, 39),
+    )
+    m = json.load(open(mpath))
+    assert m["core"]["gerado_em"] == "2025-10-20T17:45:39"
+    assert m["core"]["tamanho_bytes"] > 0
+    assert len(m["core"]["hash_md5"]) == 32
+    assert "\\" not in m["core"]["diretorio"]  # normalized separators
+    assert m["dataset"]["nome"] == "tb_m"
+    assert m["dataset"]["particao"] == {"chave": "anomesdia", "valor": "20251020"}
+    assert m["schema_stats"]["linhas"] == 3
+    assert m["schema_stats"]["nulos"] == {"k": 0, "v": 1}
+    assert m["schema_stats"]["dtypes"] == {"k": "bigint", "v": "string"}
+
+
+def test_manifest_multipart_hash(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k bigint").repartition(4)
+    part_dir = write_partitioned(df, str(tmp_path), "tb_p", partition_value="20251020")
+    mpath = write_metadata_from_df(df, part_dir, dataset="tb_p")
+    m = json.load(open(mpath))
+    assert len(m["core"]["partes"]) >= 2  # multi-part recorded per part
+    assert all(len(p["hash_md5"]) == 32 for p in m["core"]["partes"])
+
+
+def test_manifest_from_file_and_line_count(tmp_path):
+    p = tmp_path / "f.txt"
+    p.write_text("a;b\n1;2\n3;4\n", encoding="utf-8")
+    assert count_file_lines(str(p)) == 3
+    mpath = write_manifest_from_file(str(p), dataset="f", now=datetime(2025, 1, 1))
+    m = json.load(open(mpath))
+    assert m["schema_stats"]["colunas"] == ["a", "b"]
+    assert m["schema_stats"]["linhas"] == 2  # header subtracted

@@ -1,0 +1,155 @@
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators import dedup, multimodal, similarity, text
+from data_ingestion_bra_spark.operators.temporal import asof_join_backward, range_join_count
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:00"), "p1"), (1, ts("2024-01-01T12:00:00"), "p2"),
+         (2, ts("2024-01-01T10:00:00"), "p3")],
+        "user_id bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:59:00")), (1, ts("2024-01-01T10:00:00")),
+         (1, ts("2024-01-01T11:00:00")), (2, ts("2024-01-01T10:00:01"))],
+        "user_id bigint, ts timestamp",
+    )
+    out = {r["tag"]: r["ts_click"] for r in asof_join_backward(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", suffix="_click"
+    ).collect()}
+    assert out["p1"] == ts("2024-01-01T10:00:00")  # inclusive at equal ts
+    assert out["p2"] == ts("2024-01-01T11:00:00")  # latest ≤
+    assert out["p3"] is None  # right row is strictly after → no match
+
+
+def test_range_join_count(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T10:00:00"), "p")], "u bigint, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T09:56:00")), (1, ts("2024-01-01T09:54:00")), (1, ts("2024-01-01T10:00:00"))],
+        "u bigint, ts timestamp",
+    )
+    out = range_join_count(
+        left, right, on="u", left_ts="ts", right_ts="ts", lower=F.expr("INTERVAL 5 MINUTES")
+    ).first()
+    assert out["n_in_range"] == 2  # 09:54 outside the 5-minute window
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+    (3, "completely different words entirely here now"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = dedup.exact_dedup_groups(_docs(spark), "doc_id", "text")
+    groups = {r["canonical_id"]: r["n_docs"] for r in out.collect()}
+    assert groups[0] == 2  # docs 0,1 collapse; canonical = min id
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    sh = dedup.doc_shingles(_docs(spark), "doc_id", "text", n=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(sh, min_jaccard=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert 0.3 <= pairs[(0, 2)] < 1.0  # one-word edit
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_candidates_and_estimate(spark):
+    sh = dedup.doc_shingles(_docs(spark), "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    assert (0, 1) in cand_pairs  # identical docs always collide in every band
+    est = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in
+           dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16).collect()}
+    assert est[(0, 1)] == 1.0
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    fps = dedup.simhash_fingerprints(_docs(spark), "doc_id", "text")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(fps, max_hamming=32).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= pairs.get((0, 3), 33)  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = similarity.brute_force_topk(
+        vecs.filter(F.col("vec_id") == 0), vecs, k=3
+    ).collect()
+    ranked = [(r["cand_id"], r["rank"]) for r in out]
+    assert ranked[0] == (3, 1)  # identical vector first
+    assert ranked[1] == (1, 2)
+    assert ranked[2] == (2, 3)  # orthogonal last
+
+
+def test_langid_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "el gato la casa una mesa"), (2, "zzz qqq")],
+        "doc_id bigint, text string",
+    )
+    langs = {r["doc_id"]: r["lang"] for r in
+             df.select("doc_id", text.langid_expr("text").alias("lang")).collect()}
+    assert langs == {0: "en", 1: "es", 2: "und"}
+    q = text.quality_metrics(df, "doc_id", "text").filter(F.col("doc_id") == 0).first()
+    assert q["n_tokens"] == 5
+    assert q["n_distinct_tokens"] == 4
+    assert q["type_token_ratio"] == 0.8
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")],
+        "doc_id bigint, text string",
+    )
+    fps = [r[0] for r in df.select(text.fingerprint_expr("text")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_decode_batches(spark):
+    docs = _docs(spark)
+    payloads = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    decoded = multimodal.decode_images(payloads).orderBy("doc_id").collect()
+    assert len(decoded) == 4
+    r = decoded[0]
+    n = len(DOCS[0][1].encode())
+    assert r["n_bytes"] == n
+    assert r["width"] == 16 + (n % 64)  # deterministic fake decoder
+    assert r["channels"] == 3
+    assert 0.0 <= r["mean_intensity"] <= 1.0
+
+
+def test_multimodal_empty_payload_raises(spark):
+    df = spark.createDataFrame([(0, "")], "doc_id bigint, text string")
+    payloads = multimodal.attach_binary_payload(df, "doc_id", "text")
+    with pytest.raises(Exception, match="empty payload"):
+        multimodal.decode_images(payloads).collect()
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(0, 2560)], "doc_id bigint, n_bytes bigint")
+    frames = [r["frame_idx"] for r in multimodal.frame_sample_plan(df, every_n=3).collect()]
+    assert frames == [0, 3, 6, 9]  # 10 frames (2560//256), every 3rd

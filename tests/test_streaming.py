@@ -1,0 +1,108 @@
+"""Structured Streaming: incremental results through a memory sink must
+match the batch twins on the same data (SURVEY §7.2.7), and watermarks must
+actually drop late data in append mode."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.sources.tables import load_table
+from data_ingestion_bra_spark.streaming import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Split the events fixture into multiple parquet files so the file
+    stream sees several micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, SF, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.repartition(4).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_dir):
+    # complete mode: all windows emitted, no late-drop — must equal batch
+    # exactly even though micro-batches arrive in arbitrary time order.
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(
+        jobs.tumbling_counts(stream), name="t_tumbling", output_mode="complete"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in jobs.tumbling_counts(_batch_events(spark, events_dir)).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_session_windows_run(spark, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    jobs.run_to_memory_sink(jobs.session_counts(stream), name="t_sessions")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_streaming_sliding_counts_total(spark, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=4)
+    jobs.run_to_memory_sink(
+        jobs.sliding_counts(stream), name="t_sliding", output_mode="complete"
+    )
+    total = spark.sql("SELECT SUM(n) AS s FROM t_sliding").first()["s"]
+    n_events = _batch_events(spark, events_dir).count()
+    assert total == 2 * n_events  # every event lands in exactly 2 windows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode: an event older than (max seen ts - watermark) arriving
+    in a later micro-batch is dropped — bounded state, by design."""
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+         (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    late = spark.createDataFrame(
+        [(3, "2024-01-01 10:05:00", 1, "click", 1.0, "{}")],  # 2h late vs 12:00 watermark base
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    def drop_file(df, name):
+        staging = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(staging))
+        part = next(p for p in os.listdir(staging) if p.endswith(".parquet"))
+        os.replace(staging / part, d / name)
+
+    drop_file(on_time, "b0.parquet")
+    stream = spark.readStream.schema(jobs.EVENTS_SCHEMA).parquet(str(d))
+    q = (
+        jobs.tumbling_counts(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: on-time events; watermark → 11:50
+        drop_file(late, "b1.parquet")
+        q.processAllAvailable()  # batch 2: 10:05 event is behind watermark
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM t_late").collect()
+    counted = sum(r["n"] for r in rows)
+    # event 3 (10:05, window 10:00) is behind the 11:50 watermark → dropped;
+    # the 12:00 window itself is not yet finalized → append emits only 10:00
+    assert counted == 1
