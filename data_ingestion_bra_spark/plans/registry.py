@@ -48,7 +48,12 @@ def register(name: str, oracle: str | None, *, tags: tuple[str, ...] = (), doc: 
 
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
-    from data_ingestion_bra_spark.plans import llm_ops, relational, temporal  # noqa: F401
+    from data_ingestion_bra_spark.plans import (  # noqa: F401
+        llm_ops,
+        relational,
+        relational_ext,
+        temporal,
+    )
 
 
 def get_queries() -> dict[str, Builder]:

@@ -1,0 +1,312 @@
+"""Extended relational tier: grouping sets, full outer join, scalar-function
+suites (predicates / string / date / array), exact percentiles, min_by/
+max_by, correlated comparisons, and skew-safe salted aggregation.
+
+Together with plans/relational.py this covers the full "ABSENT in the
+reference, free in Spark" surface from SURVEY §2 — each with a DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_bra_spark.operators.skew import salted_agg_sum
+from data_ingestion_bra_spark.plans.registry import register
+from data_ingestion_bra_spark.sources.tables import load_table
+
+
+@register(
+    "grouping_sets_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("grouping-sets", "agg"),
+)
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (distinct from rollup/cube): per-status,
+    per-priority, and grand-total rows in one pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    """
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_cust,
+           COALESCE(s.n_supp, 0) AS n_supp
+    FROM (SELECT CAST(c_nationkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_supp
+                     FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    """,
+    tags=("join", "full-outer"),
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving keys present on either side only."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, "k", "full_outer").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "predicates_suite",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid'
+                WHEN p_size < 10 THEN 'small' ELSE 'large' END AS size_class,
+           CAST(CASE WHEN p_type LIKE 'ECON%' THEN 1 ELSE 0 END AS BIGINT) AS is_econ,
+           CAST(CASE WHEN p_brand IN ('Brand#1', 'Brand#2') THEN 1 ELSE 0 END AS BIGINT) AS in_brands,
+           COALESCE(NULLIF(p_type, 'SMALL'), '(was-small)') AS type_or_default,
+           CAST(CASE WHEN p_name IS NULL THEN 1 ELSE 0 END AS BIGINT) AS name_is_null
+    FROM part
+    """,
+    tags=("predicates", "scalar", "case-when"),
+)
+def predicates_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate family the reference lacks (SURVEY §2.2 note: equality
+    only): BETWEEN, LIKE, IN, IS NULL, NULLIF/COALESCE, CASE WHEN."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size").between(10, 20), "mid")
+        .when(F.col("p_size") < 10, "small")
+        .otherwise("large")
+        .alias("size_class"),
+        F.when(F.col("p_type").like("ECON%"), 1).otherwise(0).cast("bigint").alias("is_econ"),
+        F.when(F.col("p_brand").isin("Brand#1", "Brand#2"), 1).otherwise(0).cast("bigint").alias("in_brands"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("SMALL")), F.lit("(was-small)")).alias("type_or_default"),
+        F.col("p_name").isNull().cast("bigint").alias("name_is_null"),
+    )
+
+
+@register(
+    "string_funcs_suite",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 10, 6) AS name_mid,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           replace(c_name, 'Customer#', 'C') AS name_short,
+           string_split(c_name, '#')[2] AS after_hash
+    FROM customer
+    """,
+    tags=("string", "scalar"),
+)
+def string_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (ABSENT in reference beyond trim/quote-strip,
+    SURVEY §2.8): case, substring, length, pad, concat, regexp extract,
+    replace, split+index."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 6).alias("name_mid"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.expr("replace(c_name, 'Customer#', 'C')").alias("name_short"),
+        F.element_at(F.split("c_name", "#"), 2).alias("after_hash"),
+    )
+
+
+@register(
+    "date_funcs_suite",
+    """
+    SELECT o_orderkey,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_year,
+           CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_month,
+           CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+           (CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE::VARCHAR AS due_date,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+           date_trunc('month', CAST(o_orderdate AS DATE))::DATE::VARCHAR AS order_month_start,
+           last_day(CAST(o_orderdate AS DATE))::VARCHAR AS month_end
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("date", "scalar"),
+)
+def date_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family (ABSENT in reference — dates are opaque
+    partition strings there, SURVEY §1.2)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias("days_since_epoch_start"),
+        F.trunc(d, "month").cast("string").alias("order_month_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+@register(
+    "array_funcs_suite",
+    """
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS dim,
+           ROUND(CAST(list_min(e) AS DOUBLE), 4) AS v_min,
+           ROUND(CAST(list_max(e) AS DOUBLE), 4) AS v_max,
+           CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_positive,
+           ROUND(sqrt(list_sum(list_transform(CAST(e AS DOUBLE[]), x -> x * x))), 4) AS l2_norm,
+           ROUND(CAST(e[1] AS DOUBLE) + CAST(e[2] AS DOUBLE) + CAST(e[3] AS DOUBLE), 4) AS first3_sum
+    FROM (SELECT vec_id, embedding AS e FROM embeddings)
+    """,
+    tags=("array", "scalar", "higher-order"),
+)
+def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order function family over the embedding column: size,
+    min/max, filter-count, fold (L2 norm), element access."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").alias("e"))
+    ed = F.col("e").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size("e").cast("bigint").alias("dim"),
+        F.round(F.array_min("e").cast("double"), 4).alias("v_min"),
+        F.round(F.array_max("e").cast("double"), 4).alias("v_max"),
+        F.size(F.filter("e", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.sqrt(F.aggregate(F.transform(ed, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)), 4
+        ).alias("l2_norm"),
+        F.round(
+            F.element_at(ed, 1) + F.element_at(ed, 2) + F.element_at(ed, 3), 4
+        ).alias("first3_sum"),
+    )
+
+
+@register(
+    "percentiles_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("percentile", "agg"),
+)
+def percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines define p via linear
+    interpolation at rank (n-1)*p). approx_percentile is the 100 TB path;
+    it's engine-specific, so the oracle checks the exact form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "minby_maxby_per_status",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_custkey, o_orderkey) AS latest_order_cust,
+           arg_min(o_custkey, o_orderkey) AS first_order_cust,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "argminmax"),
+)
+def minby_maxby_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) keyed on the UNIQUE o_orderkey so
+    the result is deterministic (ties on a non-unique ordering key would be
+    engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("max_by(o_custkey, o_orderkey)").alias("latest_order_cust"),
+        F.expr("min_by(o_custkey, o_orderkey)").alias("first_order_cust"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    WITH s AS (SELECT o_custkey, o_orderkey,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    a AS (SELECT o_custkey, SUM(cents) AS sc, COUNT(*) AS n FROM s GROUP BY o_custkey)
+    SELECT s.o_orderkey, s.o_custkey
+    FROM s JOIN a ON s.o_custkey = a.o_custkey
+    WHERE s.cents * a.n > a.sc
+    """,
+    tags=("correlated", "window"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders strictly above their customer's average price — the correlated
+    aggregate comparison done in integer cents so the threshold is exact
+    (float averages would make boundary rows engine-dependent).
+
+    Spark form uses a window (ONE shuffle on o_custkey); the oracle uses the
+    equivalent group-by + self-join formulation."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    s = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        s.withColumn("sc", F.sum("cents").over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .filter(F.col("cents") * F.col("n") > F.col("sc"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@register(
+    "salted_agg_quantity",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("skew", "agg", "salted"),
+)
+def salted_agg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (operators/skew.py): identical results
+    to a plain group-by — the oracle IS the plain group-by — but the hot
+    keys (l_returnflag has 3 values over the whole table: maximal skew) are
+    spread across 8 subkeys in stage one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg_sum(
+        li,
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint"),
+        salt_col="l_orderkey",
+        n_salts=8,
+        sum_alias="sum_qty_cents",
+        count_alias="n",
+    )
+    return out.withColumn("sum_qty_cents", F.col("sum_qty_cents").cast("bigint"))
