@@ -234,6 +234,119 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_embedding_cosine",
+    "WITH "
+    + _VEC_CTE
+    + """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM (SELECT * FROM n WHERE vec_id < 300) a
+    JOIN (SELECT * FROM n WHERE vec_id < 300) b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                / (a.nrm * b.nrm), 4) >= 0.45
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45) over the first 300
+    vectors — the semantic-dedup tier; at scale the pair scan is replaced by
+    RP-LSH bucketing (see similarity_rplsh_bucketed) with this as the
+    verifier inside each bucket."""
+    from data_ingestion_bra_spark.operators.similarity import dot_expr, norm_expr
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", norm_expr(F.col("e")))
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.45)
+    )
+
+
+def _rplsh_oracle() -> str:
+    from data_ingestion_bra_spark.operators.rplsh import plane_weights, weights_sql
+
+    ws = weights_sql(plane_weights(8, 64))
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(e, {w}), p -> p[1] * p[2])) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(ws)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, CAST({bits} AS BIGINT) AS bucket,
+                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+            FROM v)
+    SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@register(
+    "similarity_rplsh_bucketed",
+    _rplsh_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_rplsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8-bit sign-signature buckets (deterministic
+    md5-derived planes embedded as literals), cosine scored only within
+    buckets — candidate generation is an equi-join on bucket id, the scale
+    path that replaces the all-pairs scan."""
+    from data_ingestion_bra_spark.operators.rplsh import rplsh_buckets
+    from data_ingestion_bra_spark.operators.similarity import dot_expr, norm_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = rplsh_buckets(emb, n_planes=8, dim=64).withColumn("nrm", norm_expr(F.col("v")))
+    a = sig.select(F.col("vid").alias("vec_a"), "bucket", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = sig.select(F.col("vid").alias("vec_b"), "bucket", F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "bucket",
+            "vec_a",
+            "vec_b",
+            F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )
+
+
+@register(
+    "dedup_events_stream_exact",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("dedup", "exact", "events"),
+)
+def dedup_events_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact record dedup on a keyed stream: the events table unioned with
+    itself (simulating at-least-once redelivery) collapses back to unique
+    event_ids via dropDuplicates — the batch twin of streaming
+    ``dropDuplicates`` state."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = e.union(e)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
