@@ -30,7 +30,9 @@ DECODED_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("channels", T.IntegerType()),
-        T.StructField("mean_intensity", T.DoubleType()),
+        # mean byte intensity scaled by 1e6, floor-divided — integer-exact,
+        # so a SQL oracle reproduces it without float-rounding hazards
+        T.StructField("mean_intensity_e6", T.LongType()),
     ]
 )
 
@@ -45,7 +47,7 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for an image decoder.
 
     A real deployment plugs PIL/ffmpeg here (same signature); this derives
@@ -59,8 +61,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
     channels = 3
-    mean_intensity = round(sum(payload[:256]) / min(n, 256) / 255.0, 6)
-    return width, height, channels, mean_intensity
+    m = min(n, 256)
+    mean_intensity_e6 = (sum(payload[:m]) * 1_000_000) // (m * 255)
+    return width, height, channels, mean_intensity_e6
 
 
 def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -80,7 +83,7 @@ def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 "width": [d[0] for d in dims],
                 "height": [d[1] for d in dims],
                 "channels": [d[2] for d in dims],
-                "mean_intensity": [d[3] for d in dims],
+                "mean_intensity_e6": [d[3] for d in dims],
             }
         )
         yield out

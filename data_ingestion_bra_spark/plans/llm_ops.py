@@ -446,6 +446,42 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (mapInPandas; deterministic fake decode) — not SQL-expressible.
 # --------------------------------------------------------------------------
 @register(
+    "multimodal_decode_features",
+    """
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             LEAST(CAST(octet_length(encode(text)) AS BIGINT), 256) AS m
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           n AS n_bytes,
+           CAST(16 + (n % 64) AS INT) AS width,
+           CAST(16 + ((n // 64) % 64) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST((list_sum(list_transform(generate_series(1, CAST(m AS INT)),
+                                         i -> ord(substr(text, i, 1)))) * 1000000)
+                // (m * 255) AS BIGINT) AS mean_intensity_e6
+    FROM b
+    """,
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path on the oracle-checked surface: opaque
+    payload bytes → (dims, channels, mean intensity) via Arrow-batched
+    Python (operators/multimodal.py). The deterministic stub decoder is
+    integer-exact, so the SQL oracle recomputes it from the bytes (fixture
+    text is pure ASCII → ord(char) == byte). This is the ONE registered
+    query that intentionally crosses into Python — the designated escape
+    hatch, Arrow-batched, never row-at-a-time."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_images(payloads)
+
+
+@register(
     "multimodal_binary_meta",
     """
     SELECT doc_id,

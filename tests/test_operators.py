@@ -139,7 +139,7 @@ def test_multimodal_decode_batches(spark):
     assert r["n_bytes"] == n
     assert r["width"] == 16 + (n % 64)  # deterministic fake decoder
     assert r["channels"] == 3
-    assert 0.0 <= r["mean_intensity"] <= 1.0
+    assert 0 <= r["mean_intensity_e6"] <= 1_000_000
 
 
 def test_multimodal_empty_payload_raises(spark):

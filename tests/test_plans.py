@@ -54,13 +54,24 @@ def test_snowflake_joins_all_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
+# The one deliberate Python crossing: the multimodal decode (Arrow-batched
+# mapInPandas — the designated escape hatch, SURVEY §2.11).
+PYTHON_ALLOWED = {"multimodal_decode_features"}
+
+
 @pytest.mark.parametrize("name", sorted(get_queries()))
 def test_no_python_udfs_in_any_query(spark, name):
     """Every registered query stays JVM-side (SURVEY §2.11: zero Python UDFs
-    for reference parity; LLM tier uses expressions too)."""
+    for reference parity; LLM tier uses expressions too) — except the
+    explicitly-allowed Arrow-batched multimodal decode."""
     df = get_queries()[name](spark, SF)
     p = plan_str(spark, df, mode="simple")
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+    if name in PYTHON_ALLOWED:
+        assert "MapInPandas" in p  # Arrow-batched, not row-at-a-time
+        assert "BatchEvalPython" not in p
+    else:
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
 
 
 def test_whole_stage_codegen_active(spark):
