@@ -108,10 +108,16 @@ def write_metadata_from_df(
     preview_order: list[str] | None = None,
     extra: dict[str, Any] | None = None,
     now: datetime | None = None,
+    manifest_name: str | None = None,
 ) -> str:
     """Write ``<path>.manifest.json`` for a written output + its DataFrame.
 
     Ref: write_metadata_from_df app/utils/metadata.py:85-151.
+
+    ``manifest_name``: write INSIDE a directory output under this name
+    instead of as a sibling — use an underscore-prefixed name (e.g.
+    ``_manifest.json``) when the output lives in a Hive-partitioned tree,
+    so Spark's partition discovery ignores it.
     """
     files = _data_files(path)
     part_hashes = [_md5_file(p) for p in files]
@@ -155,7 +161,10 @@ def write_metadata_from_df(
     }
     if extra:
         manifest["extra"] = extra
-    out_path = path.rstrip("/") + ".manifest.json"
+    if manifest_name is not None:
+        out_path = os.path.join(path.rstrip("/"), manifest_name)
+    else:
+        out_path = path.rstrip("/") + ".manifest.json"
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=2, default=str)
     return out_path

@@ -101,22 +101,30 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
-    """Wide signature: (doc, mh0..mh{k-1}), mh_s = min over shingles of
-    md5(s||'|'||shingle).
+# MinHash permutation family: h31 = (md5-derived 60-bit int) mod p, then
+# mh_s = min((a_s * h31 + b_s) mod p). One md5 per shingle (not one per
+# shingle×seed); all arithmetic stays in int64 (a_s < 2^28, h31 < 2^31 →
+# products < 2^59). Same formulas are replayed verbatim in the SQL oracle.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
 
-    md5-string min is engine-portable (lexicographic over lowercase hex) —
-    the reason we don't use xxhash64 here (oracle can't reproduce it).
-    Computed as k conditional-min aggregates in ONE shuffle on doc (a
-    seed-explode + (doc, seed) group-by costs k× the shuffle volume and an
-    extra stage for the band rollup).
-    """
-    return sh.groupBy("doc").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
-            for s in range(num_hashes)
-        ]
+
+def minhash_seed_params(s: int) -> tuple[int, int]:
+    return (15485863 * (s + 1)) % MINHASH_P, (32452843 * (s + 7)) % MINHASH_P
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """Wide signature (doc, mh0..mh{k-1}) in ONE shuffle on doc: base hash
+    per shingle via md5→int64 (engine-portable, unlike xxhash64), k affine
+    permutations as integer min-aggregates."""
+    base = sh.withColumn(
+        "__h31",
+        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % MINHASH_P),
     )
+    aggs = []
+    for s in range(num_hashes):
+        a, b = minhash_seed_params(s)
+        aggs.append(F.min((F.col("__h31") * a + b) % MINHASH_P).alias(f"mh{s}"))
+    return base.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -133,8 +141,8 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"mh{b * band_size + i}") for i in range(band_size)])
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + i}").cast("string") for i in range(band_size)]
                 ).alias("bucket"),
             )
             for b in range(n_bands)

@@ -81,13 +81,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH "
     + _SH_CTE
     + """,
-    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    base AS (
+      SELECT doc,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h31
+      FROM sh
+    ),
+    seeds AS (SELECT seed,
+                     ((15485863 * (seed + 1)) % 2147483647) AS a,
+                     ((32452843 * (seed + 7)) % 2147483647) AS b
+              FROM (SELECT unnest(generate_series(0, 15)) AS seed)),
     sig AS (
-      SELECT doc, seed, MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS mh
-      FROM sh CROSS JOIN seeds GROUP BY doc, seed
+      SELECT doc, seed, MIN((h31 * a + b) % 2147483647) AS mh
+      FROM base CROSS JOIN seeds GROUP BY doc, seed
     ),
     buckets AS (
-      SELECT doc, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      SELECT doc, seed // 4 AS band,
+             string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS bucket
       FROM sig GROUP BY doc, seed // 4
     ),
     cand AS (

@@ -18,6 +18,95 @@ from data_ingestion_bra_spark.sources.tables import load_table
 
 
 @register(
+    "shipping_priority_top10",
+    """
+    SELECT l.l_orderkey,
+           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE)::VARCHAR AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk", "tpch-q3"),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join chain → aggregate →
+    top-k. The filtered customer side broadcasts; lineitem (the big fact)
+    joins orders on its own key, so the only large shuffle is the final
+    group-by; top-10 runs as TakeOrderedAndProject on the rounded revenue
+    with a key tie-break (deterministic)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg", "tpch-q5"),
+)
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-to-fact join (lineitem⋈orders) plus broadcast
+    dims (supplier, nation). Revenue per supplier nation for finished
+    orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "grouping_sets_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
