@@ -94,6 +94,55 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(decode_image_batch, schema=DECODED_META_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("scale_e6", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_batch_fn(target_w: int, target_h: int):
+    """mapInPandas worker factory for the resize step.
+
+    The real implementation calls PIL's resize per batch; the stub keeps the
+    contract observable: output dims are the target, the scale factor is
+    recorded (fixed-point), and the 'resized payload' is a deterministic
+    truncation/padding of the input bytes to target_w*target_h (so tests can
+    assert exact output sizes — the property that matters for batch shape).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            for p in payloads:
+                if not p:
+                    raise ValueError("empty payload: cannot resize")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": target_w,
+                    "height": target_h,
+                    "scale_e6": [(n_out * 1_000_000) // len(p) for p in payloads],
+                    "payload": [
+                        (p * (n_out // len(p) + 1))[:n_out] for p in payloads
+                    ],
+                }
+            )
+
+    return fn
+
+
+def resize_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """Resize an opaque payload column via mapInPandas (stubbed resampler;
+    real deployments swap in PIL — identical batch contract)."""
+    return df.mapInPandas(resize_batch_fn(width, height), schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, *, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     index, derived WITHOUT decoding (index arithmetic on metadata), so the

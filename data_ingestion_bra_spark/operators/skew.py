@@ -17,6 +17,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    salt_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: the LEFT (skewed) side gets a deterministic salt
+    from one of its own columns; the RIGHT side is replicated once per salt
+    value. The join key becomes (key, salt), so a hot key's rows spread over
+    ``n_salts`` reducers instead of one. Row-identical to the plain join.
+
+    Replication factor is the cost — use for genuinely skewed keys, or let
+    AQE's skew-join handle it when only a few partitions are hot.
+    """
+    lt = left.withColumn("__salt", F.pmod(F.col(salt_col), F.lit(n_salts)))
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    return lt.join(rt, [key, "__salt"]).drop("__salt")
+
+
 def salted_agg_sum(
     df: DataFrame,
     key: str,

@@ -80,3 +80,24 @@ def fingerprint_expr(text: Column | str) -> Column:
     whitespace collapsed) — the exact-dedup key for noisy duplicates."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+ROLLING_HASH_P = 2147483647  # 2^31 - 1
+ROLLING_HASH_B = 131
+
+
+def rolling_hash_expr(text: Column | str) -> Column:
+    """Polynomial rolling hash over the characters of the normalized text:
+    h = fold(h * B + ascii(c)) mod p. A left-to-right fold of integer ops —
+    bit-identical in any engine (the md5-free fingerprint family used for
+    streaming/windowed fingerprints; per-window substring hashes derive from
+    the same recurrence)."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    # split-between-every-char leaves a trailing "" in Spark — drop it
+    chars = F.filter(F.split(norm, "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_HASH_B + F.ascii(ch)) % ROLLING_HASH_P,
+    )

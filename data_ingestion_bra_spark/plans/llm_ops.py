@@ -437,16 +437,30 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fingerprints",
     r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+               FROM documents)
     SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-    FROM documents
+           md5(norm) AS fingerprint,
+           CAST(list_reduce(
+                  list_prepend(0::BIGINT,
+                               list_transform(generate_series(1, length(norm)),
+                                              i -> CAST(ord(substr(norm, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 131 + c) % 2147483647) AS BIGINT) AS rolling_hash
+    FROM t
     """,
-    tags=("text", "fingerprint"),
+    tags=("text", "fingerprint", "rolling-hash"),
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content fingerprint (lowercase, collapse whitespace, md5)."""
+    """Normalized-content fingerprints: md5 (exact-dedup key) + polynomial
+    rolling hash (streaming/windowed fingerprint family) — both folds are
+    engine-portable integer/string ops."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", text.fingerprint_expr("text").alias("fingerprint"))
+    return d.select(
+        "doc_id",
+        text.fingerprint_expr("text").alias("fingerprint"),
+        text.rolling_hash_expr("text").alias("rolling_hash"),
+    )
 
 
 # --------------------------------------------------------------------------

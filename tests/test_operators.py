@@ -153,3 +153,31 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, 2560)], "doc_id bigint, n_bytes bigint")
     frames = [r["frame_idx"] for r in multimodal.frame_sample_plan(df, every_n=3).collect()]
     assert frames == [0, 3, 6, 9]  # 10 frames (2560//256), every 3rd
+
+
+def test_resize_images_batch_contract(spark):
+    from data_ingestion_bra_spark.operators import multimodal
+
+    docs = _docs(spark)
+    payloads = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    out = multimodal.resize_images(payloads, width=8, height=4).orderBy("doc_id").collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["payload"]) == 32  # exact target byte shape
+        assert r["scale_e6"] > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from data_ingestion_bra_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i % 3, i, i * 10) for i in range(60)], "k bigint, row_id bigint, v bigint"
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k bigint, tag string")
+    plain = {(r["row_id"], r["tag"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["row_id"], r["tag"])
+        for r in salted_join(left, right, "k", salt_col="row_id", n_salts=4).collect()
+    }
+    assert salted == plain and len(plain) == 60
