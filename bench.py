@@ -53,9 +53,10 @@ def main() -> None:
     tune_session(spark)
     queries = get_queries()
 
-    # Warm the JVM/codegen once on a trivial action so query timings measure
-    # the plan, not session startup.
+    # Warm the JVM/codegen and the Parquet reader path once so query timings
+    # measure the plans, not session startup.
     spark.range(1).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -26,11 +26,16 @@ def tokens_expr(text: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(doc, shingle) pairs, distinct — the base relation for Jaccard/MinHash.
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, *, distinct: bool = True
+) -> DataFrame:
+    """(doc, shingle) pairs — the base relation for Jaccard/MinHash.
 
-    Word n-gram shingles built in-row with a higher-order transform (no UDF);
-    the explode happens once, after dedup-friendly distinct shingling.
+    Word n-gram shingles built in-row with a higher-order transform (no
+    UDF). ``distinct=True`` (a shuffle) is required for set-Jaccard
+    arithmetic; MinHash signatures are multiset-invariant (min ignores
+    duplicates), so the signature path passes ``distinct=False`` and skips
+    that whole shuffle.
     """
     shingled = df.select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
@@ -44,7 +49,8 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
             f"ELSE array() END"
         ).alias("shingles"),
     )
-    return shingled.select("doc", F.explode("shingles").alias("shingle")).distinct()
+    out = shingled.select("doc", F.explode("shingles").alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -121,9 +121,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket collisions, not n², and similarity is estimated from signature
     agreement without touching document text again."""
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    # distinct=False: the signature min is multiset-invariant, so the
+    # distinct shuffle is pure waste on this path.
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False)
     # sig feeds both the banding and the estimate joins; persist so the
-    # md5-heavy signature aggregation runs once, not once per branch.
+    # hash-heavy signature aggregation runs once, not once per branch.
     sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
