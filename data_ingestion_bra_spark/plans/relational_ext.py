@@ -339,6 +339,66 @@ def minby_maxby_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_orderpriority) AS BIGINT) AS priority_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+           CAST(RANK() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_orderpriority) AS BIGINT) AS priority_rank
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile — integer window ranks with deterministic
+    orderings (ties only on the rank-semantics column, quartile order made
+    total with the key tie-break)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w_pri = Window.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    w_price = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.dense_rank().over(w_pri).cast("bigint").alias("priority_dense_rank"),
+        F.ntile(4).over(w_price).cast("bigint").alias("price_quartile"),
+        F.rank().over(w_pri).cast("bigint").alias("priority_rank"),
+    )
+
+
+@register(
+    "grouped_map_rank_per_lang",
+    """
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id) AS BIGINT) AS size_rank
+    FROM documents
+    """,
+    tags=("grouped-map", "applyInPandas"),
+)
+def grouped_map_rank_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map via applyInPandas: per-language size ranking computed in
+    pandas per group (Arrow-batched, one shuffle on the group key) — the
+    grouped escape hatch for per-group logic window functions can't express;
+    output is integer-exact so the window-function oracle must agree."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def rank_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        pdf = pdf.reset_index(drop=True)
+        pdf["size_rank"] = pdf.index + 1
+        return pdf[["doc_id", "lang", "size_rank"]]
+
+    return d.groupBy("lang").applyInPandas(
+        rank_group, schema="doc_id bigint, lang string, size_rank bigint"
+    )
+
+
+@register(
     "orders_above_customer_avg",
     """
     WITH s AS (SELECT o_custkey, o_orderkey,

@@ -54,9 +54,10 @@ def test_snowflake_joins_all_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-# The one deliberate Python crossing: the multimodal decode (Arrow-batched
-# mapInPandas — the designated escape hatch, SURVEY §2.11).
-PYTHON_ALLOWED = {"multimodal_decode_features"}
+# The deliberate Python crossings: Arrow-batched mapInPandas (multimodal
+# decode) and grouped-map applyInPandas — the designated escape hatches
+# (SURVEY §2.11). Everything else stays JVM-side.
+PYTHON_ALLOWED = {"multimodal_decode_features", "grouped_map_rank_per_lang"}
 
 
 @pytest.mark.parametrize("name", sorted(get_queries()))
@@ -67,7 +68,9 @@ def test_no_python_udfs_in_any_query(spark, name):
     df = get_queries()[name](spark, SF)
     p = plan_str(spark, df, mode="simple")
     if name in PYTHON_ALLOWED:
-        assert "MapInPandas" in p  # Arrow-batched, not row-at-a-time
+        # Arrow-batched (MapInPandas / FlatMapGroupsInPandas), never
+        # row-at-a-time BatchEvalPython
+        assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p
         assert "BatchEvalPython" not in p
     else:
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
