@@ -107,6 +107,42 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_multiset",
+    """
+    WITH l AS (SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 500),
+         s AS (SELECT s_suppkey AS k FROM supplier)
+    SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM l EXCEPT ALL SELECT k FROM s) GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT k FROM l INTERSECT ALL SELECT k FROM s) GROUP BY k
+    """,
+    tags=("setop", "multiset"),
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (EXCEPT ALL / INTERSECT ALL — occurrence
+    counting, not set semantics): lineitem's supplier-key multiset against
+    the supplier key set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500).select(
+        F.col("l_suppkey").alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    ex = (
+        li.exceptAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    inter = (
+        li.intersectAll(s)
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionAll(inter)
+
+
+@register(
     "grouping_sets_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n

@@ -67,6 +67,37 @@ def session_counts(events: DataFrame, *, gap: str = "10 minutes", watermark: str
     )
 
 
+def stream_stream_click_purchase_join(
+    events: DataFrame, *, window: str = "10 minutes", watermark: str = "20 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same user's
+    clicks within the preceding ``window``. Both sides carry watermarks and
+    the join has a time-range bound — the two conditions that let Spark
+    expire join state instead of buffering both streams forever."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    cond = (
+        (purchases.user_id == clicks.user_id)
+        & (clicks.c_ts >= purchases.p_ts - F.expr(f"INTERVAL {window}"))
+        & (clicks.c_ts <= purchases.p_ts)
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "purchase_id", purchases.user_id.alias("user_id"), "p_ts", "c_ts"
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, *, name: str, output_mode: str = "append"):
     """Drive a streaming DF into an in-memory table and process everything
     available (test/backfill harness)."""

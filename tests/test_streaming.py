@@ -106,3 +106,16 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # event 3 (10:05, window 10:00) is behind the 11:50 watermark → dropped;
     # the 12:00 window itself is not yet finalized → append emits only 10:00
     assert counted == 1
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    joined = jobs.stream_stream_click_purchase_join(stream)
+    jobs.run_to_memory_sink(joined, name="t_ssj")
+    got = {
+        (r["purchase_id"], str(r["c_ts"]))
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    batch = jobs.stream_stream_click_purchase_join(_batch_events(spark, events_dir))
+    want = {(r["purchase_id"], str(r["c_ts"])) for r in batch.collect()}
+    assert got == want and len(got) > 0
