@@ -234,13 +234,34 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, *, nibbles: 
     )
 
 
-def simhash_near_pairs(fps: DataFrame, *, max_hamming: int) -> DataFrame:
-    """All-pairs Hamming over fingerprints. At scale, pre-bucket by simhash
-    bytes (pigeonhole) before pairing; the fixture sizes don't need it."""
-    a = fps.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"))
-    b = fps.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"))
+def simhash_near_pairs(
+    fps: DataFrame, *, max_hamming: int, n_bands: int = 8, band_bits: int = 4
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance, via pigeonhole band bucketing:
+    with ``n_bands`` disjoint bit-bands and ``max_hamming < n_bands``, any
+    qualifying pair MUST agree exactly on at least one band — so candidates
+    come from an equi-join on (band, band_value) with zero recall loss, and
+    the full n² cross product never exists. Exact Hamming then verifies.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole requires max_hamming < n_bands")
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {b * band_bits}) & {mask}").alias("val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fps.select("doc", "simhash", F.explode(bands).alias("bb")).select(
+        "doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "val")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "val")
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -248,4 +269,5 @@ def simhash_near_pairs(fps: DataFrame, *, max_hamming: int) -> DataFrame:
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -437,6 +437,49 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_term_stats_top3",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, tf.term) AS rn
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_term_stats_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tf-idf pipeline with integer-exact outputs: per-document term
+    frequency, corpus document frequency, top-3 terms per doc (tf desc,
+    term asc). idf = ln(N/df) is a trivial consumer-side map — kept out of
+    the hash-compared columns because libm ln() is not bit-portable."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.join(df_, "term")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,

@@ -87,9 +87,29 @@ def test_minhash_lsh_candidates_and_estimate(spark):
 def test_simhash_identical_docs_zero_hamming(spark):
     fps = dedup.simhash_fingerprints(_docs(spark), "doc_id", "text")
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
-             dedup.simhash_near_pairs(fps, max_hamming=32).collect()}
-    assert pairs[(0, 1)] == 0
-    assert pairs[(0, 2)] <= pairs.get((0, 3), 33)  # near-dup closer than unrelated
+             dedup.simhash_near_pairs(fps, max_hamming=7).collect()}
+    assert pairs[(0, 1)] == 0  # identical docs
+    assert pairs[(0, 2)] == 1  # one-word edit → tiny hamming
+    assert (0, 3) not in pairs  # unrelated doc pruned by band bucketing
+
+
+def test_simhash_banding_matches_all_pairs(spark):
+    """Pigeonhole guarantee: band-bucketed candidates find EVERY pair within
+    the hamming budget (compare against a brute-force crossJoin)."""
+    fps = dedup.simhash_fingerprints(_docs(spark), "doc_id", "text")
+    banded = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+              dedup.simhash_near_pairs(fps, max_hamming=7).collect()}
+    a = fps.selectExpr("doc AS doc_a", "simhash AS h_a")
+    b = fps.selectExpr("doc AS doc_b", "simhash AS h_b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter("doc_a < doc_b")
+        .selectExpr("doc_a", "doc_b", "CAST(bit_count(h_a ^ h_b) AS BIGINT) AS hamming")
+        .filter("hamming <= 7")
+        .collect()
+    }
+    assert banded == brute
 
 
 def test_brute_force_topk_orders_by_cosine(spark):

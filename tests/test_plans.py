@@ -77,6 +77,16 @@ def test_no_python_udfs_in_any_query(spark, name):
         assert "MapInPandas" not in p, name
 
 
+@pytest.mark.parametrize("name", sorted(get_queries()))
+def test_no_cartesian_products(spark, name):
+    """No registered query may plan a true CartesianProduct — pair-shaped
+    work must come from equi-joins (LSH buckets, simhash bands) or an
+    explicitly broadcast small side."""
+    df = get_queries()[name](spark, SF)
+    p = plan_str(spark, df, mode="simple")
+    assert "CartesianProduct" not in p, name
+
+
 def test_whole_stage_codegen_active(spark):
     df = get_queries()["agg_pricing_summary"](spark, SF)
     df.collect()  # AQE only finalizes (and shows codegen stages) on execution
