@@ -329,6 +329,44 @@ def array_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_funcs_suite",
+    """
+    WITH m AS (
+      SELECT p_partkey,
+             map(['size', 'retail_cents'],
+                 [CAST(p_size AS BIGINT), CAST(ROUND(p_retailprice * 100) AS BIGINT)]) AS mm
+      FROM part WHERE p_partkey < 500
+    )
+    SELECT p_partkey,
+           (mm['size'])[1] AS size_val,
+           (mm['retail_cents'])[1] AS retail_cents,
+           (mm['missing'])[1] AS missing_val,
+           CAST(cardinality(mm) AS BIGINT) AS n_entries
+    FROM m
+    """,
+    tags=("map", "scalar"),
+)
+def map_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column family (ABSENT in reference, SURVEY §2.8): build,
+    element access (missing key → NULL), cardinality. Output is scalars so
+    engine map reprs never enter the hash."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    m = F.create_map(
+        F.lit("size"),
+        F.col("p_size").cast("bigint"),
+        F.lit("retail_cents"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint"),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "size").alias("size_val"),
+        F.element_at(m, "retail_cents").alias("retail_cents"),
+        F.element_at(m, "missing").alias("missing_val"),
+        F.size(m).cast("bigint").alias("n_entries"),
+    )
+
+
+@register(
     "percentiles_quantity",
     """
     SELECT l_returnflag,
