@@ -67,3 +67,35 @@ def test_bronze_ingest_checkpoint_restart_no_duplicates(spark, tmp_path):
     back = spark.read.option("basePath", bronze + "/tb_events").parquet(bronze + "/tb_events")
     assert back.count() == ev.count()  # no duplicates, nothing missed
     assert back.select("event_id").distinct().count() == ev.count()
+
+
+def test_upsert_partitioned_merges_by_key(spark, tmp_path):
+    from data_ingestion_bra_spark.sinks.upsert import upsert_partitioned
+
+    table = str(tmp_path / "tb_dim")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k bigint, v string, ver bigint"
+    )
+    base.write.parquet(table + "/anomesdia=20240101")
+    spark.createDataFrame([(9, "z", 1)], "k bigint, v string, ver bigint").write.parquet(
+        table + "/anomesdia=20240102"
+    )
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 2, "20240101"),   # replace existing key in partition 1
+         (4, "d", 2, "20240101"),    # new key in partition 1
+         (5, "e", 2, "20240103")],   # entirely new partition
+        "k bigint, v string, ver bigint, anomesdia string",
+    )
+    stats = upsert_partitioned(spark, table, updates, key="k", version_col="ver")
+    assert stats == {"partitions_rewritten": 1, "partitions_created": 1}
+
+    back = spark.read.option("basePath", table).parquet(table)
+    # partition discovery types anomesdia as int — normalize to str
+    rows = {(str(r["anomesdia"]), r["k"]): r["v"] for r in back.collect()}
+    assert rows[("20240101", 2)] == "B2"      # replaced
+    assert rows[("20240101", 4)] == "d"       # inserted
+    assert rows[("20240101", 1)] == "a"       # untouched key preserved
+    assert rows[("20240102", 9)] == "z"       # untouched partition preserved
+    assert rows[("20240103", 5)] == "e"       # new partition created
+    assert len(rows) == 6
