@@ -472,6 +472,36 @@ def grouped_map_rank_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBQUERIES_SQL = """
+    SELECT c_custkey,
+           CAST(CASE WHEN c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 0)
+                     THEN 1 ELSE 0 END AS BIGINT) AS nation_has_supplier,
+           CAST(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = c.c_custkey
+                                    AND o.o_orderstatus = 'P')
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_pending_order,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_nations
+    FROM customer c
+    WHERE c_custkey < 500
+"""
+
+
+@register(
+    "subqueries_suite",
+    _SUBQUERIES_SQL,
+    tags=("subquery", "exists", "in"),
+)
+def subqueries_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery family: uncorrelated IN, correlated EXISTS, scalar subquery.
+    Catalyst rewrites these into semi joins / cross-joined scalar aggregates
+    — same SQL text runs on both engines."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SUBQUERIES_SQL)
+
+
 @register(
     "orders_above_customer_avg",
     """
