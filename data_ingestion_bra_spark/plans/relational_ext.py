@@ -563,3 +563,136 @@ def salted_agg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_alias="n",
     )
     return out.withColumn("sum_qty_cents", F.col("sum_qty_cents").cast("bigint"))
+
+
+@register(
+    "sample_stratified_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) <
+          CASE o_orderstatus
+               WHEN 'F' THEN '0ccccc'   -- 5%
+               WHEN 'O' THEN '199999'   -- 10%
+               WHEN 'P' THEN '400000'   -- 25%
+               ELSE '' END
+    GROUP BY o_orderstatus
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling (operators/sampling.py): per-status
+    keep rates via a content-hash threshold. Unlike ``sampleBy(seed)`` the
+    membership is invariant to physical layout — the same rows survive after
+    a compaction or on a 1000-executor reshard. Plan: one narrow filter in
+    codegen over the scan; no shuffle until the checking aggregate."""
+    from data_ingestion_bra_spark.operators.sampling import stratified_sample
+
+    o = load_table(spark, sf_dir, "orders")
+    s = stratified_sample(
+        o, "o_orderstatus", {"F": 0.05, "O": 0.10, "P": 0.25}, key_cols=["o_orderkey"]
+    )
+    return s.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT CAST(ord - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           ROUND(CAST(MIN(v) AS DOUBLE), 4) AS min_v,
+           ROUND(CAST(MAX(v) AS DOUBLE), 4) AS max_v
+    FROM (SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord
+          FROM embeddings)
+    GROUP BY dim
+    """,
+    tags=("explode", "lateral", "array", "embeddings"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explosion: ``posexplode`` flattens the 64-dim embedding
+    column into (dim, value) rows, then per-dimension stats. The generator
+    runs inside the scan stage (no shuffle before the aggregate), and the
+    aggregate groups on a 64-value key — map-side partial aggregation
+    collapses it before the exchange. Oracle: unnest + generate_subscripts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("dim", "v"))
+    return flat.groupBy(F.col("dim").cast("bigint").alias("dim")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v") > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.round(F.min(F.col("v").cast("double")), 4).alias("min_v"),
+        F.round(F.max(F.col("v").cast("double")), 4).alias("max_v"),
+    )
+
+
+@register(
+    "window_range_frame_trailing30d",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
+           SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS trailing_cents
+    FROM t
+    """,
+    tags=("window", "range-frame", "temporal"),
+)
+def window_range_frame_trailing30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per customer, revenue over the trailing 30 days
+    (value-based frame over a day number, not a row count — same-day peer
+    rows all enter the frame, unlike a ROWS frame). One shuffle on
+    o_custkey; integer cents keep the running sums exact."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum("cents").over(w).alias("trailing_cents"),
+    )
+
+
+@register(
+    "agg_filtered_counts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_high_disc,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 30) AS BIGINT) AS n_bulk,
+           CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                         FILTER (WHERE l_tax = 0), 0) AS BIGINT) AS taxfree_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "conditional", "filter-clause"),
+)
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER-clause semantics) — several
+    differently-filtered aggregates in ONE pass over the fact table instead
+    of N filtered scans; each conditional collapses map-side before the
+    single exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).cast("bigint").alias("n_high_disc"),
+        F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
+        F.coalesce(F.sum(F.when(F.col("l_tax") == 0, cents)), F.lit(0)).cast("bigint").alias("taxfree_cents"),
+    )

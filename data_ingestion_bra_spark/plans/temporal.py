@@ -192,3 +192,41 @@ def events_range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -
     return counted.select(
         "event_id", "user_id", F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"), "n_clicks_5m"
     )
+
+
+@register(
+    "events_multires_rollup",
+    """
+    WITH t AS (SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h, value
+               FROM events)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           strftime(h, '%Y-%m-%d %H:%M') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM t
+    GROUP BY GROUPING SETS ((d), (d, h))
+    """,
+    tags=("rollup", "grouping-sets", "hypertable", "temporal"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass produces BOTH the
+    hourly and the daily continuous aggregate via GROUPING SETS — the
+    Expand operator emits each row once per grouping set before a single
+    shuffle, so the 100 TB scan happens once, not once per resolution.
+    Integer cents keep sums exact across engines."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "value",
+    ).createOrReplaceTempView("events_dh")
+    return spark.sql(
+        """
+        SELECT date_format(d, 'yyyy-MM-dd') AS day,
+               date_format(h, 'yyyy-MM-dd HH:mm') AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events_dh
+        GROUP BY GROUPING SETS ((d), (d, h))
+        """
+    )

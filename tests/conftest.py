@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import sys
+import tempfile
 from pathlib import Path
 
 import pytest
@@ -12,7 +13,13 @@ from data_ingestion_bra_spark.session import get_spark, tune_session
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cpus="8", shuffle_partitions="8")
+    warehouse = tempfile.mkdtemp(prefix="spark-warehouse-")
+    s = get_spark(
+        "tests",
+        cpus="8",
+        shuffle_partitions="8",
+        extra_conf={"spark.sql.warehouse.dir": warehouse},
+    )
     tune_session(s)
     yield s
 
