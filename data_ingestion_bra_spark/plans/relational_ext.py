@@ -696,3 +696,60 @@ def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("l_quantity") >= 30, 1).otherwise(0)).cast("bigint").alias("n_bulk"),
         F.coalesce(F.sum(F.when(F.col("l_tax") == 0, cents)), F.lit(0)).cast("bigint").alias("taxfree_cents"),
     )
+
+
+@register(
+    "scd2_customer_status_history",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders WHERE o_custkey < 300
+    ), chg AS (
+      SELECT *,
+             CASE WHEN lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                  THEN 1 ELSE 0 END AS is_chg
+      FROM s
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    ), v AS (SELECT * FROM chg WHERE is_chg = 1)
+    SELECT o_custkey,
+           o_orderstatus,
+           CAST(row_number() OVER w2 AS BIGINT) AS version,
+           CAST(day AS BIGINT) AS valid_from_day,
+           CAST(lead(day) OVER w2 - 1 AS BIGINT) AS valid_to_day
+    FROM v
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+    """,
+    tags=("scd2", "temporal", "window", "versioning"),
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build: collapse each
+    customer's order-status timeline into versioned validity intervals
+    [valid_from_day, valid_to_day] (open-ended current row = NULL). Change
+    detection via lag, interval close via lead — one shuffle on o_custkey
+    shared by all three window functions (same partitioning + ordering, so
+    Catalyst plans a single Window sort, not three)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    s = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    chg = s.withColumn(
+        "is_chg",
+        F.when(
+            ~F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 1
+        ).otherwise(0),
+    )
+    v = chg.filter(F.col("is_chg") == 1)
+    return v.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("day").cast("bigint").alias("valid_from_day"),
+        (F.lead("day").over(w) - 1).cast("bigint").alias("valid_to_day"),
+    )
