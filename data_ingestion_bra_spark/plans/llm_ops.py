@@ -571,3 +571,44 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.col("lang").alias("modality_tag"),
     )
+
+
+@register(
+    "text_chunks_sliding",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(length(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS BIGINT)
+             AS n_chunk_chars,
+           md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+    FROM d, unnest(generate_series(
+          0,
+          CAST(CASE WHEN L <= 200 THEN 0
+                    ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS t(i)
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def text_chunks_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 200 chars, stride 150 → 50
+    overlap): the standard pretraining prep step that turns documents into
+    fixed-size training examples. Row-local generate+explode+substring —
+    the generator runs inside the scan stage, no shuffle at all, and at
+    100 TB each task chunks only its own split. The final 'short tail'
+    chunk is kept (its real length is reported)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(piece).cast("bigint").alias("n_chunk_chars"),
+        F.md5(piece).alias("chunk_md5"),
+    )

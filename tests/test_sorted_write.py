@@ -42,3 +42,29 @@ def test_range_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
     assert "PushedFilters" in plan and "o_custkey" in plan
     want = orders.filter(F.col("o_custkey") == 7).count()
     assert filtered.count() == want
+
+
+def test_zorder_write_bounds_both_keys(spark, tmp_path):
+    from data_ingestion_bra_spark.sinks.sorted_write import write_zordered
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_partkey")
+    zdir = str(tmp_path / "li_z")
+    sdir = str(tmp_path / "li_s")
+    write_zordered(li, zdir, "l_orderkey", "l_partkey", 16)
+    write_range_sorted(li, sdir, "l_orderkey", 16)  # single-key control
+
+    def avg_span(path, key):
+        ranges = _file_key_ranges(path, key)
+        glo = min(lo for lo, _ in ranges)
+        ghi = max(hi for _, hi in ranges)
+        return sum(hi - lo for lo, hi in ranges) / len(ranges) / max(ghi - glo, 1)
+
+    # z-order: BOTH keys' per-file ranges are a fraction of the domain
+    assert avg_span(zdir, "l_orderkey") < 0.6
+    assert avg_span(zdir, "l_partkey") < 0.6
+    # single-key sort: the second key spans ~the whole domain per file
+    assert avg_span(sdir, "l_orderkey") < 0.2
+    assert avg_span(sdir, "l_partkey") > 0.8
+    # same rows either way
+    back = spark.read.parquet(zdir)
+    assert back.count() == li.count()
