@@ -612,3 +612,67 @@ def text_chunks_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(piece).cast("bigint").alias("n_chunk_chars"),
         F.md5(piece).alias("chunk_md5"),
     )
+
+
+@register(
+    "curation_pipeline",
+    r"""
+    WITH t AS (SELECT doc_id, text, length(text) AS L,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(text), '\s+') AS ltoks
+               FROM documents),
+    q AS (SELECT * FROM t WHERE L >= 150 AND len(toks) >= 20),
+    sc AS (SELECT doc_id, text, L,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['el','la','los','una'], x))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['de','que','em','uma'], x))) AS BIGINT) AS s_pt
+           FROM q),
+    en AS (SELECT doc_id, text, L FROM sc
+           WHERE greatest(s_en, s_es, s_pt) > 0 AND s_en = greatest(s_en, s_es, s_pt)),
+    ded AS (SELECT doc_id, text, L FROM
+              (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM en)
+            WHERE rn = 1)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+    FROM ded, unnest(generate_series(
+          0,
+          CAST(CASE WHEN L <= 200 THEN 0
+                    ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    """,
+    tags=("text", "curation", "pipeline", "llm-pipeline"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-data curation in one lazy plan: quality gate
+    (length + token count) → language filter (English by marker argmax) →
+    exact dedup (keep lowest doc_id per content hash) → sliding-window
+    chunking. Plan shape at 100 TB: the quality+language gates are narrow
+    codegen filters at the scan (most of the corpus dies before any
+    shuffle); the ONLY shuffle is the dedup's hash partition on the 32-byte
+    content fingerprint; chunking explodes row-locally after it."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    gated = d.filter((F.length("text") >= 150) & (F.size(toks) >= 20)).filter(
+        text.langid_expr("text") == "en"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = ded.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx")
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(piece).alias("chunk_md5"),
+    )

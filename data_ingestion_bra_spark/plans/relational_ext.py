@@ -753,3 +753,48 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("bigint").alias("valid_from_day"),
         (F.lead("day").over(w) - 1).cast("bigint").alias("valid_to_day"),
     )
+
+
+@register(
+    "window_value_funcs",
+    """
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w2 AS first_ok,
+           last_value(o_orderkey) OVER w2 AS last_ok,
+           nth_value(o_orderkey, 2) OVER w2 AS second_ok
+    FROM t
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "value-functions"),
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (first/last/nth) over an explicit full-
+    partition ROWS frame — the frame spec is what makes last_value
+    deterministic (the default frame stops at CURRENT ROW). Total order
+    inside the partition via (day, o_orderkey) tie-break."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    t = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w2).alias("first_ok"),
+        F.last("o_orderkey").over(w2).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w2).alias("second_ok"),
+    )
