@@ -44,6 +44,8 @@ HEADLINE = [
     "similarity_topk_ivf",
     "text_quality_scores",
     "text_fingerprints",
+    "curation_pipeline",
+    "text_chunks_sliding",
 ]
 
 

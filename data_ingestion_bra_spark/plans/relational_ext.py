@@ -798,3 +798,86 @@ def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w2).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w2).alias("second_ok"),
     )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           CAST(ROUND(l_quantity * 10000) AS BIGINT) AS val_e4
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           CAST(ROUND(l_discount * 10000) AS BIGINT) FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax',
+           CAST(ROUND(l_tax * 10000) AS BIGINT) FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("unpivot", "melt", "reshape"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (the inverse of `pivot_orders_status`): one
+    ``unpivot`` Expand node emits 3 rows per input row in the scan stage —
+    no shuffle, and at scale no UNION-ALL re-scan of the fact table (the
+    oracle's UNION ALL form reads it 3×; Spark reads once)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    up = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return up.select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round(F.col("val") * 10000).cast("bigint").alias("val_e4"),
+    )
+
+
+@register(
+    "events_gap_fill_daily",
+    """
+    WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                      event_type, value
+               FROM events WHERE user_id < 30),
+    b AS (SELECT user_id, min(day) AS dmin, max(day) AS dmax FROM e GROUP BY user_id),
+    spine AS (SELECT user_id, CAST(unnest(generate_series(dmin, dmax, INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+    p AS (SELECT user_id, day, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+          FROM e WHERE event_type = 'purchase' GROUP BY user_id, day)
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(p.cents IS NULL AS BIGINT) AS was_gap,
+           last_value(p.cents IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day) AS filled_cents
+    FROM spine s LEFT JOIN p ON s.user_id = p.user_id AND s.day = p.day
+    """,
+    tags=("timeseries", "gap-fill", "forward-fill", "spine"),
+)
+def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build a continuous per-user day spine
+    (sequence+explode — generated row-locally from each user's min/max, no
+    driver loop), left-join the sparse daily purchase sums, and forward-fill
+    with last-non-null over an ordered window. Days before a user's first
+    purchase stay NULL (no value to carry). One shuffle on user_id shared
+    by the join and the window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    e = e.withColumn("day", F.to_date("ts"))
+    bounds = e.groupBy("user_id").agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "day")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    j = spine.join(p, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").isNull().cast("bigint").alias("was_gap"),
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
