@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from data_ingestion_bra_spark.operators.skew import salted_agg_sum
 from data_ingestion_bra_spark.plans.registry import register
+from data_ingestion_bra_spark.plans.temporal import TS_FMT_DUCK, TS_FMT_SPARK
 from data_ingestion_bra_spark.sources.tables import load_table
 
 
@@ -880,4 +881,112 @@ def events_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("cents").isNull().cast("bigint").alias("was_gap"),
         F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+@register(
+    "histogram_order_totals",
+    """
+    SELECT CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("histogram", "binning", "profiling"),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals ($50k buckets) — the data-
+    profiling primitive. Binning is integer floor-division on exact cents
+    (engine-portable: float division would flap on bucket boundaries);
+    partial aggregation collapses each map task to ≤n_buckets rows before
+    the one exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.select(cents.alias("cents"))
+        .groupBy(F.expr("cents div 5000000").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
+    "funnel_click_to_purchase",
+    f"""
+    WITH c AS (SELECT user_id, MIN(ts) AS first_click
+               FROM events WHERE event_type = 'click' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+          GROUP BY e.user_id)
+    SELECT c.user_id,
+           strftime(c.first_click, '{TS_FMT_DUCK}') AS first_click,
+           strftime(p.first_purchase, '{TS_FMT_DUCK}') AS first_purchase,
+           CAST(p.user_id IS NOT NULL AS BIGINT) AS converted
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+    """,
+    tags=("funnel", "behavioral", "temporal"),
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel: first click → first purchase at-or-after
+    it, per user. Both stages are min-aggregates on user_id (partial+final),
+    and every join is on user_id — one shuffle partitioning reused end to
+    end, no ordering state."""
+    e = load_table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = c.join(p, "user_id", "left")
+    return j.select(
+        "user_id",
+        F.date_format("first_click", TS_FMT_SPARK).alias("first_click"),
+        F.date_format("first_purchase", TS_FMT_SPARK).alias("first_purchase"),
+        F.col("first_purchase").isNotNull().cast("bigint").alias("converted"),
+    )
+
+
+@register(
+    "arrayagg_orders_per_customer",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    WHERE o_custkey < 150
+    GROUP BY o_custkey
+    """,
+    tags=("array-agg", "collect", "ordered"),
+)
+def arrayagg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped collection: collect_list is unordered across
+    partitions (assembly order follows task completion), so the engine
+    sorts the collected numeric array (array_sort) before stringifying —
+    the deterministic equivalent of string_agg(... ORDER BY)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.col("o_orderkey"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("order_keys"),
+        )
     )
