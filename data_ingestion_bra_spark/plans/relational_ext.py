@@ -990,3 +990,55 @@ def arrayagg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_keys"),
         )
     )
+
+
+@register(
+    "bilateral_trade_volumes",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+    GROUP BY supp_nation, cust_nation
+    """,
+    tags=("join", "self-role", "tpch-q7"),
+)
+def bilateral_trade_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the SAME dimension (nation) joined twice under two
+    roles (supplier's vs customer's nation) — aliased scans, both broadcast.
+    The only large shuffle is lineitem⋈orders on the order key; everything
+    downstream (supplier, customer, both nation roles) broadcasts, and the
+    final group-by key is 25×25 so partial aggregation collapses it
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
