@@ -93,3 +93,28 @@ def test_whole_stage_codegen_active(spark):
     p = plan_str(spark, df, mode="simple")
     assert "isFinalPlan=true" in p
     assert "*(" in p  # WholeStageCodegen stage markers present
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-partitioned writes must prune at read time: a filter on the
+    partition key shows up as PartitionFilters and non-matching partitions
+    never reach the scan."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.sinks.writer import write_partitioned
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders").limit(100)
+    base = str(tmp_path)
+    for day in ("20240101", "20240102", "20240103"):
+        write_partitioned(
+            orders, base, "t_orders", partition_value=day, mode="append"
+        )
+
+    df = spark.read.parquet(f"{base}/t_orders")
+    pruned = df.filter(F.col("anomesdia") == "20240102")
+    p = plan_str(spark, pruned)
+    assert "PartitionFilters" in p and "anomesdia" in p
+    assert pruned.count() == 100
+    # partition column count: all three partitions present unpruned
+    assert df.count() == 300
