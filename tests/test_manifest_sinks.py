@@ -10,6 +10,7 @@ from data_ingestion_bra_spark.manifest import (
     write_metadata_from_df,
 )
 from data_ingestion_bra_spark.sinks.writer import today_yyyymmdd, write_partitioned
+from tests.conftest import SF_SMOKE
 
 
 def test_today_yyyymmdd_injectable():
@@ -85,3 +86,18 @@ def test_manifest_from_file_and_line_count(tmp_path):
     m = json.load(open(mpath))
     assert m["schema_stats"]["colunas"] == ["a", "b"]
     assert m["schema_stats"]["linhas"] == 2  # header subtracted
+
+
+def test_observed_write_stats_match_second_pass(spark, tmp_path):
+    """Observation-based stats (collected during the write) must equal the
+    manifest's dedicated aggregate job — same numbers, one fewer scan."""
+    from data_ingestion_bra_spark.manifest import schema_stats_job
+    from data_ingestion_bra_spark.sinks.observed_write import write_parquet_with_stats
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_observed")
+    got = write_parquet_with_stats(docs, out)
+    want = schema_stats_job(docs)
+    assert got == want
+    assert spark.read.parquet(out).count() == want["linhas"]
