@@ -676,3 +676,32 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.md5(piece).alias("chunk_md5"),
     )
+
+
+@register(
+    "sample_weighted_by_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS h,
+             CAST(least(n_chars, 400) / 400.0 * 0.5 * 16777216 AS BIGINT) AS thr
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM t WHERE h < thr
+    """,
+    tags=("sampling", "weighted", "llm-pipeline"),
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document's keep
+    probability scales with a quality signal (here length, capped — longer
+    docs up to 50%, short ones proportionally less), decided by comparing a
+    content-hash integer against a per-row threshold. The data-mixing
+    primitive for weighted corpus blends; same layout-invariance guarantees
+    as operators/sampling.py, still a narrow shuffle-free filter."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    thr = (F.least(F.col("n_chars"), F.lit(400)) / 400.0 * 0.5 * 16777216).cast("bigint")
+    return d.filter(h < thr).select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))

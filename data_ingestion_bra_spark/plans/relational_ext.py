@@ -1042,3 +1042,31 @@ def bilateral_trade_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "approx_percentile_quantity",
+    """
+    SELECT ROUND(CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE), 2) AS q25,
+           ROUND(CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE), 2) AS q50,
+           ROUND(CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE), 2) AS q75,
+           ROUND(CAST(quantile_disc(l_quantity, 0.95) AS DOUBLE), 2) AS q95
+    FROM lineitem
+    """,
+    tags=("agg", "percentile", "sketch"),
+)
+def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles: percentile_approx (Greenwald-Khanna, one
+    pass, mergeable partial sketches — the 100 TB path, where exact
+    percentiles would need a full sort). Accuracy is set high enough that
+    the sketch is EXACT at oracle scale (rank error < 1 row), so the
+    discrete-quantile oracle validates it; production lowers accuracy to
+    trade error for memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_quantity", [0.25, 0.50, 0.75, 0.95], 1_000_000)
+    return li.agg(pct.alias("p")).select(
+        F.round(F.col("p")[0], 2).alias("q25"),
+        F.round(F.col("p")[1], 2).alias("q50"),
+        F.round(F.col("p")[2], 2).alias("q75"),
+        F.round(F.col("p")[3], 2).alias("q95"),
+    )
