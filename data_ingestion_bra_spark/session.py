@@ -41,6 +41,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def size_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    *,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    floor: int = 32,
+    ceiling: int = 200_000,
+) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the workload's input size.
+
+    The static partition count is the AQE *upper bound*: AQE coalesces
+    small post-shuffle partitions downward at runtime but never splits a
+    too-coarse one (except skew-join), so the right discipline at scale is
+    to size GENEROUSLY from data volume — bytes / target-partition-size,
+    clamped — and let coalescing pull it back. 100 TB / 128 MB ≈ 800k raw;
+    the ceiling keeps task-launch overhead sane, and partial aggregation
+    means most shuffles move far fewer bytes than the input anyway.
+    """
+    n = max(floor, min(ceiling, input_bytes // target_partition_bytes or floor))
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    return int(n)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply engine session defaults to an externally-created session.
 
