@@ -1070,3 +1070,65 @@ def approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p")[2], 2).alias("q75"),
         F.round(F.col("p")[3], 2).alias("q95"),
     )
+
+
+@register(
+    "sole_returning_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    tags=("join", "semi", "anti", "agg", "tpch-q21"),
+)
+def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (correlated EXISTS + NOT EXISTS over the same fact):
+    suppliers who were the ONLY supplier with returned lineitems in
+    multi-supplier finished orders (reference has no joins at all — SURVEY
+    §2.3; l_returnflag='R' stands in for the receipt-late predicate since
+    the fixture lineitem carries no receipt/commit dates).
+
+    Scale note: the oracle's literal plan rescans lineitem three times and
+    runs two correlated self-joins. The Spark build instead aggregates the
+    fact ONCE per (order, supplier) — returned-item counts — then derives
+    the per-order supplier/ returner counts from that already-reduced
+    frame, turning both EXISTS into a single `n_supp > 1 AND n_ret_supp
+    == 1` predicate. Two shuffles over reduced data instead of two
+    fact-to-fact joins; supplier broadcasts at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("n_ret")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("n_ret") > 0).cast("int")).alias("n_ret_supp"),
+    )
+    return (
+        per_supp.filter(F.col("n_ret") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_ret").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
