@@ -1104,10 +1104,11 @@ def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the oracle's literal plan rescans lineitem three times and
     runs two correlated self-joins. The Spark build instead aggregates the
     fact ONCE per (order, supplier) — returned-item counts — then derives
-    the per-order supplier/ returner counts from that already-reduced
-    frame, turning both EXISTS into a single `n_supp > 1 AND n_ret_supp
-    == 1` predicate. Two shuffles over reduced data instead of two
-    fact-to-fact joins; supplier broadcasts at the end.
+    the per-order supplier/returner counts with a window over that
+    already-reduced frame (no self-join, no second fact scan), turning
+    both EXISTS into a single `n_supp > 1 AND n_ret_supp == 1` predicate.
+    One lineitem scan, two shuffles over reduced data; supplier broadcasts
+    at the end (plan shape asserted in tests/test_plans.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -1117,14 +1118,13 @@ def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("n_ret")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"),
-        F.sum((F.col("n_ret") > 0).cast("int")).alias("n_ret_supp"),
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp.filter(F.col("n_ret") > 0)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_ret_supp", F.sum((F.col("n_ret") > 0).cast("int")).over(w))
+        .filter(
+            (F.col("n_ret") > 0) & (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+        )
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")

@@ -118,3 +118,15 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert pruned.count() == 100
     # partition column count: all three partitions present unpruned
     assert df.count() == 300
+
+
+def test_q21_decorrelation_single_fact_reduction(spark):
+    # sole_returning_suppliers: the EXISTS/NOT EXISTS pair must NOT appear
+    # as fact-to-fact self-joins — the fact reduces once per (order,
+    # supplier), existentials run on the reduced frame, supplier broadcasts.
+    df = get_queries()["sole_returning_suppliers"](spark, SF)
+    p = plan_str(spark, df, mode="simple")
+    assert p.count("FileScan parquet") <= 3  # lineitem + orders + supplier: one scan each
+    assert "BroadcastHashJoin" in p  # supplier dim
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p  # top-20 without a global sort
