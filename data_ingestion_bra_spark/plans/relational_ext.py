@@ -1132,3 +1132,46 @@ def sole_returning_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT order_cnt AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_cnt
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY order_cnt
+    """,
+    tags=("join", "outer", "agg", "two-level", "tpch-q13"),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by non-urgent order count.
+    The distinctive pieces the catalog lacked: a NON-KEY predicate inside
+    the LEFT JOIN's ON clause (filters the right side without dropping
+    order-less customers — semantically different from a WHERE) and a
+    second-level aggregation over a first aggregate's result.
+
+    Scale note: first group-by shuffles on c_custkey (the join's own key,
+    so AQE can chain them); the second groups ~tens of distinct counts —
+    partial aggregation collapses it map-side to almost nothing.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (~o.o_orderpriority.like("1-%")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .groupBy("order_cnt")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("order_cnt").alias("c_count"), "custdist")
+    )
