@@ -5,12 +5,17 @@
   top-k is a per-query row_number, so nothing pairs-shaped ever shuffles
   except the k winners. The dot product is a higher-order ``zip_with`` +
   ``aggregate`` fold — JVM expressions, no UDF, no explode.
-- ``ivf_topk``: the scale path — IVF with data-derived centroids: every
-  vector is assigned to its nearest centroid once; queries search only their
-  own cell (probe=1). Recall < 1 by construction, like any IVF index.
+- ``ivf_topk``: the scale path — IVF with k-means-trained centroids: every
+  vector is assigned to its nearest centroid once; queries search their own
+  cell plus the ``n_probe``-1 next-nearest cells.
 
-Cosines are rounded to 4 dp before ranking so the SQL oracle (which sums in
-a different order) ranks identically.
+Determinism: embeddings are quantized to integer fixed-point
+(``round(x * 1e6) -> BIGINT``) and dot products / squared norms are computed
+in exact integer arithmetic (the same trick the repo uses for money-as-cents
+and ``mean_intensity_e6``). Summation order then cannot change the result, so
+a SQL oracle summing in a different order produces bit-identical cosines —
+the only float ops left (sqrt, one multiply, one divide, final round) are
+IEEE-754 correctly-rounded and engine-independent.
 """
 
 from __future__ import annotations
@@ -19,19 +24,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: fixed-point quantization scale: 6 decimal digits of embedding precision.
+#: |x| <= ~1.0 and dim <= ~1e3 keeps dots within 1e3 * (1e6)^2 = 1e15 << 2^63.
+SCALE = 1_000_000
 
-def dot_expr(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+
+def quantize_expr(a: Column) -> Column:
+    """array<float|double> -> array<bigint> fixed-point at 1e-6 resolution."""
+    return F.transform(
+        a.cast("array<double>"), lambda x: F.round(x * F.lit(float(SCALE)), 0).cast("bigint")
     )
 
 
+def idot_expr(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized (array<bigint>) vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def inorm2_expr(a: Column) -> Column:
+    """Exact integer squared norm of a quantized vector."""
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+
+
+def cosine_expr(dot: Column, norm_a: Column, norm_b: Column, *, dp: int = 4) -> Column:
+    """Cosine from an exact integer dot and two (double) norms, rounded to dp.
+
+    norm_a/norm_b are each ``sqrt(bigint)`` — one correctly-rounded IEEE op —
+    so the full expression is deterministic across engines.
+    """
+    return F.round(dot.cast("double") / (norm_a * norm_b), dp)
+
+
 def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    """Double norm of a quantized (array<bigint>) vector: sqrt of exact int."""
+    return F.sqrt(inorm2_expr(a).cast("double"))
 
 
-def with_double_vec(df: DataFrame, vec_col: str, out: str = "vec") -> DataFrame:
-    return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+def with_quantized_vec(df: DataFrame, vec_col: str, out: str = "vec") -> DataFrame:
+    return df.withColumn(out, quantize_expr(F.col(vec_col)))
 
 
 def brute_force_topk(
@@ -44,11 +80,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Queries broadcast; candidates
     never shuffle until the final per-query k-row window."""
-    q = with_double_vec(queries, vec_col, "qv").select(
-        F.col(id_col).alias("query_id"), "qv", norm_expr(F.col(vec_col).cast("array<double>")).alias("qn")
+    q = with_quantized_vec(queries, vec_col, "qv").select(
+        F.col(id_col).alias("query_id"), "qv", norm_expr(F.col("qv")).alias("qn")
     )
-    c = with_double_vec(candidates, vec_col, "cv").select(
-        F.col(id_col).alias("cand_id"), "cv", norm_expr(F.col(vec_col).cast("array<double>")).alias("cn")
+    c = with_quantized_vec(candidates, vec_col, "cv").select(
+        F.col(id_col).alias("cand_id"), "cv", norm_expr(F.col("cv")).alias("cn")
     )
     scored = (
         F.broadcast(q)
@@ -57,7 +93,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            cosine_expr(idot_expr(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
@@ -69,23 +107,89 @@ def brute_force_topk(
 
 
 def assign_cells(
-    vectors: DataFrame, centroids: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Nearest-centroid (cosine) cell assignment; centroids broadcast."""
-    v = with_double_vec(vectors, vec_col, "v").select(
-        F.col(id_col).alias("vid"), "v", norm_expr(F.col(vec_col).cast("array<double>")).alias("vn")
+    """Nearest-centroid (cosine) cell assignment; centroids broadcast.
+
+    ``n_probe`` > 1 keeps the n_probe nearest cells per vector (multi-probe
+    for the query side of an IVF search). Vectors arrive as raw float arrays
+    and leave quantized (column ``v``: array<bigint>).
+    """
+    v = with_quantized_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn")
     )
-    c = with_double_vec(centroids, vec_col, "c").select(
-        F.col(id_col).alias("cell"), "c", norm_expr(F.col(vec_col).cast("array<double>")).alias("cn")
+    c = centroids.select(
+        F.col("cell"), F.col("cvec").alias("c"), norm_expr(F.col("cvec")).alias("cn")
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid",
         "v",
         "cell",
-        F.round(dot_expr(F.col("v"), F.col("c")) / (F.col("vn") * F.col("cn")), 4).alias("sim"),
+        cosine_expr(idot_expr(F.col("v"), F.col("c")), F.col("vn"), F.col("cn")).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("vid", "cell", "v")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vid", "cell", "v", F.col("rn").alias("probe_rank"))
+    )
+
+
+def seed_centroids(
+    vectors: DataFrame, *, id_col: str = "vec_id", n_centroids: int = 8
+) -> DataFrame:
+    """Deterministic k-means seeds: the first n vectors by id, quantized.
+
+    Returns (cell, cvec: array<bigint>). Cheap and reproducible; kmeans_train
+    refines them.
+    """
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        vectors.filter(F.col(id_col) < n_centroids)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            quantize_expr(F.col("embedding")).alias("cvec"),
+        )
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd iterations over quantized vectors.
+
+    Each iteration: broadcast-assign every vector to its nearest centroid
+    (cosine), then recompute each centroid as the element-wise integer mean of
+    its members via posexplode + (cell, pos) sum/count — a partial-aggregable
+    shape (map-side combine) that never materializes a per-cell vector list.
+    All arithmetic on BIGINT fixed-point, so the trained centroids are
+    bit-reproducible by the SQL oracle. Returns (cell, cvec).
+    """
+    cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
+    for _ in range(n_iter):
+        assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+        dim_stats = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = dim_stats.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: F.round(t["s"].cast("double") / t["n"], 0).cast("bigint"),
+            ).alias("cvec")
+        )
+    return cents
 
 
 def ivf_topk(
@@ -94,29 +198,47 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    n_iter: int = 0,
+    n_probe: int = 1,
     query_ids: list[int] | None = None,
     k: int = 5,
 ) -> DataFrame:
-    """IVF top-k with probe=1. Centroids = the first ``n_centroids`` vectors
-    by id (deterministic, data-derived — a stand-in for k-means at fixture
-    scale; the cell-assignment/search machinery is the real operator)."""
-    centroids = vectors.filter(F.col(id_col) < n_centroids)
-    cells = assign_cells(vectors, centroids, id_col=id_col, vec_col=vec_col)
-    norms = cells.withColumn("vn", norm_expr(F.col("v")))
-    qs = norms.filter(F.col("vid").isin(query_ids) if query_ids else F.lit(True)).select(
-        F.col("vid").alias("query_id"), F.col("cell"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    """IVF top-k. ``n_iter`` k-means refinement rounds (0 = raw seeds),
+    ``n_probe`` nearest cells searched per query. Candidate generation is an
+    equi-join on cell id — the LSH-style shape that replaces the n^2 pair
+    scan at scale."""
+    if n_iter > 0:
+        cents = kmeans_train(
+            vectors, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, n_iter=n_iter
+        )
+    else:
+        cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
+    qsrc = vectors.filter(F.col(id_col).isin(query_ids) if query_ids else F.lit(True))
+    qcells = assign_cells(qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+    ccells = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+    qs = qcells.select(
+        F.col("vid").alias("query_id"), "cell", F.col("v").alias("qv"),
+        norm_expr(F.col("v")).alias("qn"),
     )
-    cs = norms.select(F.col("vid").alias("cand_id"), "cell", F.col("v").alias("cv"), F.col("vn").alias("cn"))
+    cs = ccells.select(
+        F.col("vid").alias("cand_id"), "cell", F.col("v").alias("cv"),
+        norm_expr(F.col("v")).alias("cn"),
+    )
     scored = (
         F.broadcast(qs)
-        .join(cs, "cell")  # probe=1: same-cell candidates only
+        .join(cs, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).alias("cosine"),
+            cosine_expr(idot_expr(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
+                "cosine"
+            ),
         )
     )
+    if n_probe > 1:
+        # multi-probe can see the same candidate from two cells; keep one
+        scored = scored.dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -169,12 +169,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
+# Fixed-point CTE: embeddings quantized to BIGINT (x1e6) so every dot
+# product / squared norm is EXACT integer arithmetic — summation order can't
+# change the value, making cosines bit-identical between Spark and DuckDB
+# (mirrors operators.similarity.quantize_expr / SCALE).
 _VEC_CTE = """
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    v AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+          FROM embeddings),
     n AS (SELECT vec_id, e,
-                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                 sqrt(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE)) AS nrm
           FROM v)
 """
+
+#: integer-dot cosine for oracle SQL: exact BIGINT dot, one double divide.
+_COS = (
+    "ROUND(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
+    " / ({na} * {nb}), 4)"
+)
 
 
 @register(
@@ -184,8 +197,9 @@ _VEC_CTE = """
     + """,
     s AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             ROUND(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
-                   / (q.nrm * c.nrm), 4) AS cosine
+             """
+    + _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    + """ AS cosine
       FROM (SELECT * FROM n WHERE vec_id < 10) q
       JOIN n c ON q.vec_id <> c.vec_id
     ),
@@ -213,8 +227,9 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent AS (SELECT * FROM n WHERE vec_id < 8),
     asg0 AS (
       SELECT nv.vec_id AS vid, c.vec_id AS cell,
-             ROUND(list_sum(list_transform(list_zip(nv.e, c.e), p -> p[1] * p[2]))
-                   / (nv.nrm * c.nrm), 4) AS sim
+             """
+    + _COS.format(a="nv.e", b="c.e", na="nv.nrm", nb="c.nrm")
+    + """ AS sim
       FROM n nv CROSS JOIN cent c
     ),
     asg AS (SELECT vid, cell FROM (
@@ -223,8 +238,9 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM asg0) WHERE rn = 1),
     s AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             ROUND(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
-                   / (q.nrm * c.nrm), 4) AS cosine
+             """
+    + _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    + """ AS cosine
       FROM (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id WHERE n.vec_id < 10) q
       JOIN (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id) c
         ON q.cell = c.cell AND q.vec_id <> c.vec_id
@@ -251,12 +267,14 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _VEC_CTE
     + """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-                 / (a.nrm * b.nrm), 4) AS cosine
+           """
+    + _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    + """ AS cosine
     FROM (SELECT * FROM n WHERE vec_id < 300) a
     JOIN (SELECT * FROM n WHERE vec_id < 300) b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-                / (a.nrm * b.nrm), 4) >= 0.45
+    WHERE """
+    + _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    + """ >= 0.45
     """,
     tags=("dedup", "embedding", "cosine"),
 )
@@ -265,12 +283,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors — the semantic-dedup tier; at scale the pair scan is replaced by
     RP-LSH bucketing (see similarity_rplsh_bucketed) with this as the
     verifier inside each bucket."""
-    from data_ingestion_bra_spark.operators.similarity import dot_expr, norm_expr
+    from data_ingestion_bra_spark.operators.similarity import (
+        cosine_expr,
+        idot_expr,
+        norm_expr,
+        quantize_expr,
+    )
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 300)
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .select("vec_id", quantize_expr(F.col("embedding")).alias("e"))
         .withColumn("nrm", norm_expr(F.col("e")))
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
@@ -280,13 +303,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(dot_expr(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+            cosine_expr(idot_expr(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.45)
     )
 
 
 def _rplsh_oracle() -> str:
+    """Buckets + in-bucket cosines, all in exact BIGINT fixed-point: the
+    quantized-vector × integer-weight sign test and the integer dot products
+    are order-independent, so this is bit-identical to the Spark plan."""
     from data_ingestion_bra_spark.operators.rplsh import plane_weights, weights_sql
 
     ws = weights_sql(plane_weights(8, 64))
@@ -295,14 +321,17 @@ def _rplsh_oracle() -> str:
         f"THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(ws)
     )
+    cos = _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
     return f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    WITH v AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+               FROM embeddings),
     sig AS (SELECT vec_id, e, CAST({bits} AS BIGINT) AS bucket,
-                   sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                   sqrt(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE)) AS nrm
             FROM v)
     SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-                 / (a.nrm * b.nrm), 4) AS cosine
+           {cos} AS cosine
     FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """
 
@@ -318,7 +347,7 @@ def similarity_rplsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — candidate generation is an equi-join on bucket id, the scale
     path that replaces the all-pairs scan."""
     from data_ingestion_bra_spark.operators.rplsh import rplsh_buckets
-    from data_ingestion_bra_spark.operators.similarity import dot_expr, norm_expr
+    from data_ingestion_bra_spark.operators.similarity import cosine_expr, idot_expr, norm_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
     sig = rplsh_buckets(emb, n_planes=8, dim=64).withColumn("nrm", norm_expr(F.col("v")))
@@ -331,7 +360,7 @@ def similarity_rplsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "vec_a",
             "vec_b",
-            F.round(dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+            cosine_expr(idot_expr(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
     )
 
