@@ -270,16 +270,41 @@ def count_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> Dat
 
 @register(
     "approx_count_distinct_customers",
-    None,  # HLL sketch values are engine-specific → rows-only check
+    # Sketch estimates are engine-specific, so the raw approx value can't be
+    # hash-compared. Instead each engine validates ITS OWN sketch against its
+    # own exact count in-query; the compared columns are (group, exact,
+    # rel_err_ok) — an error-bound gate that is hash-checkable.
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_exact,
+           (abs(CAST(approx_count_distinct(o_custkey) AS BIGINT)
+                - COUNT(DISTINCT o_custkey))
+              <= 0.05 * COUNT(DISTINCT o_custkey)) AS rel_err_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
     tags=("distinct", "approx"),
 )
 def approx_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100 TB-scale path for
-    cardinality — one pass, constant memory, no expand. No oracle: sketch
-    estimates are engine-specific by construction."""
+    """approx_count_distinct (HyperLogLog++, rsd=0.02): the 100 TB-scale path
+    for cardinality — one pass, constant memory, no expand. The query emits
+    the exact count plus ``rel_err_ok`` (sketch within 5% of exact), so the
+    sketch's error bound — not its engine-specific estimate — is what the
+    oracle hash-verifies."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("n_customers_approx")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers_exact"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_customers_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_customers_exact"))
+                <= 0.05 * F.col("n_customers_exact")
+            ).alias("rel_err_ok"),
+        )
     )
 
 
