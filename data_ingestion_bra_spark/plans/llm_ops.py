@@ -63,24 +63,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(d, "doc_id", "text")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    "WITH " + _SH_CTE + "," + _JACCARD_TAIL.format(cand_join="", thr=0.1),
-    tags=("dedup", "jaccard"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-gram Jaccard ≥ 0.1 — the verification tier; the
-    shingle self-join is the quadratic step LSH avoids at scale."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
-    return dedup.jaccard_pairs(sh, min_jaccard=0.1)
-
-
-@register(
-    "dedup_minhash_lsh",
-    "WITH "
-    + _SH_CTE
-    + """,
+# MinHash banding CTEs shared by the Jaccard (candidate tier) and MinHash
+# (estimate tier) oracles — mirrors operators/dedup.py minhash_signatures /
+# lsh_candidate_pairs arithmetic exactly.
+_MINHASH_CAND_CTE = """
     base AS (
       SELECT doc,
              (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h31
@@ -104,6 +90,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
     )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _SH_CTE
+    + ","
+    + _MINHASH_CAND_CTE
+    + ","
+    + _JACCARD_TAIL.format(
+        cand_join="JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc", thr=0.1
+    ),
+    tags=("dedup", "jaccard", "lsh"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard ≥ 0.1, tiered: MinHash-LSH generates candidate
+    pairs (equi-join on band buckets), then the exact shingle-intersection
+    Jaccard verifies ONLY those candidates — the shingle self-join is
+    semi-joined down to candidate docs first, so verification cost tracks
+    the candidate set, not the corpus. This is the catalog shape that
+    survives a 100× scale-up; the unfiltered all-pairs variant exists only
+    inside tests as the recall oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False), num_hashes=16
+    )
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    return dedup.jaccard_pairs(sh, min_jaccard=0.1, pair_filter=cand)
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _SH_CTE
+    + ","
+    + _MINHASH_CAND_CTE
+    + """
     SELECT c.doc_a, c.doc_b,
            SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS jaccard_est
     FROM cand c
@@ -261,28 +286,48 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_cosine_oracle() -> str:
+    """RP-LSH banded candidates (16 bands × 4 planes — ~96% recall at cosine
+    0.45) + exact fixed-point cosine verify, mirroring the Spark plan."""
+    from data_ingestion_bra_spark.operators.rplsh import banded_bucket_sql
+
+    sig_union = banded_bucket_sql(16, 4, 64, from_cte="v")
+    cos = _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    return f"""
+    WITH v0 AS (SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+                FROM embeddings WHERE vec_id < 300),
+    v AS (SELECT * FROM v0),
+    n AS (SELECT vec_id, e,
+                 sqrt(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE)) AS nrm
+          FROM v0),
+    sig AS ({sig_union}),
+    cand AS (SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
+             FROM sig s1 JOIN sig s2
+               ON s1.band = s2.band AND s1.bucket = s2.bucket
+              AND s1.vec_id < s2.vec_id)
+    SELECT c.vec_a, c.vec_b, {cos} AS cosine
+    FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+    WHERE {cos} >= 0.45
+    """
+
+
 @register(
     "dedup_embedding_cosine",
-    "WITH "
-    + _VEC_CTE
-    + """
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           """
-    + _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
-    + """ AS cosine
-    FROM (SELECT * FROM n WHERE vec_id < 300) a
-    JOIN (SELECT * FROM n WHERE vec_id < 300) b ON a.vec_id < b.vec_id
-    WHERE """
-    + _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
-    + """ >= 0.45
-    """,
-    tags=("dedup", "embedding", "cosine"),
+    _embedding_cosine_oracle(),
+    tags=("dedup", "embedding", "cosine", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.45) over the first 300
-    vectors — the semantic-dedup tier; at scale the pair scan is replaced by
-    RP-LSH bucketing (see similarity_rplsh_bucketed) with this as the
-    verifier inside each bucket."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45), tiered: banded
+    RP-LSH candidate generation (16 bands × 4 planes, OR-construction —
+    recall 1-(1-p^4)^16 ≈ 0.96 at cosine 0.45 where p = 1 - acos(s)/π),
+    then exact fixed-point cosine verifies only bucket-colliding pairs.
+    Candidates come from a (band, bucket) equi-join — the catalog plan
+    contains no all-pairs scan and survives a 100× scale-up."""
+    from data_ingestion_bra_spark.operators.rplsh import banded_buckets
     from data_ingestion_bra_spark.operators.similarity import (
         cosine_expr,
         idot_expr,
@@ -290,16 +335,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_expr,
     )
 
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < 300)
-        .select("vec_id", quantize_expr(F.col("embedding")).alias("e"))
-        .withColumn("nrm", norm_expr(F.col("e")))
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    sig = banded_buckets(emb, n_bands=16, band_planes=4, dim=64)
+    cand = (
+        sig.select(F.col("vid").alias("vec_a"), "band", "bucket")
+        .join(sig.select(F.col("vid").alias("vec_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    vecs = emb.select(
+        F.col("vec_id").alias("vid"), quantize_expr(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm_expr(F.col("v")))
+    a = vecs.select(F.col("vid").alias("vec_a"), F.col("v").alias("ea"), F.col("nrm").alias("na"))
+    b = vecs.select(F.col("vid").alias("vec_b"), F.col("v").alias("eb"), F.col("nrm").alias("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .select(
             "vec_a",
             "vec_b",

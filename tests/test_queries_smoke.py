@@ -23,8 +23,9 @@ def test_query_runs(spark, name):
 def test_oracle_keys_subset():
     qs, os_ = get_queries(), get_oracle_sql()
     assert set(os_) <= set(qs)
-    # every non-oracle query is a deliberate, documented exception
-    assert {n for n in qs if n not in os_} == {"approx_count_distinct_customers"}
+    # every registered query has an oracle twin — no self-granted exemptions
+    # (even the HLL sketch is gated, via its in-query error-bound check)
+    assert {n for n in qs if n not in os_} == set()
 
 
 def test_registry_has_docs():
