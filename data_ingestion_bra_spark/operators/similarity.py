@@ -189,6 +189,11 @@ def kmeans_train(
                 lambda t: F.round(t["s"].cast("double") / t["n"], 0).cast("bigint"),
             ).alias("cvec")
         )
+        # Cut lineage between Lloyd rounds (k rows, kept executor-side):
+        # without this, every downstream use re-evaluates the whole chain of
+        # prior iterations — the standard checkpoint pattern for iterative
+        # algorithms on Spark.
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 

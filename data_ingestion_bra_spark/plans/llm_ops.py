@@ -244,45 +244,103 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "similarity_topk_ivf",
-    "WITH "
-    + _VEC_CTE
-    + """,
-    cent AS (SELECT * FROM n WHERE vec_id < 8),
-    asg0 AS (
-      SELECT nv.vec_id AS vid, c.vec_id AS cell,
-             """
-    + _COS.format(a="nv.e", b="c.e", na="nv.nrm", nb="c.nrm")
-    + """ AS sim
-      FROM n nv CROSS JOIN cent c
+def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
+    """DuckDB twin of ``similarity.ivf_topk`` with trained centroids: the
+    Lloyd iterations are unrolled as CTE chains (seed = first 8 vectors,
+    assign = argmax 4-dp fixed-point cosine with (sim DESC, cell) tie-break,
+    update = element-wise integer mean), matching the Spark arithmetic
+    bit-for-bit because everything is BIGINT fixed-point."""
+
+    def cent_norm(c: str) -> str:
+        return f"sqrt(CAST(list_sum(list_transform({c}, x -> x * x)) AS DOUBLE))"
+
+    def asg_sim(cent: str) -> str:
+        return (
+            "ROUND(CAST(list_sum(list_transform(list_zip(nv.e, c.cvec),"
+            " p -> p[1] * p[2])) AS DOUBLE)"
+            f" / (nv.nrm * {cent_norm('c.cvec')}), 4)"
+        )
+
+    parts = [
+        """cent0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, e AS cvec
+               FROM v WHERE vec_id < 8)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+    asg{k} AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(f'cent{k - 1}')} AS sim
+              FROM n nv CROSS JOIN cent{k - 1} c) s
+      ) WHERE rn = 1
     ),
-    asg AS (SELECT vid, cell FROM (
-              SELECT vid, cell, row_number() OVER (PARTITION BY vid
-                                                   ORDER BY sim DESC, cell) AS rn
-              FROM asg0) WHERE rn = 1),
+    exp{k} AS (
+      SELECT a.cell, unnest(v.e) AS x, unnest(range(1, len(v.e) + 1)) AS pos
+      FROM asg{k} a JOIN v ON v.vec_id = a.vid
+    ),
+    cent{k} AS (
+      SELECT cell, list(cx ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        FROM exp{k} GROUP BY cell, pos
+      ) GROUP BY cell
+    )""")
+    final_cent = f"cent{n_iter}"
+    cos = _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    return (
+        "WITH "
+        + _VEC_CTE
+        + ",\n    "
+        + ",".join(parts)
+        + f""",
+    asgq AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM (SELECT * FROM n WHERE vec_id < 10) nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn <= {n_probe}
+    ),
+    asgf AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM n nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn = 1
+    ),
     s AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             """
-    + _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
-    + """ AS cosine
-      FROM (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id WHERE n.vec_id < 10) q
-      JOIN (SELECT n.*, a.cell FROM n JOIN asg a ON a.vid = n.vec_id) c
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+      FROM (SELECT n.*, a.cell FROM n JOIN asgq a ON a.vid = n.vec_id) q
+      JOIN (SELECT n.*, a.cell FROM n JOIN asgf a ON a.vid = n.vec_id) c
         ON q.cell = c.cell AND q.vec_id <> c.vec_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, cand_id) AS rank FROM s)
     SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5
-    """,
+    """
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    _ivf_oracle(n_iter=1, n_probe=2),
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 (probe=1, 8 data-derived centroids) — the scale path:
-    candidates restricted to the query's cell via an equi-join on cell id."""
+    """IVF top-5 with TRAINED centroids (one deterministic Lloyd iteration
+    over integer fixed-point vectors, seeded from the first 8 vectors) and
+    multi-probe (each query searches its 2 nearest cells) — the scale path:
+    candidates come from an equi-join on cell id, cost tracks cell sizes,
+    and recall is tunable via n_probe without touching the index."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, id_col="vec_id", vec_col="embedding", n_centroids=8, query_ids=list(range(10)), k=5
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        n_centroids=8,
+        n_iter=1,
+        n_probe=2,
+        query_ids=list(range(10)),
+        k=5,
     )
 
 

@@ -126,6 +126,38 @@ def test_brute_force_topk_orders_by_cosine(spark):
     assert ranked[2] == (2, 3)  # orthogonal last
 
 
+def test_ivf_trained_centroids_recall(spark):
+    """Trained IVF (1 Lloyd iteration) with multi-probe must recover ≥ 0.9
+    of the exact bruteforce top-5 at probe=4, and recall must not degrade as
+    probes increase — the quality contract that 'first 8 vectors as
+    centroids' never had."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bf = similarity.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    truth = {(r["query_id"], r["cand_id"]) for r in bf.collect()}
+    recalls = []
+    for probe in (1, 4):
+        ivf = similarity.ivf_topk(
+            emb, n_centroids=8, n_iter=1, n_probe=probe, query_ids=list(range(10)), k=5
+        )
+        got = {(r["query_id"], r["cand_id"]) for r in ivf.collect()}
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls[-1] >= 0.9, recalls
+    assert recalls[0] <= recalls[-1], recalls  # more probes never hurt
+
+
+def test_kmeans_train_deterministic(spark):
+    """Two independent training runs produce identical centroids (fixed
+    seeds, integer arithmetic — no RNG, no float summation-order drift)."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = {r["cell"]: r["cvec"] for r in similarity.kmeans_train(emb, n_centroids=4, n_iter=1).collect()}
+    c2 = {r["cell"]: r["cvec"] for r in similarity.kmeans_train(emb, n_centroids=4, n_iter=1).collect()}
+    assert c1 == c2
+
+
 def test_langid_and_quality(spark):
     df = spark.createDataFrame(
         [(0, "the cat and the hat"), (1, "el gato la casa una mesa"), (2, "zzz qqq")],
