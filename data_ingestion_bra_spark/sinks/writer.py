@@ -44,7 +44,16 @@ def write_partitioned(
     out = df.withColumn(partition_key, F.lit(pv))
     if single_file:
         out = out.coalesce(1)
-    writer = out.write.mode(mode).partitionBy(partition_key)
+    # dynamic overwrite: replace only the partition(s) present in this
+    # DataFrame. Without it Spark's static overwrite truncates the whole
+    # table root, so day-2 of a daily ingest would delete day-1. Set on the
+    # writer (not just the session) so the guarantee holds under any
+    # externally-provided SparkSession.
+    writer = (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_key)
+    )
     target = os.path.join(base_dir, table)
     if fmt == "parquet":
         writer.parquet(target)

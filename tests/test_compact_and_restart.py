@@ -99,3 +99,57 @@ def test_upsert_partitioned_merges_by_key(spark, tmp_path):
     assert rows[("20240102", 9)] == "z"       # untouched partition preserved
     assert rows[("20240103", 5)] == "e"       # new partition created
     assert len(rows) == 6
+
+
+def test_upsert_older_version_never_clobbers_newer_row(spark, tmp_path):
+    """Latest-wins means latest VERSION, not latest write: an update carrying
+    an older version must lose to the newer existing row, and a same-version
+    tie goes deterministically to the update."""
+    from data_ingestion_bra_spark.sinks.upsert import upsert_partitioned
+
+    table = str(tmp_path / "tb_ver")
+    spark.createDataFrame(
+        [(1, "new_existing", 5), (2, "old_existing", 1)], "k bigint, v string, ver bigint"
+    ).write.parquet(table + "/anomesdia=20240101")
+    updates = spark.createDataFrame(
+        [(1, "stale_update", 3, "20240101"),  # older ver: must NOT win
+         (2, "tied_update", 1, "20240101")],  # same ver: update wins
+        "k bigint, v string, ver bigint, anomesdia string",
+    )
+    upsert_partitioned(spark, table, updates, key="k", version_col="ver")
+    rows = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(table + "/anomesdia=20240101").collect()}
+    assert rows[1] == ("new_existing", 5)
+    assert rows[2] == ("tied_update", 1)
+
+
+def test_upsert_crash_recovery_preserves_old_data(spark, tmp_path):
+    """Crash injection: whatever half-finished state a dead run left behind
+    (orphaned staging dir, or the partition stranded in the .__old trash dir
+    between the two commit renames), the next upsert must first restore a
+    complete consistent partition and then merge correctly."""
+    import os
+    import shutil
+
+    from data_ingestion_bra_spark.sinks.upsert import upsert_partitioned
+
+    table = str(tmp_path / "tb_crash")
+    part = table + "/anomesdia=20240101"
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k bigint, v string, ver bigint"
+    ).write.parquet(part)
+
+    # crashed during staged write: orphan staging dir next to intact data
+    shutil.copytree(part, part + ".__upsert_deadbeef")
+    # crashed between the two commit renames: partition sits in trash
+    os.replace(part, part + ".__old")
+    assert not os.path.isdir(part)
+
+    updates = spark.createDataFrame(
+        [(2, "B2", 2, "20240101")], "k bigint, v string, ver bigint, anomesdia string"
+    )
+    stats = upsert_partitioned(spark, table, updates, key="k", version_col="ver")
+    assert stats["partitions_rewritten"] == 1
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(part).collect()}
+    assert rows == {1: "a", 2: "B2"}  # old row intact, update applied
+    leftovers = [d for d in os.listdir(table) if ".__" in d]
+    assert leftovers == []  # no staging/trash debris survives

@@ -29,6 +29,26 @@ def test_partitioned_parquet_write_layout(spark, tmp_path):
     assert "anomesdia" in back.columns  # partition discovery
 
 
+def test_second_day_overwrite_keeps_prior_partitions(spark, tmp_path):
+    """Daily-snapshot accumulation: overwriting day-2 must NOT truncate the
+    table root — only the incoming partition is replaced (dynamic partition
+    overwrite). This is the data-loss path static overwrite would hit on the
+    second daily ingest run."""
+    d1 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    d2 = spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, v string")
+    write_partitioned(d1, str(tmp_path), "tb_days", partition_value="20251020")
+    write_partitioned(d2, str(tmp_path), "tb_days", partition_value="20251021")
+    back = spark.read.parquet(str(tmp_path / "tb_days"))
+    by_day = {
+        str(r["anomesdia"]): r["n"]
+        for r in back.groupBy("anomesdia").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_day == {"20251020": 1, "20251021": 2}  # day-1 survives
+    # re-running day-2 replaces ONLY day-2 (no duplicate accumulation)
+    write_partitioned(d2, str(tmp_path), "tb_days", partition_value="20251021")
+    assert spark.read.parquet(str(tmp_path / "tb_days")).count() == 3
+
+
 def test_partitioned_csv_single_file(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
     part_dir = write_partitioned(
