@@ -63,14 +63,20 @@ def _data_files(path: str) -> list[str]:
 
 
 def count_file_lines(path: str) -> int:
-    """Streamed newline count. Ref: app/utils/metadata.py:41-47. NOTE the
-    reference's latent bug (counts physical lines, over-counting multiline
-    quoted CSV rows) is inherited by design here — this is the file-level
-    metric, not the row count; DataFrame manifests use df.count()."""
+    """Streamed line count with the reference's iteration semantics
+    (app/utils/metadata.py:41-47: ``for _ in f``), so a final line WITHOUT a
+    trailing newline still counts as a line. NOTE the reference's latent bug
+    (counts physical lines, over-counting multiline quoted CSV rows) is
+    inherited by design here — this is the file-level metric, not the row
+    count; DataFrame manifests use df.count()."""
     n = 0
+    last = b"\n"
     with open(path, "rb") as f:
         while chunk := f.read(_CHUNK):
             n += chunk.count(b"\n")
+            last = chunk[-1:]
+    if last != b"\n":
+        n += 1
     return n
 
 
@@ -144,16 +150,19 @@ def write_metadata_from_df(
         pdf = df
         if preview_order:
             pdf = pdf.orderBy(*preview_order)  # stable preview (SURVEY §2.6 note on O4)
-        stats["amostra"] = [r.asDict() for r in pdf.limit(3).collect()]
+        stats["preview"] = [r.asDict() for r in pdf.limit(3).collect()]
+    # Flat DatasetInfo keys, exactly as the reference dataclass serializes
+    # (app/utils/metadata.py:62-72) so reference-manifest consumers parse ours.
     manifest = {
         "core": core,
         "dataset": {
-            "nome": dataset,
+            "dataset": dataset,
             "origem": origem,
             "endpoint": endpoint,
             "delimitador": delimitador,
             "encoding": encoding,
-            "particao": {"chave": partition_key, "valor": partition_value},
+            "partition_key": partition_key,
+            "partition_value": partition_value,
             "run_id": run_id,
             "producer": producer,
         },
@@ -196,14 +205,14 @@ def write_manifest_from_file(
     stats: dict[str, Any] = {}
     if header and infer_columns_from_header:
         with open(path, encoding=encoding) as f:
-            first = f.readline().rstrip("\r\n")
-        stats["colunas"] = first.split(delimitador)
+            first = f.readline().strip("\n\r")
+        stats["colunas"] = [c.strip() for c in first.split(delimitador)]
     if line_count:
         physical = count_file_lines(path)
         stats["linhas"] = max(physical - (1 if header else 0), 0)
     manifest = {
         "core": core,
-        "dataset": {"nome": dataset, "delimitador": delimitador, "encoding": encoding, **lineage},
+        "dataset": {"dataset": dataset, "delimitador": delimitador, "encoding": encoding, **lineage},
         "schema_stats": stats,
     }
     if extra:

@@ -823,7 +823,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS h,
-             CAST(least(n_chars, 400) / 400.0 * 0.5 * 16777216 AS BIGINT) AS thr
+             CAST(FLOOR(least(n_chars, 400) / 400.0 * 0.5 * 16777216) AS BIGINT) AS thr
       FROM documents
     )
     SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars

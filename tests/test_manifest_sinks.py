@@ -82,8 +82,11 @@ def test_manifest_from_df_fields(spark, tmp_path):
     assert m["core"]["tamanho_bytes"] > 0
     assert len(m["core"]["hash_md5"]) == 32
     assert "\\" not in m["core"]["diretorio"]  # normalized separators
-    assert m["dataset"]["nome"] == "tb_m"
-    assert m["dataset"]["particao"] == {"chave": "anomesdia", "valor": "20251020"}
+    # Flat DatasetInfo keys, exactly as the reference serializes them
+    # (app/utils/metadata.py:62-72)
+    assert m["dataset"]["dataset"] == "tb_m"
+    assert m["dataset"]["partition_key"] == "anomesdia"
+    assert m["dataset"]["partition_value"] == "20251020"
     assert m["schema_stats"]["linhas"] == 3
     assert m["schema_stats"]["nulos"] == {"k": 0, "v": 1}
     assert m["schema_stats"]["dtypes"] == {"k": "bigint", "v": "string"}
@@ -106,6 +109,21 @@ def test_manifest_from_file_and_line_count(tmp_path):
     m = json.load(open(mpath))
     assert m["schema_stats"]["colunas"] == ["a", "b"]
     assert m["schema_stats"]["linhas"] == 2  # header subtracted
+    assert m["dataset"]["dataset"] == "f"
+
+
+def test_line_count_without_trailing_newline(tmp_path):
+    """The reference iterates lines (``for _ in f``), so a final line without
+    a trailing newline still counts — byte-level \\n counting would miss it."""
+    p = tmp_path / "g.txt"
+    p.write_text("a;b\n1;2\n3;4", encoding="utf-8")  # no trailing \n
+    assert count_file_lines(str(p)) == 3
+    m = json.load(open(write_manifest_from_file(str(p), dataset="g")))
+    assert m["schema_stats"]["linhas"] == 2
+    assert count_file_lines(str(tmp_path / "g.txt")) == 3
+    e = tmp_path / "empty.txt"
+    e.write_text("", encoding="utf-8")
+    assert count_file_lines(str(e)) == 0
 
 
 def test_observed_write_stats_match_second_pass(spark, tmp_path):
