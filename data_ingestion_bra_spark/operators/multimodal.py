@@ -7,10 +7,12 @@ without touching bytes), and decode/feature steps run in Arrow-batched
 ``mapInPandas`` so payload bytes cross the JVM↔Python boundary in columnar
 batches, never row-at-a-time.
 
-The actual image/audio decode libraries are NOT in this container, so
-``decode_image_batch`` ships a deterministic fake decoder behind the same
-batch signature (documented stub per the build brief); the Spark-side
-plumbing — schema, batch shape, partitioning — is real and tested.
+The decode step is pluggable: ``decoder='pil'`` runs a real Pillow decode
+when the library is importable (``auto`` falls back gracefully), while the
+default ``stub`` is a deterministic fake with an exact SQL oracle — the
+container ships without image libs, and the fixture payloads are text
+bytes, so the stub is what the catalog query pins. The Spark-side plumbing
+— schema, batch shape, partitioning — is identical for both and tested.
 """
 
 from __future__ import annotations
@@ -22,6 +24,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional dependency — the container ships without image libs
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised via decoder selection tests
+    _PILImage = None
 
 DECODED_META_SCHEMA = T.StructType(
     [
@@ -66,32 +73,90 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, mean_intensity_e6
 
 
-def decode_image_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batches in, decoded-metadata batches out.
+def _pil_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Real image decode via PIL, same signature/semantics as ``_fake_decode``:
+    returns (width, height, channels, mean_intensity_e6) with the intensity
+    computed in exact integer arithmetic (sum of all band bytes, scaled 1e6,
+    floor-divided by n_values*255) so outputs stay oracle-hashable."""
+    import io
+
+    if not payload:
+        raise ValueError("empty payload: cannot decode")
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        img.load()
+        width, height = img.size
+        bands = img.getbands()
+        data = img.tobytes()
+    channels = len(bands)
+    denom = len(data) * 255
+    mean_intensity_e6 = (sum(data) * 1_000_000) // denom if denom else 0
+    return width, height, channels, mean_intensity_e6
+
+
+def pick_decoder(decoder: str = "stub"):
+    """Resolve a decoder name to a per-payload callable.
+
+    - ``stub``: the deterministic fake (default — the fixture corpus is
+      UTF-8 text bytes, not real image files, and the oracle pins its math)
+    - ``pil``: real PIL decode; raises ImportError with guidance if the
+      library is absent
+    - ``auto``: PIL when importable, stub otherwise
+    """
+    if decoder == "stub":
+        return _fake_decode
+    if decoder == "pil":
+        if _PILImage is None:
+            raise ImportError(
+                "decoder='pil' requires Pillow; install it or use decoder='auto' "
+                "to fall back to the deterministic stub"
+            )
+        return _pil_decode
+    if decoder == "auto":
+        return _pil_decode if _PILImage is not None else _fake_decode
+    raise ValueError(f"unknown decoder {decoder!r}; expected stub|pil|auto")
+
+
+def make_decode_batch_fn(decoder: str = "stub"):
+    """mapInPandas worker factory: Arrow batches in, decoded-metadata out.
 
     Batch shape contract: input columns (doc_id, payload[, n_bytes]);
     output matches DECODED_META_SCHEMA. Per-batch vectorized loop (not
     per-row UDF calls) — the pattern that holds at 100 TB where each batch
-    is thousands of payloads.
+    is thousands of payloads. The decoder resolves INSIDE the worker so the
+    closure serializes by name, and executors that do have Pillow use it
+    under ``auto`` even if the driver environment differs.
     """
-    for pdf in batches:
-        dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": pdf["payload"].map(len).astype("int64"),
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-                "channels": [d[2] for d in dims],
-                "mean_intensity_e6": [d[3] for d in dims],
-            }
-        )
-        yield out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = pick_decoder(decoder)
+        for pdf in batches:
+            dims = [decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                    "mean_intensity_e6": [d[3] for d in dims],
+                }
+            )
+
+    return fn
 
 
-def decode_images(df: DataFrame) -> DataFrame:
-    """Decode/feature-extract an opaque payload column via mapInPandas."""
-    return df.mapInPandas(decode_image_batch, schema=DECODED_META_SCHEMA)
+# Back-compat name: the stub-decoder worker used by the catalog query.
+decode_image_batch = make_decode_batch_fn("stub")
+
+
+def decode_images(df: DataFrame, *, decoder: str = "stub") -> DataFrame:
+    """Decode/feature-extract an opaque payload column via mapInPandas.
+
+    ``decoder='auto'`` upgrades to a real PIL decode when Pillow is
+    importable; the catalog query stays on the stub because its fixture
+    payloads are text bytes with an exact SQL oracle."""
+    pick_decoder(decoder)  # fail fast on the driver for bad/unavailable names
+    return df.mapInPandas(make_decode_batch_fn(decoder), schema=DECODED_META_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

@@ -201,6 +201,60 @@ def test_multimodal_empty_payload_raises(spark):
         multimodal.decode_images(payloads).collect()
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_multimodal_decoder_selection():
+    """decoder='auto' upgrades to PIL when importable, stub otherwise;
+    'pil' fails fast with guidance when the library is absent."""
+    assert multimodal.pick_decoder("stub") is multimodal._fake_decode
+    if _pil_available():
+        assert multimodal.pick_decoder("auto") is multimodal._pil_decode
+        assert multimodal.pick_decoder("pil") is multimodal._pil_decode
+    else:
+        assert multimodal.pick_decoder("auto") is multimodal._fake_decode
+        with pytest.raises(ImportError, match="Pillow"):
+            multimodal.pick_decoder("pil")
+    with pytest.raises(ValueError, match="unknown decoder"):
+        multimodal.pick_decoder("imagemagick")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed")
+def test_multimodal_pil_real_decode(spark):
+    """Real path: a genuine PNG decodes to its true dimensions through the
+    SAME mapInPandas batch contract as the stub."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7), color=(10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id bigint, payload binary")
+    (r,) = multimodal.decode_images(df, decoder="pil").collect()
+    assert (r["width"], r["height"], r["channels"]) == (12, 7, 3)
+    assert r["n_bytes"] == len(png)
+    want = ((10 + 20 + 30) * 12 * 7 * 1_000_000) // (12 * 7 * 3 * 255)
+    assert r["mean_intensity_e6"] == want
+
+
+@pytest.mark.skipif(_pil_available(), reason="covers the no-Pillow container")
+def test_multimodal_auto_falls_back_to_stub(spark):
+    docs = _docs(spark)
+    payloads = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    via_auto = multimodal.decode_images(payloads, decoder="auto").orderBy("doc_id").collect()
+    via_stub = multimodal.decode_images(payloads).orderBy("doc_id").collect()
+    assert via_auto == via_stub
+    with pytest.raises(ImportError, match="Pillow"):
+        multimodal.decode_images(payloads, decoder="pil")
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0, 2560)], "doc_id bigint, n_bytes bigint")
     frames = [r["frame_idx"] for r in multimodal.frame_sample_plan(df, every_n=3).collect()]
