@@ -139,3 +139,159 @@ def test_sampled_values_match_reference_output(replay, spark):
             assert o_cob is None
         else:
             assert abs(float(o_cob) - float(cob)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# API pipeline golden parity (reference app/ingestao_api.py run of 2025-10-20)
+#
+# The reference committed the bronze it produced from live jsonplaceholder
+# data: tb_simulacao_api_users/.../users.txt (10 users) and
+# tb_simulacao_api_posts/.../posts.txt (the target user's 10 posts), plus
+# their manifests. We reconstruct the JSON payloads the API must have
+# returned from those committed files, replay them through OUR pipeline via
+# a scripted HTTP session, and byte-compare the bronze TXT (and therefore
+# the manifest md5/size) against the reference's.
+# ---------------------------------------------------------------------------
+
+REF_USERS_DIR = f"{REF}/data-lake/bronze/tb_simulacao_api_users/anomesdia=20251020"
+REF_POSTS_DIR = f"{REF}/data-lake/bronze/tb_simulacao_api_posts/anomesdia=20251020"
+
+
+class _Resp:
+    def __init__(self, payload):
+        self._payload = payload
+        self.status_code = 200
+        self.headers = {}
+
+    def json(self):
+        return self._payload
+
+    def raise_for_status(self):
+        pass
+
+
+class _ScriptedSession:
+    def __init__(self, routes):
+        self._routes = routes  # (url-suffix, frozenset(params.items())) -> payload
+
+    def get(self, url, params=None, timeout=None):
+        key = (url.rsplit("/", 1)[-1], frozenset((params or {}).items()))
+        if key not in self._routes:
+            raise AssertionError(f"unexpected request: {url} {params}")
+        return _Resp(self._routes[key])
+
+
+@pytest.fixture(scope="module")
+def api_replay(spark, tmp_path_factory):
+    import pandas as pd
+
+    users_pd = pd.read_csv(f"{REF_USERS_DIR}/users.txt", sep=";")
+    posts_pd = pd.read_csv(f"{REF_POSTS_DIR}/posts.txt", sep=";")
+    target_uid = int(posts_pd["user_id"].iloc[0])
+    target_name = users_pd.loc[users_pd["user_id"] == target_uid, "nome"].iloc[0]
+
+    users_payload = [
+        {"id": int(r.user_id), "name": r.nome, "username": r.usuario, "email": r.email}
+        for r in users_pd.itertuples()
+    ]
+    posts_payload = [
+        {"userId": int(r.user_id), "id": int(r.post_id), "title": r.titulo, "body": r.conteudo}
+        for r in posts_pd.itertuples()
+    ]
+    sess = _ScriptedSession(
+        {
+            ("users", frozenset()): users_payload,
+            ("posts", frozenset({("userId", target_uid)})): posts_payload,
+        }
+    )
+
+    tmp = tmp_path_factory.mktemp("golden_api")
+    cfg = {
+        "api": {
+            "base_url": "https://jsonplaceholder.typicode.com",
+            "endpoints": {"users": "/users", "posts": "/posts"},
+            "timeout_seconds": 20,
+            "retries": 2,
+        },
+        "schema": {
+            "users": {
+                "required_columns": ["user_id", "nome", "usuario", "email"],
+                "integer_fields": ["user_id"],
+                "string_fields": ["nome", "usuario", "email"],
+                "float_fields": [],
+            },
+            "posts": {
+                "required_columns": ["user_id", "post_id", "titulo", "conteudo"],
+                "integer_fields": ["user_id", "post_id"],
+                "string_fields": ["titulo", "conteudo"],
+                "float_fields": [],
+            },
+        },
+        "output": {
+            "base_dir": str(tmp / "bronze"),
+            "users_table": "tb_simulacao_api_users",
+            "posts_table": "tb_simulacao_api_posts",
+            "partition_key": "anomesdia",
+            "csv_delimiter": ";",
+            "encoding": "utf-8",
+        },
+        "logic": {"user_target": target_name},
+    }
+    cfg_path = tmp / "api_cfg.json"
+    cfg_path.write_text(json.dumps(cfg), encoding="utf-8")
+
+    from data_ingestion_bra_spark.pipelines import ingest_api
+
+    res = ingest_api.run(
+        spark,
+        str(cfg_path),
+        run_date=date(2025, 10, 20),
+        show_preview=False,
+        http_session=sess,
+    )
+    return res, target_uid
+
+
+def _single_part_bytes(partition_dir):
+    parts = [
+        f for f in os.listdir(partition_dir) if f.startswith("part-") and f.endswith(".csv")
+    ]
+    assert len(parts) == 1
+    with open(os.path.join(partition_dir, parts[0]), "rb") as fh:
+        return fh.read()
+
+
+def test_api_users_bronze_bytes_match_reference(api_replay):
+    res, _uid = api_replay
+    ref = open(f"{REF_USERS_DIR}/users.txt", "rb").read()
+    assert _single_part_bytes(res["users"]["partition_dir"]) == ref
+
+
+def test_api_posts_bronze_bytes_match_reference(api_replay):
+    """Multiline quoted bodies round-trip byte-exactly through the Spark
+    CSV writer (quote-minimal, like pandas to_csv)."""
+    res, _uid = api_replay
+    ref = open(f"{REF_POSTS_DIR}/posts.txt", "rb").read()
+    assert _single_part_bytes(res["posts"]["partition_dir"]) == ref
+
+
+@pytest.mark.parametrize("key,ref_dir,fname", [
+    ("users", REF_USERS_DIR, "users.txt"),
+    ("posts", REF_POSTS_DIR, "posts.txt"),
+])
+def test_api_manifest_matches_reference(api_replay, key, ref_dir, fname):
+    res, _uid = api_replay
+    golden = json.load(open(f"{ref_dir}/{fname}.manifest.json"))
+    ours = json.load(open(res[key]["manifest"]))
+    # byte parity propagates into the content-addressed core fields
+    assert ours["core"]["hash_md5"] == golden["core"]["hash_md5"]
+    assert ours["core"]["tamanho_bytes"] == golden["core"]["tamanho_bytes"]
+    gs, os_ = golden["schema_stats"], ours["schema_stats"]
+    assert os_["linhas"] == gs["linhas"]
+    assert os_["nulos"] == gs["nulos"]
+    assert os_["colunas"] == gs["colunas"]
+    mapping = {"Int64": "bigint", "int64": "bigint", "object": "string", "float64": "double"}
+    assert os_["dtypes"] == {c: mapping[t] for c, t in gs["dtypes"].items()}
+    # flat DatasetInfo keys parse identically (partition/delimiter semantics)
+    assert ours["dataset"]["delimitador"] == golden["dataset"]["delimitador"]
+    assert ours["dataset"]["partition_key"] == golden["dataset"]["partition_key"]
