@@ -1,0 +1,59 @@
+"""Graph operators for dedup pipelines: connected components over the
+near-duplicate pair graph, so clusters of mutual near-dups collapse to one
+canonical document (pairwise dedup alone can't do this — A~B and B~C must
+put A, B, C in ONE cluster even when A~C was never a candidate pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, *, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list; returns
+    ``(doc, cluster_id)`` with ``cluster_id`` = the minimum node id in the
+    component (deterministic canonical representative).
+
+    Min-label propagation: each round is one equi-join (edge × label) plus
+    one min-aggregate — two shuffles over the EDGE relation, nothing
+    quadratic ever materializes, so a round costs O(|E|) however large the
+    corpus. Rounds needed = component diameter; LSH near-dup clusters are
+    dense (stars/cliques around a template), so diameter is 2-4 in practice.
+    For adversarial long-chain graphs, swap in alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same join primitive, O(log²) rounds.
+
+    Labels start at the node id and only ever decrease, so ``sum(label)`` is
+    a monotone convergence witness — one scalar action per round (control
+    plane, not a data collect). Each round's labels are localCheckpoint-ed to
+    truncate lineage, the standard pattern for iterative DataFrame
+    algorithms.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+    sym = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t"))).persist()
+    labels = (
+        sym.select(F.col("s").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = sym.join(labels.withColumnRenamed("doc", "s"), "s").select(
+            F.col("t").alias("doc"), "cluster_id"
+        )
+        labels = (
+            labels.union(prop)
+            .groupBy("doc")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels

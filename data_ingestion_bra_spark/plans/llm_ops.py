@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_bra_spark.operators import dedup, similarity, text
+from data_ingestion_bra_spark.operators import dedup, graph, similarity, text
 from data_ingestion_bra_spark.plans.registry import register
 from data_ingestion_bra_spark.sources.tables import load_table
 
@@ -189,6 +189,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     fps = dedup.simhash_fingerprints(d, "doc_id", "text", nibbles=8)
     return dedup.simhash_near_pairs(fps, max_hamming=6)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    "WITH RECURSIVE "
+    + _SH_CTE
+    + ","
+    + _MINHASH_CAND_CTE
+    + """,
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.doc_a
+      JOIN sig sb ON sb.doc = c.doc_b AND sb.seed = sa.seed
+      GROUP BY c.doc_a, c.doc_b
+      HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
+    ),
+    e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT DISTINCT s AS doc, s AS r FROM e
+      UNION
+      SELECT reach.doc, e.t FROM reach JOIN e ON e.s = reach.r
+    ),
+    comp AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+    SELECT comp.doc AS doc_id, comp.cluster_id, CAST(sz.n AS BIGINT) AS cluster_sz
+    FROM comp
+    JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) sz
+      USING (cluster_id)
+    """,
+    tags=("dedup", "graph", "clusters"),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS, not just pairs: MinHash-LSH candidate pairs
+    (estimate ≥ 0.25) are edges of the near-dup graph; connected components
+    (min-label propagation, see operators/graph.py) collapses transitive
+    chains A~B~C into one cluster keyed by the min doc_id — the step that
+    picks ONE canonical doc per duplicate family at 100 TB. The oracle
+    replays the same edges and closes them with a recursive CTE."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False)
+    sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
+    pairs = est.filter(F.col("jaccard_est") >= 0.25).select("doc_a", "doc_b")
+    comp = graph.connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_sz"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("doc").alias("doc_id"), "cluster_id", "cluster_sz"
+    )
 
 
 # --------------------------------------------------------------------------
