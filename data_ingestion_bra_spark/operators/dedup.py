@@ -99,11 +99,17 @@ def jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
-            ).alias("jaccard"),
+            # integer 1e-4 fixed point (floor(x*10000 + 0.5)) — a rounded
+            # DOUBLE output is a cross-engine hash hazard; the integer is not
+            F.floor(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("jaccard_e4"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .filter(F.col("jaccard_e4") >= int(round(min_jaccard * 10000)))
     )
 
 
@@ -181,6 +187,8 @@ def minhash_jaccard_estimate(
     b = signatures.select(
         F.col("doc").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(num_hashes)]
     )
+    if 10000 % num_hashes:
+        raise ValueError("num_hashes must divide 10000 for an exact e4 estimate")
     agree = sum(
         (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(num_hashes)
     )
@@ -190,9 +198,10 @@ def minhash_jaccard_estimate(
         .select(
             "doc_a",
             "doc_b",
-            # /num_hashes is a power-of-two divide → exact in binary, so the
-            # oracle's cnt/16.0 matches bit-for-bit
-            (agree.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+            # agree/k at 1e-4 fixed point stays pure-integer (k | 10000), so
+            # the estimate is the same BIGINT on every engine — no float in
+            # the output schema at all
+            (agree.cast("bigint") * F.lit(10000 // num_hashes)).alias("jaccard_est_e4"),
         )
     )
 

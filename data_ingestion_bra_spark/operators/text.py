@@ -60,18 +60,24 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean token length, non-alnum ratio."""
     t = F.col(text_col)
     toks = F.split(F.trim(t), r"\s+")
+
+    def e4(x: Column) -> Column:
+        # ratios leave the operator as 1e-4 fixed-point BIGINT: a rounded
+        # DOUBLE output is a cross-engine hash hazard (half-boundary /
+        # signed-zero); floor(x*10000+0.5) over one exact integer division
+        # is the same integer on every engine.
+        return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.length(t).cast("bigint").alias("n_chars"),
         token_count_ws(t).alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("type_token_ratio"),
-        F.round(
-            (F.length(t) - (F.size(toks) - 1)) / F.size(toks), 4
-        ).alias("mean_token_len"),
-        F.round(
-            (F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))) / F.length(t), 4
-        ).alias("non_alnum_ratio"),
+        e4(F.size(F.array_distinct(toks)) / F.size(toks)).alias("type_token_ratio_e4"),
+        e4((F.length(t) - (F.size(toks) - 1)) / F.size(toks)).alias("mean_token_len_e4"),
+        e4(
+            (F.length(t) - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))) / F.length(t)
+        ).alias("non_alnum_ratio_e4"),
     )
 
 

@@ -35,11 +35,11 @@ _JACCARD_TAIL = """
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(i / (sa.sz + sb.sz - i), 4) AS jaccard
+           CAST(FLOOR(i / (sa.sz + sb.sz - i) * 10000.0 + 0.5) AS BIGINT) AS jaccard_e4
     FROM inter
     JOIN sizes sa ON sa.doc = doc_a
     JOIN sizes sb ON sb.doc = doc_b
-    WHERE ROUND(i / (sa.sz + sb.sz - i), 4) >= {thr}
+    WHERE CAST(FLOOR(i / (sa.sz + sb.sz - i) * 10000.0 + 0.5) AS BIGINT) >= {thr_e4}
 """
 
 
@@ -101,7 +101,7 @@ _MINHASH_CAND_CTE = """
     + _MINHASH_CAND_CTE
     + ","
     + _JACCARD_TAIL.format(
-        cand_join="JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc", thr=0.1
+        cand_join="JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc", thr_e4=1000
     ),
     tags=("dedup", "jaccard", "lsh"),
 )
@@ -130,12 +130,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _MINHASH_CAND_CTE
     + """
     SELECT c.doc_a, c.doc_b,
-           SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS jaccard_est
+           CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 AS BIGINT)
+             AS jaccard_est_e4
     FROM cand c
     JOIN sig sa ON sa.doc = c.doc_a
     JOIN sig sb ON sb.doc = c.doc_b AND sb.seed = sa.seed
     GROUP BY c.doc_a, c.doc_b
-    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
+    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 >= 2500
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -154,7 +155,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
-    return est.filter(F.col("jaccard_est") >= 0.25)
+    return est.filter(F.col("jaccard_est_e4") >= 2500)
 
 
 @register(
@@ -204,7 +205,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sig sa ON sa.doc = c.doc_a
       JOIN sig sb ON sb.doc = c.doc_b AND sb.seed = sa.seed
       GROUP BY c.doc_a, c.doc_b
-      HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.25
+      HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 >= 2500
     ),
     e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
           UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -233,7 +234,7 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
-    pairs = est.filter(F.col("jaccard_est") >= 0.25).select("doc_a", "doc_b")
+    pairs = est.filter(F.col("jaccard_est_e4") >= 2500).select("doc_a", "doc_b")
     comp = graph.connected_components(pairs)
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_sz"))
     return comp.join(sizes, "cluster_id").select(
@@ -258,10 +259,14 @@ _VEC_CTE = """
           FROM v)
 """
 
-#: integer-dot cosine for oracle SQL: exact BIGINT dot, one double divide.
-_COS = (
-    "ROUND(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
-    " / ({na} * {nb}), 4)"
+#: integer cosine at 1e-4 for oracle SQL: exact BIGINT dot, then the same
+#: FLOOR(x*10000+0.5) tree the Spark side uses (cosine_e4_expr) — never a
+#: rounded DOUBLE in an output column (round() half-boundary behavior and
+#: signed zero, -0.0 vs 0.0, are engine-specific; floor of a
+#: correctly-rounded IEEE double is the same integer everywhere).
+_COS_E4 = (
+    "CAST(FLOOR(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS DOUBLE)"
+    " / ({na} * {nb}) * 10000.0 + 0.5) AS BIGINT)"
 )
 
 
@@ -273,14 +278,14 @@ _COS = (
     s AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
              """
-    + _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
-    + """ AS cosine
+    + _COS_E4.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    + """ AS cosine_e4
       FROM (SELECT * FROM n WHERE vec_id < 10) q
       JOIN n c ON q.vec_id <> c.vec_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, cand_id) AS rank FROM s)
-    SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+                                       ORDER BY cosine_e4 DESC, cand_id) AS rank FROM s)
+    SELECT query_id, cand_id, cosine_e4, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5
     """,
     tags=("similarity", "ann", "bruteforce"),
@@ -305,10 +310,11 @@ def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
         return f"sqrt(CAST(list_sum(list_transform({c}, x -> x * x)) AS DOUBLE))"
 
     def asg_sim(cent: str) -> str:
+        # same FLOOR-e4 integer tree as cosine_e4_expr / assign_cells
         return (
-            "ROUND(CAST(list_sum(list_transform(list_zip(nv.e, c.cvec),"
+            "CAST(FLOOR(CAST(list_sum(list_transform(list_zip(nv.e, c.cvec),"
             " p -> p[1] * p[2])) AS DOUBLE)"
-            f" / (nv.nrm * {cent_norm('c.cvec')}), 4)"
+            f" / (nv.nrm * {cent_norm('c.cvec')}) * 10000.0 + 0.5) AS BIGINT)"
         )
 
     parts = [
@@ -330,12 +336,12 @@ def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
     ),
     cent{k} AS (
       SELECT cell, list(cx ORDER BY pos) AS cvec FROM (
-        SELECT cell, pos, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cx
+        SELECT cell, pos, CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cx
         FROM exp{k} GROUP BY cell, pos
       ) GROUP BY cell
     )""")
     final_cent = f"cent{n_iter}"
-    cos = _COS.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    cos = _COS_E4.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
     return (
         "WITH "
         + _VEC_CTE
@@ -357,14 +363,14 @@ def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
       ) WHERE rn = 1
     ),
     s AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id, {cos} AS cosine_e4
       FROM (SELECT n.*, a.cell FROM n JOIN asgq a ON a.vid = n.vec_id) q
       JOIN (SELECT n.*, a.cell FROM n JOIN asgf a ON a.vid = n.vec_id) c
         ON q.cell = c.cell AND q.vec_id <> c.vec_id
     ),
     r AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cosine DESC, cand_id) AS rank FROM s)
-    SELECT query_id, cand_id, cosine, CAST(rank AS BIGINT) AS rank
+                                       ORDER BY cosine_e4 DESC, cand_id) AS rank FROM s)
+    SELECT query_id, cand_id, cosine_e4, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 5
     """
     )
@@ -380,17 +386,25 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     over integer fixed-point vectors, seeded from the first 8 vectors) and
     multi-probe (each query searches its 2 nearest cells) — the scale path:
     candidates come from an equi-join on cell id, cost tracks cell sizes,
-    and recall is tunable via n_probe without touching the index."""
+    and recall is tunable via n_probe without touching the index.
+
+    Train/serve split: centroids come from ``load_or_train_centroids`` — the
+    first invocation per dataset trains and persists the (cell, cvec) index;
+    every later invocation serves against it (broadcast assignment + cell
+    equi-join only, no Lloyd shuffles in the query path). Training is
+    deterministic, so the unrolled-training oracle remains bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.load_or_train_centroids(
+        spark, emb, sf_dir, n_centroids=8, n_iter=1
+    )
     return similarity.ivf_topk(
         emb,
         id_col="vec_id",
         vec_col="embedding",
-        n_centroids=8,
-        n_iter=1,
         n_probe=2,
         query_ids=list(range(10)),
         k=5,
+        centroids=cents,
     )
 
 
@@ -400,7 +414,7 @@ def _embedding_cosine_oracle() -> str:
     from data_ingestion_bra_spark.operators.rplsh import banded_bucket_sql
 
     sig_union = banded_bucket_sql(16, 4, 64, from_cte="v")
-    cos = _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    cos = _COS_E4.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
     return f"""
     WITH v0 AS (SELECT vec_id,
                        list_transform(CAST(embedding AS DOUBLE[]),
@@ -415,11 +429,11 @@ def _embedding_cosine_oracle() -> str:
              FROM sig s1 JOIN sig s2
                ON s1.band = s2.band AND s1.bucket = s2.bucket
               AND s1.vec_id < s2.vec_id)
-    SELECT c.vec_a, c.vec_b, {cos} AS cosine
+    SELECT c.vec_a, c.vec_b, {cos} AS cosine_e4
     FROM cand c
     JOIN n a ON a.vec_id = c.vec_a
     JOIN n b ON b.vec_id = c.vec_b
-    WHERE {cos} >= 0.45
+    WHERE {cos} >= 4500
     """
 
 
@@ -437,7 +451,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains no all-pairs scan and survives a 100× scale-up."""
     from data_ingestion_bra_spark.operators.rplsh import banded_buckets
     from data_ingestion_bra_spark.operators.similarity import (
-        cosine_expr,
+        cosine_e4_expr,
         idot_expr,
         norm_expr,
         quantize_expr,
@@ -463,9 +477,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            cosine_expr(idot_expr(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias("cosine"),
+            cosine_e4_expr(idot_expr(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")).alias(
+                "cosine_e4"
+            ),
         )
-        .filter(F.col("cosine") >= 0.45)
+        .filter(F.col("cosine_e4") >= 4500)
     )
 
 
@@ -481,7 +497,7 @@ def _rplsh_oracle() -> str:
         f"THEN {1 << p} ELSE 0 END)"
         for p, w in enumerate(ws)
     )
-    cos = _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    cos = _COS_E4.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
     return f"""
     WITH v AS (SELECT vec_id,
                       list_transform(CAST(embedding AS DOUBLE[]),
@@ -491,7 +507,7 @@ def _rplsh_oracle() -> str:
                    sqrt(CAST(list_sum(list_transform(e, x -> x * x)) AS DOUBLE)) AS nrm
             FROM v)
     SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {cos} AS cosine
+           {cos} AS cosine_e4
     FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """
 
@@ -507,7 +523,7 @@ def similarity_rplsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — candidate generation is an equi-join on bucket id, the scale
     path that replaces the all-pairs scan."""
     from data_ingestion_bra_spark.operators.rplsh import rplsh_buckets
-    from data_ingestion_bra_spark.operators.similarity import cosine_expr, idot_expr, norm_expr
+    from data_ingestion_bra_spark.operators.similarity import cosine_e4_expr, idot_expr, norm_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
     sig = rplsh_buckets(emb, n_planes=8, dim=64).withColumn("nrm", norm_expr(F.col("v")))
@@ -520,7 +536,9 @@ def similarity_rplsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "vec_a",
             "vec_b",
-            cosine_expr(idot_expr(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias("cosine"),
+            cosine_e4_expr(idot_expr(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")).alias(
+                "cosine_e4"
+            ),
         )
     )
 
@@ -560,10 +578,12 @@ def dedup_events_stream_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-           ROUND(len(list_distinct(toks)) / len(toks), 4) AS type_token_ratio,
-           ROUND((length(text) - (len(toks) - 1)) / len(toks), 4) AS mean_token_len,
-           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
-                 / length(text), 4) AS non_alnum_ratio
+           CAST(FLOOR(len(list_distinct(toks)) / len(toks) * 10000.0 + 0.5) AS BIGINT)
+             AS type_token_ratio_e4,
+           CAST(FLOOR((length(text) - (len(toks) - 1)) / len(toks) * 10000.0 + 0.5) AS BIGINT)
+             AS mean_token_len_e4,
+           CAST(FLOOR((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                 / length(text) * 10000.0 + 0.5) AS BIGINT) AS non_alnum_ratio_e4
     FROM t
     """,
     tags=("text", "quality"),

@@ -74,9 +74,13 @@ GATE_ORDER: tuple[str, ...] = (
     "similarity_topk_ivf",
     "similarity_rplsh_bucketed",
     "dedup_events_stream_exact",
+    # duplicate-CLUSTER collapse (connected components) is its own
+    # capability row, so it gets driver credit; text_token_counts is a
+    # family twin of text_quality_scores (n_tokens) and moved below the
+    # gate window (still hash-verified by tools/check_oracle.py).
+    "dedup_duplicate_clusters",
     "text_quality_scores",
     "text_langid",
-    "text_token_counts",
     "text_term_stats_top3",
     "text_fingerprints",
     "multimodal_decode_features",

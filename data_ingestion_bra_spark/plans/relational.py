@@ -402,17 +402,20 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     "window_running_total_per_customer",
     """
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-             AS running_total
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS running_cents
     FROM orders
     """,
     tags=("window", "analytic"),
 )
 def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum with an explicit rows frame; frame order is fully
-    deterministic (orderdate, orderkey) so both engines add in one order."""
+    """Running sum with an explicit rows frame over integer cents — exact
+    arithmetic, so neither frame evaluation order nor DuckDB's HUGEINT
+    window-sum representation can perturb the hash (the oracle casts back
+    to BIGINT per the registry convention)."""
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -424,7 +427,10 @@ def window_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataF
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("running_cents"),
     )
 
 

@@ -641,8 +641,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey < 200
     )
     SELECT o_orderkey, o_custkey, CAST(day AS BIGINT) AS day,
-           SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
-                            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS trailing_cents
+           CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY day
+                                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_cents
     FROM t
     """,
     tags=("window", "range-frame", "temporal"),

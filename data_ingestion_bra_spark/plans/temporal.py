@@ -26,7 +26,7 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
     SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
     GROUP BY 1, 2
     """,
@@ -37,14 +37,19 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy(window('ts','1 hour'))`` (streaming/jobs.py uses the same
     expression behind a watermark)."""
     e = load_table(spark, sf_dir, "events")
+    # sum integer cents, not doubles: a ROUND(SUM(double),2) output depends
+    # on Spark's nondeterministic partial-merge order near .005 boundaries
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
         .select(
             F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_cents",
         )
     )
 
@@ -107,7 +112,7 @@ def events_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM sess GROUP BY user_id, sid
     """,
     tags=("session-window", "streaming-twin"),
@@ -118,12 +123,15 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "10 minutes").alias("sw"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
         .select(
             "user_id",
             F.date_format("sw.start", TS_FMT_SPARK).alias("session_start"),
             "n_events",
-            "sum_value",
+            "sum_cents",
         )
     )
 

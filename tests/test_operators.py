@@ -66,10 +66,10 @@ def test_exact_dedup_groups(spark):
 
 def test_jaccard_pairs_finds_near_dup(spark):
     sh = dedup.doc_shingles(_docs(spark), "doc_id", "text", n=3)
-    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_e4"] for r in
              dedup.jaccard_pairs(sh, min_jaccard=0.3).collect()}
-    assert pairs[(0, 1)] == 1.0  # identical
-    assert 0.3 <= pairs[(0, 2)] < 1.0  # one-word edit
+    assert pairs[(0, 1)] == 10000  # identical
+    assert 3000 <= pairs[(0, 2)] < 10000  # one-word edit
     assert (0, 3) not in pairs
 
 
@@ -79,9 +79,9 @@ def test_minhash_lsh_candidates_and_estimate(spark):
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
     assert (0, 1) in cand_pairs  # identical docs always collide in every band
-    est = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in
+    est = {(r["doc_a"], r["doc_b"]): r["jaccard_est_e4"] for r in
            dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16).collect()}
-    assert est[(0, 1)] == 1.0
+    assert est[(0, 1)] == 10000
 
 
 def test_simhash_identical_docs_zero_hamming(spark):
@@ -169,7 +169,7 @@ def test_langid_and_quality(spark):
     q = text.quality_metrics(df, "doc_id", "text").filter(F.col("doc_id") == 0).first()
     assert q["n_tokens"] == 5
     assert q["n_distinct_tokens"] == 4
-    assert q["type_token_ratio"] == 0.8
+    assert q["type_token_ratio_e4"] == 8000
 
 
 def test_fingerprint_normalizes(spark):

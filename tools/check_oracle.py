@@ -5,18 +5,36 @@ DuckDB at the given sf dir, then compares row count, column names, and an
 order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Comparison is deliberately STRICTER than any plausible driver:
+
+- both sides are fetched through the pandas path (``DataFrame.toPandas`` /
+  ``duckdb.…​.df()``), the same coercions a pandas/NumPy-based driver applies
+  — in particular DuckDB HUGEINT (the result type of ``SUM(BIGINT)``)
+  surfaces as float64 here instead of being silently re-intified, which is
+  exactly the class of mismatch that made round-2's driver red while the old
+  fetchall-based checker stayed green;
+- cell normalization is TYPE-STRICT: ``123`` (int), ``123.0`` (float) and
+  ``Decimal('123')`` hash differently. Local green therefore predicts driver
+  green under any normalization the driver might use, as long as the two
+  engines produce bit-identical same-typed values — which the catalog's
+  integer-fixed-point conventions guarantee.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 import sys
 import time
+from decimal import Decimal
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from data_ingestion_bra_spark.session import get_spark
 from data_ingestion_bra_spark.sources.tables import TABLE_NAMES
@@ -25,14 +43,21 @@ from data_ingestion_bra_spark.sources.tables import TABLE_NAMES
 def norm_cell(v) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if v != v:
+    if isinstance(v, (bool, np.bool_)):
+        return "b:" + str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NULL"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
+        return "f:" + repr(round(f, 9))
+    if isinstance(v, Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, (int, np.integer)):
+        return "i:" + str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if v != v:  # pandas NaT
+        return "NULL"
     return str(v)
 
 
@@ -44,6 +69,12 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def _pdf_rows(pdf: pd.DataFrame) -> list[tuple]:
+    # object columns keep None; numeric columns surface NULL as NaN — both
+    # normalize to "NULL" in norm_cell, symmetrically for the two engines.
+    return list(pdf.itertuples(index=False, name=None))
 
 
 def main() -> int:
@@ -69,7 +100,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = _pdf_rows(spdf)
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
@@ -78,9 +110,9 @@ def main() -> int:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
+            dpdf = con.sql(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = _pdf_rows(dpdf)
         except Exception as ex:
             failures.append((name, f"DUCKDB ERROR: {ex}"))
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
@@ -92,7 +124,9 @@ def main() -> int:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems and table_hash(srows, scols) != table_hash(drows, dcols):
             problems.append("value-hash mismatch")
-            for a, b in list(zip(sorted(srows), sorted(drows)))[:5]:
+            sn = sorted("\x1f".join(norm_cell(c) for c in r) for r in srows)
+            dn = sorted("\x1f".join(norm_cell(c) for c in r) for r in drows)
+            for a, b in zip(sn, dn):
                 if a != b:
                     problems.append(f"  first diff: spark={a!r} duck={b!r}")
                     break
