@@ -107,3 +107,50 @@ def rolling_hash_expr(text: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, ch: (acc * ROLLING_HASH_B + F.ascii(ch)) % ROLLING_HASH_P,
     )
+
+
+# PII patterns — deliberately restricted to syntax that Java regex (Spark)
+# and RE2 (DuckDB) interpret identically: literal classes, bounded repeats,
+# \b word boundaries; no backreferences or lookaround.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # CPF (Brazilian tax id): 000.000.000-00
+    "cpf": r"\b[0-9]{3}\.[0-9]{3}\.[0-9]{3}-[0-9]{2}\b",
+    # pt-BR phone: (DD) 00000-0000 or (DD) 0000-0000
+    "phone": r"\([0-9]{2}\)\s?[0-9]{4,5}-[0-9]{4}",
+}
+
+#: redaction replacement tokens, applied in dict order (order matters: a CPF
+#: inside an email local-part is consumed by the email pass first).
+PII_REPLACEMENTS: dict[str, str] = {
+    "email": "[EMAIL]",
+    "cpf": "[CPF]",
+    "phone": "[PHONE]",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction for training-data curation: per-document
+    match counts for each PII class plus an md5 fingerprint of the redacted
+    text (the redacted body itself stays out of the result projection so
+    only 32-byte fingerprints ever shuffle — at 100 TB the scrub runs
+    scan-resident and the audit table stays tiny).
+
+    Pure regexp Column expressions (one codegen stage, no UDF); patterns are
+    Java/RE2-portable so the DuckDB oracle replays them verbatim.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, PII_REPLACEMENTS[name])
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        F.md5(red).alias("redacted_fp"),
+        F.length(red).cast("bigint").alias("n_chars_redacted"),
+    )

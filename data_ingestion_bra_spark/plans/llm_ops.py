@@ -914,3 +914,147 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = (F.least(F.col("n_chars"), F.lit(400)) / 400.0 * 0.5 * 16777216).cast("bigint")
     return d.filter(h < thr).select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def _pii_oracle() -> str:
+    """Replays operators/text.py PII_PATTERNS verbatim (RE2-compatible by
+    construction); counts via regexp_extract_all, redaction via the same
+    ordered chain of global regexp_replace calls."""
+    from data_ingestion_bra_spark.operators.text import PII_PATTERNS, PII_REPLACEMENTS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '{PII_REPLACEMENTS[name]}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           md5({red}) AS redacted_fp,
+           CAST(length({red}) AS BIGINT) AS n_chars_redacted
+    FROM documents
+    """
+
+
+@register(
+    "text_pii_redaction",
+    _pii_oracle(),
+    tags=("text", "pii", "governance", "llm-pipeline"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for training-data curation: detect emails / CPFs / pt-BR
+    phones, count matches per class, and fingerprint the redacted body —
+    see operators/text.py pii_scrub for the scale shape (scan-resident
+    regexes, fingerprints-only projection)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pii_scrub(d, "doc_id", "text")
+
+
+# Contamination uses 8-gram shingles — wider than the dedup 3-grams: an
+# 8-token verbatim overlap is the standard "benchmark leaked into the
+# training set" signal, not natural phrase reuse.
+@register(
+    "dedup_contamination_check",
+    f"""
+    WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+                    i -> concat_ws(' ', {", ".join("toks[i+%d]" % j if j else "toks[i]" for j in range(8))}))) AS shingle
+      FROM toks WHERE len(toks) >= 8
+    ),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc < 100),
+    c AS (SELECT * FROM sh WHERE doc >= 100)
+    SELECT c.doc AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM c JOIN b USING (shingle)
+    GROUP BY c.doc
+    """,
+    tags=("dedup", "contamination", "llm-pipeline"),
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing
+    verbatim 8-gram spans with a held-out benchmark set (here docs with
+    doc_id < 100 stand in for the benchmark). The benchmark shingle set is
+    tiny by construction, so it BROADCASTS and the check is one scan-side
+    hash join over the corpus shingles — at 100 TB the same shape holds
+    with a bloom filter pushed into the scan; nothing corpus-sized ever
+    shuffles on the pair axis."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
+    cand = dedup.doc_shingles(d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8)
+    bset = bench.select("shingle").distinct()
+    return (
+        cand.join(F.broadcast(bset), "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.when(F.col("n_overlap") >= 3, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "text_pack_sequences",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             CAST(length(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS BIGINT)
+               AS n_chunk_chars
+      FROM d, unnest(generate_series(
+            0,
+            CAST(CASE WHEN L <= 200 THEN 0
+                      ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS t(i)
+    ),
+    packed AS (
+      SELECT doc_id, chunk_idx, n_chunk_chars,
+             CAST(COALESCE(SUM(n_chunk_chars) OVER (
+                    PARTITION BY doc_id ORDER BY chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+                  AS BIGINT) AS pack_id
+      FROM chunks
+    )
+    SELECT doc_id, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_chars) AS BIGINT) AS n_chars
+    FROM packed GROUP BY doc_id, pack_id
+    """,
+    tags=("text", "packing", "llm-pipeline"),
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate each document's sliding chunks in order
+    and split at a 512-char budget — the 'pack short pieces into fixed-size
+    training sequences' step of a pretraining pipeline. pack_id derives from
+    the running char offset BEFORE each chunk (integer window sum per doc,
+    // budget), so packing is deterministic and partition-parallel by
+    document — no global sequential state, the property that keeps the
+    operator embarrassingly parallel at 100 TB (cross-document packing would
+    be a per-output-shard variant of the same window)."""
+    from pyspark.sql.window import Window
+
+    chunks = text_chunks_sliding(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "n_chunk_chars"
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chunk_chars").over(w), F.lit(0).cast("bigint"))
+    return (
+        chunks.withColumn("pack_id", F.floor(cum_before / F.lit(512)).cast("bigint"))
+        .groupBy("doc_id", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_chars").cast("bigint").alias("n_chars"),
+        )
+    )

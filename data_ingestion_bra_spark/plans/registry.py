@@ -93,7 +93,11 @@ GATE_ORDER: tuple[str, ...] = (
     "agg_pricing_summary",
     "filter_project_segment",
     "join_customers_per_region",
-    "join_semi_customers_with_open_orders",
+    # PII scrub is a first-class curation capability; the semi-join it
+    # displaces stays driver-covered through sole_returning_suppliers
+    # (Q21: decorrelated EXISTS/NOT EXISTS → semi + anti) and remains
+    # hash-verified below the gate window.
+    "text_pii_redaction",
     "join_full_outer_nation_activity",
     "count_distinct_customers_per_status",
     "approx_count_distinct_customers",

@@ -287,3 +287,61 @@ def test_salted_join_matches_plain_join(spark):
         for r in salted_join(left, right, "k", salt_col="row_id", n_salts=4).collect()
     }
     assert salted == plain and len(plain) == 60
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 'contato: ana.silva@example.com.br cpf 123.456.789-01 tel (11) 98765-4321'),
+            (1, "sem dados pessoais aqui"),
+            (2, "dois emails: a@b.io e c.d+x@e-f.org"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.pii_scrub(df, "doc_id", "text").collect()}
+    assert (rows[0]["n_email"], rows[0]["n_cpf"], rows[0]["n_phone"]) == (1, 1, 1)
+    assert (rows[1]["n_email"], rows[1]["n_cpf"], rows[1]["n_phone"]) == (0, 0, 0)
+    assert rows[2]["n_email"] == 2
+    # redaction rewrote doc 0 (fingerprint differs from the raw text's) and
+    # left the PII-free doc 1 untouched (fingerprint of the original body)
+    import hashlib
+
+    raw0 = df.filter(F.col("doc_id") == 0).first()["text"]
+    assert rows[0]["redacted_fp"] != hashlib.md5(raw0.encode()).hexdigest()
+    assert rows[1]["redacted_fp"] == hashlib.md5(b"sem dados pessoais aqui").hexdigest()
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    """Every chunk lands in exactly one pack; packs (except possibly a doc's
+    last) start strictly under budget; pack ids are dense from 0 per doc."""
+    from data_ingestion_bra_spark.plans.llm_ops import (
+        text_chunks_sliding,
+        text_pack_sequences,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = text_chunks_sliding(spark, sf)
+    packs = text_pack_sequences(spark, sf).collect()
+    by_doc: dict[int, list] = {}
+    for r in packs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_chunks_total = sum(r["n_chunks"] for r in packs)
+    assert n_chunks_total == chunks.count()
+    for doc, rows in by_doc.items():
+        ids = sorted(r["pack_id"] for r in rows)
+        assert ids == list(range(len(ids))), (doc, ids)
+        # a new pack opens only once the previous crossed the 512 budget:
+        # every pack except the last must have total chars >= 313 (budget -
+        # max chunk 200 + 1... conservatively: >= 1) and cumulative offsets
+        # reproduce floor(cum_before/512) — recompute directly:
+        chs = sorted(
+            ((r["chunk_idx"], r["n_chunk_chars"]) for r in
+             chunks.filter(F.col("doc_id") == doc).collect()),
+        )
+        cum = 0
+        want: dict[int, int] = {}
+        for _, n in chs:
+            want[cum // 512] = want.get(cum // 512, 0) + n
+            cum += n
+        got = {r["pack_id"]: r["n_chars"] for r in rows}
+        assert got == want, (doc, got, want)
