@@ -117,6 +117,22 @@ def main() -> None:
         "mode": "warm (min of 2 runs per query)",
     }
 
+    # Newer LLM-pipeline ops, timed but kept OUT of the headline total so the
+    # round-over-round trend line stays comparable.
+    extended = {}
+    for name in (
+        "dedup_duplicate_clusters",
+        "text_pii_redaction",
+        "dedup_contamination_check",
+        "text_pack_sequences",
+    ):
+        if name in queries:
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            extended[name] = round(time.perf_counter() - t0, 3)
+    if extended:
+        payload["queries_extended"] = extended
+
     # Second scale point (judge-requested headroom evidence): same queries at
     # a 10x replica so per-query scaling factors are visible alongside sf0.1.
     sf1 = _sf1_dir()

@@ -985,10 +985,18 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the pair axis."""
     d = load_table(spark, sf_dir, "documents")
     bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
-    cand = dedup.doc_shingles(d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8)
+    # distinct=False: the corpus side streams straight from the scan into the
+    # broadcast hash join — deduplicating (doc, shingle) BEFORE the join
+    # would shuffle every corpus shingle; doing it after costs only the
+    # (tiny) overlap set.
+    cand = dedup.doc_shingles(
+        d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8, distinct=False
+    )
     bset = bench.select("shingle").distinct()
     return (
         cand.join(F.broadcast(bset), "shingle")
+        .select("doc", "shingle")
+        .distinct()
         .groupBy(F.col("doc").alias("doc_id"))
         .agg(F.count("*").alias("n_overlap"))
         .select(
