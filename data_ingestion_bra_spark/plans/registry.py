@@ -6,12 +6,20 @@ Conventions that keep the driver's order-insensitive value-hash compare green
 
 - every computed column is aliased IDENTICALLY in the Spark builder and the
   oracle SQL;
-- double aggregates whose value depends on summation order are rounded the
-  same way on both sides (money → 2 dp, ratios/cosines → 4 dp);
+- NO summation-order-dependent double ever reaches an output schema: money /
+  quantity / value sums are integer fixed-point (``_e2`` cents, ``_e4`` for
+  exactly-4-dp products like price×(1-disc)), ratios/cosines/jaccards are
+  ``_e4`` BIGINT via ``floor(x*10000 + 0.5)``. The only double outputs left
+  are order-FREE per-row projections, min/max, and sorted-percentile values
+  (audited catalog-wide; rounded doubles flapped the driver hash twice in
+  rounds 1-2 — half-boundary behavior and ``-0.0`` vs ``0.0`` are
+  engine-specific);
 - DuckDB ``sum(BIGINT)`` returns HUGEINT — oracles cast back to BIGINT to
-  match Spark's long;
+  match Spark's long (window sums included);
 - temporal outputs are formatted to strings on both sides so engine-native
-  date/timestamp repr differences can't leak into the hash.
+  date/timestamp repr differences can't leak into the hash;
+- ``tools/check_oracle.py`` enforces all of this TYPE-STRICTLY through the
+  pandas fetch path (int / float / Decimal never compare equal).
 """
 
 from __future__ import annotations

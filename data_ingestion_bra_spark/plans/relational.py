@@ -68,9 +68,10 @@ def flagship_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(ROUND(SUM(l_extendedprice * (1 - l_discount)), 4), 2) AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_disc_e4,
            CAST((SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100) // COUNT(*) AS BIGINT)
              AS avg_qty_e4,
            CAST((SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) * 100) // COUNT(*) AS BIGINT)
@@ -85,21 +86,21 @@ def flagship_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash aggregate with map-side partial agg; one shuffle on the group keys.
 
-    Rounding pins summation-order-dependent doubles for the oracle compare.
+    Money/quantity sums are exact fixed-point BIGINT (2 dp for stored-2dp
+    columns, 4 dp for the price×(1-disc) product, which has exactly 4
+    decimals) — a summed double depends on Spark's partial-merge order and
+    is a latent cross-engine hash flap; integers cannot drift.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            # chained rounding: snap to the exact-decimal grid (4 dp) before
-            # the 2 dp money round, so summation-order float noise can't
-            # straddle a rounding boundary between engines
-            F.round(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2).alias(
-                "sum_disc_price"
-            ),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_e2"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("sum_base_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("sum_disc_e4"),
             # fixed-point averages (see temporal.py note on float boundaries)
             F.expr(
                 "CAST((SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) * 100) div COUNT(*) AS BIGINT)"
@@ -163,7 +164,7 @@ def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_customers_per_region",
     """
     SELECT r.r_name AS region_name, CAST(COUNT(*) AS BIGINT) AS customer_cnt,
-           ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -184,7 +185,7 @@ def join_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count("*").alias("customer_cnt"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("sum_acctbal_cents"),
         )
     )
 
@@ -472,7 +473,7 @@ def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -482,7 +483,8 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy: (status, priority) → (status) → grand total."""
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("sum_cents"),
     )
 
 

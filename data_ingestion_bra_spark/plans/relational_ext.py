@@ -22,7 +22,8 @@ from data_ingestion_bra_spark.sources.tables import load_table
     "shipping_priority_top10",
     """
     SELECT l.l_orderkey,
-           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
            CAST(o.o_orderdate AS DATE)::VARCHAR AS order_date,
            o.o_orderpriority
     FROM customer c
@@ -32,7 +33,7 @@ from data_ingestion_bra_spark.sources.tables import load_table
       AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
       AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l.l_orderkey
+    ORDER BY revenue_e4 DESC, l.l_orderkey
     LIMIT 10
     """,
     tags=("join", "agg", "topk", "tpch-q3"),
@@ -55,17 +56,17 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
-            ).alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("revenue_e4")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            "revenue_e4",
             F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
             "o_orderpriority",
         )
-        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .orderBy(F.col("revenue_e4").desc(), "l_orderkey")
         .limit(10)
     )
 
@@ -74,7 +75,8 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_revenue",
     """
     SELECT n.n_name AS nation,
-           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -99,9 +101,9 @@ def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("revenue_e4"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -998,7 +1000,8 @@ def arrayagg_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
-           ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4), 2) AS revenue,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+             AS revenue_e4,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1037,9 +1040,9 @@ def bilateral_trade_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sn_key") != F.col("cn_key"))
         .groupBy("supp_nation", "cust_nation")
         .agg(
-            F.round(
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4), 2
-            ).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("bigint")
+            ).alias("revenue_e4"),
             F.count("*").alias("n_lineitems"),
         )
     )

@@ -152,3 +152,37 @@ def test_q21_decorrelation_single_fact_reduction(spark):
     assert "BroadcastHashJoin" in p  # supplier dim
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p  # top-20 without a global sort
+
+
+def test_contamination_benchmark_broadcasts(spark):
+    """The benchmark shingle set must broadcast (corpus side streams from
+    the scan into the hash join), and nothing pair-shaped plans — the
+    property that lets the check ride a bloom filter at 100 TB."""
+    df = get_queries()["dedup_contamination_check"](spark, SF)
+    p = plan_str(spark, df, mode="simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pack_sequences_windows_per_document(spark):
+    """Packing partitions its running-offset window BY DOCUMENT — a global
+    (empty-partition-spec) window would serialize the whole corpus through
+    one task at scale."""
+    df = get_queries()["text_pack_sequences"](spark, SF)
+    p = plan_str(spark, df)
+    assert "Window" in p
+    assert "partitionBy=[]" not in p and "PartitionBy: []" not in p
+    # the window spec carries doc_id as its partition key
+    import re
+
+    win_lines = [ln for ln in p.splitlines() if "windowspecdefinition(doc_id" in ln.lower()
+                 or ("Window" in ln and "doc_id" in ln)]
+    assert win_lines, p[:2000]
+
+
+def test_pii_redaction_is_scan_resident(spark):
+    """PII scrub is a pure projection: no shuffle (Exchange) anywhere in the
+    plan — the scrub rides the scan at any scale."""
+    df = get_queries()["text_pii_redaction"](spark, SF)
+    p = plan_str(spark, df, mode="simple")
+    assert "Exchange" not in p, p
