@@ -249,7 +249,16 @@ def load_or_train_centroids(
     from pathlib import Path
 
     cache_dir = Path(__file__).resolve().parents[2] / ".ivf_cache"
-    key = f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}.json"
+    # Key includes the source file's size+mtime: if the dataset is ever
+    # regenerated, the stale index retrains instead of silently serving
+    # centroids that no longer match what the oracle derives from the data.
+    src = Path(sf_dir) / "embeddings.parquet"
+    try:
+        st = src.stat()
+        fp = f"-{st.st_size}-{int(st.st_mtime)}"
+    except OSError:
+        fp = ""
+    key = f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{fp}.json"
     path = cache_dir / key
     schema = "cell int, cvec array<bigint>"
     if path.exists():
