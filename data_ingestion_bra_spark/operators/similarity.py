@@ -275,6 +275,61 @@ def load_or_train_centroids(
     return spark.createDataFrame(local, schema)
 
 
+def load_or_build_ivf_index(
+    spark,
+    vectors: DataFrame,
+    sf_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Full IVF index = centroids + INVERTED LISTS. Returns
+    ``(centroids, assignments)`` where assignments is ``(vid, cell, v)`` —
+    the quantized corpus pre-assigned to its nearest cell and persisted as
+    parquet, so the serve path is: scan the index file, assign only the
+    (few) query vectors against the broadcast centroids, equi-join on cell.
+    Re-assigning the whole corpus per query — what the centroid-only cache
+    still did — is the part that actually scales with data volume.
+
+    Assignment is deterministic given the centroids, so the cached lists are
+    bit-identical to a recomputation and the unrolled SQL oracle stays
+    valid. Build is atomic (write to a tmp dir, rename into place).
+    """
+    import os
+    from pathlib import Path
+
+    cents = load_or_train_centroids(
+        spark,
+        vectors,
+        sf_dir,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+    )
+    cache_dir = Path(__file__).resolve().parents[2] / ".ivf_cache"
+    src = Path(sf_dir) / "embeddings.parquet"
+    try:
+        st = src.stat()
+        fp = f"-{st.st_size}-{int(st.st_mtime)}"
+    except OSError:
+        fp = ""
+    lists_dir = cache_dir / f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{fp}-lists.parquet"
+    if not lists_dir.exists():
+        assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+        tmp = lists_dir.with_name(lists_dir.name + f".tmp{os.getpid()}")
+        assigned.select("vid", "cell", "v").write.mode("overwrite").parquet(str(tmp))
+        try:
+            os.replace(tmp, lists_dir)
+        except OSError:  # a concurrent builder won the rename; use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    return cents, spark.read.parquet(str(lists_dir))
+
+
 def ivf_topk(
     vectors: DataFrame,
     *,
@@ -286,13 +341,16 @@ def ivf_topk(
     query_ids: list[int] | None = None,
     k: int = 5,
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k. ``n_iter`` k-means refinement rounds (0 = raw seeds),
     ``n_probe`` nearest cells searched per query. Candidate generation is an
     equi-join on cell id — the LSH-style shape that replaces the n^2 pair
-    scan at scale. Pass ``centroids`` (e.g. from
-    ``load_or_train_centroids``) to serve against a pre-trained index
-    without paying training in the query path."""
+    scan at scale. Pass ``centroids`` (from ``load_or_train_centroids``) to
+    skip training, and ``assignments`` (the persisted inverted lists from
+    ``load_or_build_ivf_index``) to also skip re-assigning the corpus — the
+    full serve path then touches only the index file plus the query
+    vectors."""
     if centroids is not None:
         cents = centroids
     elif n_iter > 0:
@@ -303,7 +361,10 @@ def ivf_topk(
         cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
     qsrc = vectors.filter(F.col(id_col).isin(query_ids) if query_ids else F.lit(True))
     qcells = assign_cells(qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
-    ccells = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+    if assignments is not None:
+        ccells = assignments
+    else:
+        ccells = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
     qs = qcells.select(
         F.col("vid").alias("query_id"), "cell", F.col("v").alias("qv"),
         norm_expr(F.col("v")).alias("qn"),

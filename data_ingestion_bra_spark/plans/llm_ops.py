@@ -388,13 +388,15 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from an equi-join on cell id, cost tracks cell sizes,
     and recall is tunable via n_probe without touching the index.
 
-    Train/serve split: centroids come from ``load_or_train_centroids`` — the
-    first invocation per dataset trains and persists the (cell, cvec) index;
-    every later invocation serves against it (broadcast assignment + cell
-    equi-join only, no Lloyd shuffles in the query path). Training is
-    deterministic, so the unrolled-training oracle remains bit-exact."""
+    Train/serve split: ``load_or_build_ivf_index`` persists BOTH the trained
+    centroids and the inverted lists (corpus pre-assigned to cells) on first
+    invocation per dataset; every later invocation serves by scanning the
+    index parquet, assigning only the query vectors, and equi-joining on
+    cell — no Lloyd shuffles and no corpus re-assignment in the query path.
+    Training and assignment are deterministic, so the unrolled-training
+    oracle remains bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.load_or_train_centroids(
+    cents, lists = similarity.load_or_build_ivf_index(
         spark, emb, sf_dir, n_centroids=8, n_iter=1
     )
     return similarity.ivf_topk(
@@ -405,6 +407,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_ids=list(range(10)),
         k=5,
         centroids=cents,
+        assignments=lists,
     )
 
 
