@@ -224,3 +224,67 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 10) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mean_abs_e6", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+#: bytes of the payload the stub analyzer inspects (bounded so the SQL
+#: oracle's per-character expansion stays fixture-cheap; a real analyzer
+#: streams the whole payload).
+AUDIO_PROBE_BYTES = 512
+AUDIO_FAKE_RATE_HZ = 8000  # stub: 8-bit PCM at 8 kHz
+
+
+def _fake_audio_features(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for an audio decoder (librosa/ffmpeg slot,
+    same signature): interpret bytes as unsigned 8-bit PCM centered at 128
+    and extract (duration_ms, peak, mean_abs_e6, zero_crossings) over the
+    first AUDIO_PROBE_BYTES samples. All-integer arithmetic so the SQL
+    oracle reproduces it exactly. Raises on empty payloads like a real
+    decoder on a corrupt file."""
+    if not payload:
+        raise ValueError("empty payload: cannot analyze")
+    n = len(payload)
+    m = min(n, AUDIO_PROBE_BYTES)
+    window = payload[:m]
+    duration_ms = n * 1000 // AUDIO_FAKE_RATE_HZ
+    peak = max(window)
+    mean_abs_e6 = sum(abs(b - 128) for b in window) * 1_000_000 // (m * 128)
+    zero_crossings = sum(
+        1 for i in range(m - 1) if (window[i] < 128) != (window[i + 1] < 128)
+    )
+    return duration_ms, peak, mean_abs_e6, zero_crossings
+
+
+def audio_features_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches of (doc_id, payload) in, audio
+    feature rows out — same batch-shape contract as the image decoder."""
+    for pdf in batches:
+        feats = [_fake_audio_features(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "duration_ms": [f[0] for f in feats],
+                "peak": [f[1] for f in feats],
+                "mean_abs_e6": [f[2] for f in feats],
+                "zero_crossings": [f[3] for f in feats],
+            }
+        )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction over an opaque payload column via
+    mapInPandas — completes the image/audio/video modality trio on the same
+    Arrow-batched plumbing (schema, partitioning, batch shape all real;
+    only the sample interpretation is stubbed in-container)."""
+    return df.mapInPandas(audio_features_batch_fn, schema=AUDIO_META_SCHEMA)

@@ -1069,3 +1069,42 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chunk_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "multimodal_audio_features",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(LEAST(CAST(octet_length(encode(text)) AS BIGINT), 512) AS INT) AS m
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           n AS n_bytes,
+           CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(generate_series(1, m),
+                                        i -> ord(substr(text, i, 1)))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(generate_series(1, m),
+                                        i -> abs(ord(substr(text, i, 1)) - 128)))
+                * 1000000 // (m * 128) AS BIGINT) AS mean_abs_e6,
+           CAST(COALESCE(list_sum(list_transform(generate_series(1, m - 1),
+                i -> CASE WHEN (ord(substr(text, i, 1)) < 128)
+                           <> (ord(substr(text, i + 1, 1)) < 128)
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM b
+    """,
+    tags=("multimodal", "audio", "mapInPandas"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality twin of the image decode path: opaque payload →
+    (duration, peak, mean level, zero crossings) via Arrow-batched
+    mapInPandas (operators/multimodal.py:audio_features). The stub sample
+    interpretation is integer-exact, so the SQL oracle recomputes it from
+    the same bytes (ASCII fixture text → ord(char) == byte); a real
+    deployment swaps librosa/ffmpeg into the same batch contract."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return multimodal.audio_features(payloads)

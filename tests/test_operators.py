@@ -345,3 +345,19 @@ def test_pack_sequences_budget_and_coverage(spark):
             cum += n
         got = {r["pack_id"]: r["n_chars"] for r in rows}
         assert got == want, (doc, got, want)
+
+
+def test_audio_features_stub_contract(spark):
+    """Audio mapInPandas path: integer-exact features over known bytes."""
+    df = spark.createDataFrame([(0, "AZaz"), (1, "~~")], "doc_id bigint, text string")
+    payloads = multimodal.attach_binary_payload(df, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in multimodal.audio_features(payloads).collect()}
+    # "AZaz" = bytes 65,90,97,122 → all < 128 → zero crossings 0
+    r0 = rows[0]
+    assert r0["n_bytes"] == 4
+    assert r0["duration_ms"] == 4 * 1000 // 8000
+    assert r0["peak"] == 122
+    assert r0["mean_abs_e6"] == (63 + 38 + 31 + 6) * 1_000_000 // (4 * 128)
+    assert r0["zero_crossings"] == 0
+    # "~~" = 126,126 (no crossing), peak 126
+    assert rows[1]["peak"] == 126 and rows[1]["zero_crossings"] == 0

@@ -55,9 +55,13 @@ def test_snowflake_joins_all_broadcast(spark):
 
 
 # The deliberate Python crossings: Arrow-batched mapInPandas (multimodal
-# decode) and grouped-map applyInPandas — the designated escape hatches
-# (SURVEY §2.11). Everything else stays JVM-side.
-PYTHON_ALLOWED = {"multimodal_decode_features", "grouped_map_rank_per_lang"}
+# image decode + audio features) and grouped-map applyInPandas — the
+# designated escape hatches (SURVEY §2.11). Everything else stays JVM-side.
+PYTHON_ALLOWED = {
+    "multimodal_decode_features",
+    "multimodal_audio_features",
+    "grouped_map_rank_per_lang",
+}
 
 
 @pytest.mark.parametrize("name", sorted(get_queries()))
