@@ -110,3 +110,25 @@ def run_to_memory_sink(stream_df: DataFrame, *, name: str, output_mode: str = "a
     )
     q.awaitTermination()
     return q
+
+
+def read_documents_stream(spark, path: str, *, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source document stream (schema asserted, never inferred —
+    streaming reads require it anyway)."""
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def pii_scrub_stream(docs: DataFrame) -> DataFrame:
+    """Governance-at-ingest: the PII scrub (operators/text.py) applied to a
+    document stream. A pure stateless projection — no watermark, no state
+    store, append mode — so it rides every micro-batch at ingest cost and
+    the audit table (counts + redacted fingerprints) is what lands
+    downstream, never raw PII spans."""
+    from data_ingestion_bra_spark.operators.text import pii_scrub
+
+    return pii_scrub(docs, "doc_id", "text")

@@ -119,3 +119,26 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     batch = jobs.stream_stream_click_purchase_join(_batch_events(spark, events_dir))
     want = {(r["purchase_id"], str(r["c_ts"])) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """The PII scrub is stateless, so streaming micro-batches must produce
+    exactly the batch result row-for-row regardless of file arrival order."""
+    docs = spark.createDataFrame(
+        [
+            (0, 'fale com ana@ex.com ou (11) 91234-5678'),
+            (1, "nada sensivel"),
+            (2, "cpf 111.222.333-44 em contrato"),
+            (3, "b@c.de e tambem d@e.fg"),
+        ],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(jobs.pii_scrub_stream(stream), name="t_pii", output_mode="append")
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_pii").collect()}
+    from data_ingestion_bra_spark.operators.text import pii_scrub
+
+    want = {tuple(r) for r in pii_scrub(spark.read.parquet(d), "doc_id", "text").collect()}
+    assert got == want and len(got) == 4
