@@ -1108,3 +1108,96 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
     return multimodal.audio_features(payloads)
+
+
+@register(
+    "curation_pack_pipeline",
+    r"""
+    WITH t AS (SELECT doc_id, text, length(text) AS L,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(text), '\s+') AS ltoks
+               FROM documents),
+    q AS (SELECT * FROM t WHERE L >= 150 AND len(toks) >= 20),
+    sc AS (SELECT doc_id, text, L,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS s_en,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['el','la','los','una'], x))) AS BIGINT) AS s_es,
+                  CAST(len(list_filter(ltoks, x -> list_contains(['de','que','em','uma'], x))) AS BIGINT) AS s_pt
+           FROM q),
+    en AS (SELECT doc_id, text, L FROM sc
+           WHERE greatest(s_en, s_es, s_pt) > 0 AND s_en = greatest(s_en, s_es, s_pt)),
+    ded AS (SELECT doc_id, text, L FROM
+              (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM en)
+            WHERE rn = 1),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             CAST(length(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS BIGINT)
+               AS n_chunk_chars
+      FROM ded, unnest(generate_series(
+            0,
+            CAST(CASE WHEN L <= 200 THEN 0
+                      ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    ),
+    packed AS (
+      SELECT doc_id, chunk_idx, n_chunk_chars,
+             CAST(COALESCE(SUM(n_chunk_chars) OVER (
+                    PARTITION BY doc_id ORDER BY chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+                  AS BIGINT) AS pack_id
+      FROM chunks
+    )
+    SELECT doc_id, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_chars) AS BIGINT) AS n_chars
+    FROM packed GROUP BY doc_id, pack_id
+    """,
+    tags=("text", "curation", "packing", "pipeline", "llm-pipeline"),
+)
+def curation_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data path in one lazy plan: quality gate → language
+    filter → exact dedup → sliding chunking → sequence packing. Composition
+    of curation_pipeline and text_pack_sequences; shares their scale shape —
+    scan-resident gates, one content-hash shuffle for dedup, row-local
+    chunk explode, then a per-document window for pack assignment (the
+    dedup shuffle already co-located rows, and the window repartitions on
+    the same doc granularity)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    gated = d.filter((F.length("text") >= 150) & (F.size(toks) >= 20)).filter(
+        text.langid_expr("text") == "en"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = ded.select(
+        "doc_id", "text", F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.length(F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)"))
+        .cast("bigint")
+        .alias("n_chunk_chars"),
+    )
+    pw = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chunk_chars").over(pw), F.lit(0).cast("bigint"))
+    return (
+        chunks.withColumn("pack_id", F.floor(cum_before / F.lit(512)).cast("bigint"))
+        .groupBy("doc_id", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_chars").cast("bigint").alias("n_chars"),
+        )
+    )

@@ -361,3 +361,31 @@ def test_audio_features_stub_contract(spark):
     assert r0["zero_crossings"] == 0
     # "~~" = 126,126 (no crossing), peak 126
     assert rows[1]["peak"] == 126 and rows[1]["zero_crossings"] == 0
+
+
+def test_ivf_index_cache_invalidates_on_data_change(spark, tmp_path):
+    """The persisted IVF index is keyed by the dataset's file identity: a
+    regenerated embeddings table must retrain/reassign, never serve stale
+    centroids or lists."""
+    import os
+    import shutil
+    import time as _time
+
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    sf = str(tmp_path)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", f"{sf}/embeddings.parquet")
+    emb = load_table(spark, sf, "embeddings")
+    c1, l1 = similarity.load_or_build_ivf_index(spark, emb, sf, n_centroids=4, n_iter=1)
+    n_full = l1.count()
+    assert n_full == emb.count()
+
+    # regenerate the dataset (half the vectors, different mtime)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    half.toPandas().to_parquet(f"{sf}/embeddings.tmp.parquet")
+    os.replace(f"{sf}/embeddings.tmp.parquet", f"{sf}/embeddings.parquet")
+    os.utime(f"{sf}/embeddings.parquet", (_time.time() + 10, _time.time() + 10))
+
+    emb2 = load_table(spark, sf, "embeddings")
+    c2, l2 = similarity.load_or_build_ivf_index(spark, emb2, sf, n_centroids=4, n_iter=1)
+    assert l2.count() == emb2.count() < n_full  # rebuilt from the new data
