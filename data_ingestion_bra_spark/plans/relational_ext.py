@@ -1179,3 +1179,38 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .select(F.col("order_cnt").alias("c_count"), "custdist")
     )
+
+
+@register(
+    "window_distribution_funcs",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(FLOOR(PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY o_totalprice, o_orderkey)
+                      * 10000.0 + 0.5) AS BIGINT) AS price_pct_rank_e4,
+           CAST(FLOOR(CUME_DIST() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice, o_orderkey)
+                      * 10000.0 + 0.5) AS BIGINT) AS price_cume_dist_e4
+    FROM orders WHERE o_orderkey < 3000
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the distribution members of the window
+    family, completing rank/dense_rank/ntile/row_number. Both are exact
+    small-integer ratios ((rank-1)/(n-1), rank/n) computed identically by
+    every engine, emitted as e4 fixed-point BIGINT per the registry's
+    no-rounded-doubles doctrine; the ordering is made total with the key
+    tie-break so ranks are deterministic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+
+    def e4(x):
+        return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        e4(F.percent_rank().over(w)).alias("price_pct_rank_e4"),
+        e4(F.cume_dist().over(w)).alias("price_cume_dist_e4"),
+    )
