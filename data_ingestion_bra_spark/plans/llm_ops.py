@@ -1201,3 +1201,34 @@ def curation_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chunk_chars").cast("bigint").alias("n_chars"),
         )
     )
+
+
+@register(
+    "corpus_mixture_report",
+    r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM((length(text) + 511) // 512) AS BIGINT) AS est_sequences,
+           CAST(SUM(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_len
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "reporting", "llm-pipeline"),
+)
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card aggregates per language: document / char / token counts,
+    estimated 512-char training sequences, and quality-gate survivors — the
+    mixture report a training-data pipeline publishes alongside every corpus
+    snapshot. One partial-aggregable pass over the scan (all integer
+    arithmetic); at 100 TB this is the same single-shuffle shape as any
+    group-by on a low-cardinality key."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens_ws"),
+        F.sum(F.floor((F.length("text") + 511) / 512)).cast("bigint").alias("est_sequences"),
+        F.sum(F.when(F.length("text") >= 150, 1).otherwise(0)).cast("bigint").alias("n_quality_len"),
+    )
