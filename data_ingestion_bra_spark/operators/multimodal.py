@@ -288,3 +288,141 @@ def audio_features(df: DataFrame) -> DataFrame:
     Arrow-batched plumbing (schema, partitioning, batch shape all real;
     only the sample interpretation is stubbed in-container)."""
     return df.mapInPandas(audio_features_batch_fn, schema=AUDIO_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL audio: 16-bit PCM WAV, written and parsed with stdlib ``wave`` —
+# no external dependency, and the decode path exercises a genuine RIFF
+# container round-trip (header parse, frame count, sample width), not a
+# byte-interpretation stub.
+# --------------------------------------------------------------------------
+
+WAV_RATE_HZ = 8000  # synthesized fixture rate (mono, 16-bit)
+WAV_HEADER_BYTES = 44  # canonical PCM header the stdlib writer emits
+
+
+def _synth_samples(doc_id: int) -> "array":
+    """Deterministic integer PCM for a doc: n = 64 + doc_id % 64 frames of
+    s(i) = ((doc_id*7919 + i*131) % 4096) - 2048 — pure integer modular
+    arithmetic, so a SQL oracle regenerates the identical waveform."""
+    from array import array
+
+    n = 64 + doc_id % 64
+    return array("h", [((doc_id * 7919 + i * 131) % 4096) - 2048 for i in range(n)])
+
+
+def _synth_wav_bytes(doc_id: int) -> bytes:
+    """Real RIFF/WAVE bytes for a doc's synthetic PCM via stdlib ``wave``."""
+    import io
+    import sys
+    import wave
+
+    samples = _synth_samples(doc_id)
+    if sys.byteorder == "big":  # pragma: no cover - x86/arm LE everywhere here
+        samples = samples[:]
+        samples.byteswap()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE_HZ)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+WAV_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_wav_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id) in, (doc_id, real WAV payload) out."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_synth_wav_bytes(int(d)) for d in ids]}
+        )
+
+
+def synthesize_wav(df: DataFrame) -> DataFrame:
+    """Attach a real WAV payload per doc_id (deterministic synthetic PCM)."""
+    return df.select("doc_id").mapInPandas(synth_wav_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+
+
+def _wav_decode_features(payload: bytes) -> tuple[int, int, int, int, int]:
+    """REAL WAV decode via stdlib ``wave`` + ``array``: parses the RIFF
+    header, reads all frames, and computes integer-exact features over the
+    16-bit signed samples:
+
+      (n_frames, duration_ms, peak, mean_abs_e6, zero_crossings)
+
+    peak = max |s|; mean_abs_e6 = sum|s| * 1e6 // (n * 32768); a zero
+    crossing is a sign-bit change between consecutive samples (s < 0).
+    Raises ``wave.Error`` on a corrupt container, like any real decoder.
+    """
+    import io
+    import sys
+    import wave
+    from array import array
+
+    if not payload:
+        raise ValueError("empty payload: cannot decode")
+    with wave.open(io.BytesIO(payload), "rb") as r:
+        if r.getsampwidth() != 2 or r.getnchannels() != 1:
+            raise ValueError("expected mono 16-bit PCM")
+        rate = r.getframerate()
+        n = r.getnframes()
+        raw = r.readframes(n)
+    samples = array("h")
+    samples.frombytes(raw)
+    if sys.byteorder == "big":  # pragma: no cover
+        samples.byteswap()
+    duration_ms = n * 1000 // rate
+    peak = max(abs(s) for s in samples)
+    mean_abs_e6 = sum(abs(s) for s in samples) * 1_000_000 // (n * 32768)
+    zero_crossings = sum(
+        1 for i in range(n - 1) if (samples[i] < 0) != (samples[i + 1] < 0)
+    )
+    return n, duration_ms, peak, mean_abs_e6, zero_crossings
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mean_abs_e6", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def wav_features_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: Arrow batches of (doc_id, payload=WAV bytes) in,
+    decoded audio feature rows out — the REAL-decoder twin of
+    ``audio_features_batch_fn``."""
+    for pdf in batches:
+        feats = [_wav_decode_features(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "n_frames": [f[0] for f in feats],
+                "duration_ms": [f[1] for f in feats],
+                "peak": [f[2] for f in feats],
+                "mean_abs_e6": [f[3] for f in feats],
+                "zero_crossings": [f[4] for f in feats],
+            }
+        )
+
+
+def wav_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode over a WAV payload column via mapInPandas: stdlib
+    ``wave`` parses the RIFF container and features are computed from the
+    decoded 16-bit samples in exact integer arithmetic (SQL-oracle-safe)."""
+    return df.mapInPandas(wav_features_batch_fn, schema=WAV_META_SCHEMA)

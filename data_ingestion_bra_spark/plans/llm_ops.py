@@ -732,7 +732,8 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              CAST(octet_length(encode(text)) AS BIGINT) AS n,
              LEAST(CAST(octet_length(encode(text)) AS BIGINT), 256) AS m
-      FROM documents WHERE length(text) > 0
+      FROM documents
+      WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
     )
     SELECT doc_id,
            n AS n_bytes,
@@ -750,13 +751,17 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas decode path on the oracle-checked surface: opaque
     payload bytes → (dims, channels, mean intensity) via Arrow-batched
     Python (operators/multimodal.py). The deterministic stub decoder is
-    integer-exact, so the SQL oracle recomputes it from the bytes (fixture
-    text is pure ASCII → ord(char) == byte). This is the ONE registered
+    integer-exact, so the SQL oracle recomputes it from the bytes. Both
+    sides filter to single-byte (ASCII) docs — octet_length == length — so
+    the oracle's per-CHARACTER ord() walk provably equals the stub's
+    per-BYTE walk regardless of fixture content. This is the ONE registered
     query that intentionally crosses into Python — the designated escape
     hatch, Arrow-batched, never row-at-a-time."""
     from data_ingestion_bra_spark.operators import multimodal
 
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
     payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
     return multimodal.decode_images(payloads)
 
@@ -1078,7 +1083,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              CAST(octet_length(encode(text)) AS BIGINT) AS n,
              CAST(LEAST(CAST(octet_length(encode(text)) AS BIGINT), 512) AS INT) AS m
-      FROM documents WHERE length(text) > 0
+      FROM documents
+      WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
     )
     SELECT doc_id,
            n AS n_bytes,
@@ -1101,13 +1107,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duration, peak, mean level, zero crossings) via Arrow-batched
     mapInPandas (operators/multimodal.py:audio_features). The stub sample
     interpretation is integer-exact, so the SQL oracle recomputes it from
-    the same bytes (ASCII fixture text → ord(char) == byte); a real
-    deployment swaps librosa/ffmpeg into the same batch contract."""
+    the same bytes; both sides filter to single-byte (ASCII) docs so the
+    oracle's per-character ord() provably equals the stub's per-byte walk.
+    The REAL decoder lives in ``multimodal_audio_wav_decode`` (stdlib
+    ``wave`` over genuine RIFF bytes); librosa/ffmpeg slot into the same
+    batch contract for compressed formats."""
     from data_ingestion_bra_spark.operators import multimodal
 
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
     payloads = multimodal.attach_binary_payload(d, "doc_id", "text")
     return multimodal.audio_features(payloads)
+
+
+@register(
+    "multimodal_audio_wav_decode",
+    """
+    WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS nf
+               FROM documents),
+    s AS (SELECT doc_id, nf, i,
+                 CAST(((doc_id * 7919 + i * 131) % 4096) - 2048 AS BIGINT) AS smp,
+                 CAST(((doc_id * 7919 + (i + 1) * 131) % 4096) - 2048 AS BIGINT) AS nxt
+          FROM d, unnest(generate_series(0, nf - 1)) AS t(i))
+    SELECT doc_id,
+           CAST(44 + 2 * nf AS BIGINT) AS n_bytes,
+           nf AS n_frames,
+           CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(max(abs(smp)) AS BIGINT) AS peak,
+           CAST(sum(abs(smp)) * 1000000 // (nf * 32768) AS BIGINT) AS mean_abs_e6,
+           CAST(sum(CASE WHEN i < nf - 1 AND (smp < 0) <> (nxt < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM s GROUP BY doc_id, nf
+    """,
+    tags=("multimodal", "audio", "wav", "real-decode", "mapInPandas"),
+)
+def multimodal_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, zero new dependencies: each doc gets a genuine
+    RIFF/WAVE payload (stdlib ``wave`` writer over deterministic synthetic
+    16-bit PCM), and the decode stage parses the container back with stdlib
+    ``wave`` + ``array`` inside the same Arrow-batched mapInPandas contract
+    as the stub path (operators/multimodal.py:wav_audio_features). Features
+    (duration/peak/mean level/zero crossings) are integer-exact over the
+    decoded samples, and the PCM is a pure modular-arithmetic function of
+    (doc_id, i) — so the SQL oracle regenerates the identical waveform and
+    verifies what the real decoder extracted from real WAV bytes."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.wav_audio_features(multimodal.synthesize_wav(d))
 
 
 @register(

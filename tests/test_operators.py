@@ -363,6 +363,43 @@ def test_audio_features_stub_contract(spark):
     assert rows[1]["peak"] == 126 and rows[1]["zero_crossings"] == 0
 
 
+def test_wav_real_decode_roundtrip(spark):
+    """REAL audio: genuine RIFF/WAVE bytes (stdlib wave writer) parsed back
+    by the stdlib wave reader inside the mapInPandas contract; features are
+    integer-exact over the decoded 16-bit samples."""
+    df = spark.createDataFrame([(3,), (64,)], "doc_id bigint")
+    wav = multimodal.synthesize_wav(df)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in wav.collect()}
+    # payloads are real WAV containers: RIFF magic, 44-byte header + 2B/frame
+    for doc_id, p in payloads.items():
+        n = 64 + doc_id % 64
+        assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+        assert len(p) == 44 + 2 * n
+    rows = {r["doc_id"]: r for r in multimodal.wav_audio_features(wav).collect()}
+    for doc_id in (3, 64):
+        samples = multimodal._synth_samples(doc_id)
+        n = len(samples)
+        r = rows[doc_id]
+        assert r["n_frames"] == n == 64 + doc_id % 64
+        assert r["n_bytes"] == 44 + 2 * n
+        assert r["duration_ms"] == n * 1000 // multimodal.WAV_RATE_HZ
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["mean_abs_e6"] == sum(abs(s) for s in samples) * 1_000_000 // (n * 32768)
+        assert r["zero_crossings"] == sum(
+            1 for i in range(n - 1) if (samples[i] < 0) != (samples[i + 1] < 0)
+        )
+
+
+def test_wav_decode_rejects_corrupt_container(spark):
+    """A real decoder fails on a corrupt container — truncated header bytes
+    must raise through the batch path, not produce garbage features."""
+    df = spark.createDataFrame(
+        [(0, bytearray(b"RIFFnotawav"))], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(Exception, match="(?i)wave|riff|empty|not a"):
+        multimodal.wav_audio_features(df).collect()
+
+
 def test_ivf_index_cache_invalidates_on_data_change(spark, tmp_path):
     """The persisted IVF index is keyed by the dataset's file identity: a
     regenerated embeddings table must retrain/reassign, never serve stale
