@@ -93,27 +93,49 @@ def _pil_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, mean_intensity_e6
 
 
+def _png_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL image decode via the vendored pure-Python PNG codec
+    (``operators/png.py`` — stdlib zlib inflate, CRC checks, all five
+    scanline filters). Same signature/semantics as ``_pil_decode``; needs
+    no third-party library, so the real-container path executes even in
+    this dependency-locked environment."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    if not payload:
+        raise ValueError("empty payload: cannot decode")
+    width, height, channels, data = _png.decode_png(payload)
+    denom = len(data) * 255
+    mean_intensity_e6 = (sum(data) * 1_000_000) // denom if denom else 0
+    return width, height, channels, mean_intensity_e6
+
+
 def pick_decoder(decoder: str = "stub"):
     """Resolve a decoder name to a per-payload callable.
 
     - ``stub``: the deterministic fake (default — the fixture corpus is
       UTF-8 text bytes, not real image files, and the oracle pins its math)
+    - ``png``: real PNG decode via the vendored stdlib-only codec
+      (``operators/png.py``) — always available
     - ``pil``: real PIL decode; raises ImportError with guidance if the
       library is absent
-    - ``auto``: PIL when importable, stub otherwise
+    - ``auto``: PIL when importable, stub otherwise (fixture payloads are
+      text bytes, so auto's fallback must accept arbitrary binary)
     """
     if decoder == "stub":
         return _fake_decode
+    if decoder == "png":
+        return _png_decode
     if decoder == "pil":
         if _PILImage is None:
             raise ImportError(
-                "decoder='pil' requires Pillow; install it or use decoder='auto' "
-                "to fall back to the deterministic stub"
+                "decoder='pil' requires Pillow; install it, use decoder='png' "
+                "for the vendored real decoder, or decoder='auto' to fall "
+                "back to the deterministic stub"
             )
         return _pil_decode
     if decoder == "auto":
         return _pil_decode if _PILImage is not None else _fake_decode
-    raise ValueError(f"unknown decoder {decoder!r}; expected stub|pil|auto")
+    raise ValueError(f"unknown decoder {decoder!r}; expected stub|png|pil|auto")
 
 
 def make_decode_batch_fn(decoder: str = "stub"):
@@ -426,3 +448,88 @@ def wav_audio_features(df: DataFrame) -> DataFrame:
     ``wave`` parses the RIFF container and features are computed from the
     decoded 16-bit samples in exact integer arithmetic (SQL-oracle-safe)."""
     return df.mapInPandas(wav_features_batch_fn, schema=WAV_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL images: genuine PNG containers encoded AND decoded with the vendored
+# stdlib-only codec (operators/png.py) — the image twin of the WAV path.
+# --------------------------------------------------------------------------
+
+
+def _synth_pixels(doc_id: int) -> tuple[int, int, bytes]:
+    """Deterministic RGB pixel buffer per doc: w = 8 + doc_id % 8,
+    h = 8 + (doc_id // 8) % 8, byte j = (doc_id*31 + j*7) % 256 — pure
+    modular arithmetic so a SQL oracle regenerates the identical image."""
+    w = 8 + doc_id % 8
+    h = 8 + (doc_id // 8) % 8
+    pix = bytes((doc_id * 31 + j * 7) % 256 for j in range(w * h * 3))
+    return w, h, pix
+
+
+def _synth_png_bytes(doc_id: int) -> bytes:
+    """Real PNG bytes for a doc's synthetic RGB image. The scanline filter
+    cycles through all five predictors (doc_id % 5) so a corpus-wide decode
+    exercises every de-filter path, not just filter 0."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    w, h, pix = _synth_pixels(doc_id)
+    return _png.encode_png(w, h, pix, channels=3, filter_type=doc_id % 5)
+
+
+def synth_png_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id) in, (doc_id, real PNG payload) out."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_synth_png_bytes(int(d)) for d in ids]}
+        )
+
+
+def synthesize_png(df: DataFrame) -> DataFrame:
+    """Attach a real PNG payload per doc_id (deterministic synthetic RGB)."""
+    return df.select("doc_id").mapInPandas(synth_png_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        # decoded-buffer size (w*h*ch), NOT container size: zlib stream
+        # length is implementation-detail, decoded geometry is contract
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity_e6", T.LongType()),
+    ]
+)
+
+
+def png_decode_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload=PNG bytes) in, decoded image
+    features out — full container parse (CRC, inflate, de-filter) per row."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, data = _png.decode_png(bytes(payload))
+            denom = len(data) * 255
+            mean = (sum(data) * 1_000_000) // denom if denom else 0
+            out.append((int(doc_id), len(data), w, h, ch, mean))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "n_pixel_bytes",
+                "width",
+                "height",
+                "channels",
+                "mean_intensity_e6",
+            ],
+        )
+
+
+def png_decode_features(df: DataFrame) -> DataFrame:
+    """REAL image decode over a PNG payload column via mapInPandas using the
+    vendored codec; features integer-exact over the decoded pixel bytes."""
+    return df.mapInPandas(png_decode_batch_fn, schema=PNG_META_SCHEMA)

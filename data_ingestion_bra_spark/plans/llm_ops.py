@@ -1159,6 +1159,43 @@ def multimodal_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_png_decode",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(8 + doc_id % 8 AS INT) AS w,
+                      CAST(8 + (doc_id // 8) % 8 AS INT) AS h
+               FROM documents),
+    s AS (SELECT doc_id, w, h,
+                 CAST((doc_id * 31 + j * 7) % 256 AS BIGINT) AS px
+          FROM d, unnest(generate_series(0, CAST(w AS BIGINT) * h * 3 - 1)) AS t(j))
+    SELECT doc_id,
+           CAST(w * h * 3 AS BIGINT) AS n_pixel_bytes,
+           w AS width,
+           h AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(px) * 1000000 // (w * h * 3 * 255) AS BIGINT) AS mean_intensity_e6
+    FROM s GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "png", "real-decode", "mapInPandas"),
+)
+def multimodal_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, zero new dependencies: each doc gets a genuine
+    PNG container (vendored stdlib-only codec, operators/png.py), with the
+    scanline filter cycling through all five predictors across the corpus,
+    and the decode stage parses it back — signature, chunk CRCs, zlib
+    inflate, de-filter — inside the same Arrow-batched mapInPandas contract
+    as the stub path. The pixel buffer is a pure modular-arithmetic
+    function of (doc_id, j), so the SQL oracle regenerates the identical
+    image and verifies what the real decoder extracted from real PNG bytes.
+    A production deployment swaps Pillow/libvips into the same callable
+    (``pick_decoder('pil')``) with zero plumbing changes."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.png_decode_features(multimodal.synthesize_png(d))
+
+
+@register(
     "curation_pack_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text, length(text) AS L,
