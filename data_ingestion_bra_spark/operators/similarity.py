@@ -187,6 +187,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 3,
+    train_sample_rate: float | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd iterations over quantized vectors.
 
@@ -196,10 +197,24 @@ def kmeans_train(
     shape (map-side combine) that never materializes a per-cell vector list.
     All arithmetic on BIGINT fixed-point, so the trained centroids are
     bit-reproducible by the SQL oracle. Returns (cell, cvec).
+
+    ``train_sample_rate``: Lloyd iterations run over a deterministic
+    content-hash sample of the corpus (``operators/sampling.py`` — invariant
+    to physical layout, so centroids stay bit-reproducible and the SQL
+    oracle mirrors the filter). Cluster geometry needs only a representative
+    sample; at 100 TB, training must NOT assign the full corpus once per
+    iteration — the corpus is assigned exactly once, at index build
+    (``load_or_build_ivf_index``). Seeds still come from the full corpus
+    (first ``n_centroids`` ids) so seeding is sample-rate-independent.
     """
+    from data_ingestion_bra_spark.operators.sampling import deterministic_sample
+
+    train = vectors
+    if train_sample_rate is not None and train_sample_rate < 1.0:
+        train = deterministic_sample(vectors, [id_col], train_sample_rate)
     cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
     for _ in range(n_iter):
-        assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
+        assigned = assign_cells(train, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
         dim_stats = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -222,6 +237,59 @@ def kmeans_train(
     return cents
 
 
+def _ivf_cache_root() -> "Path":
+    """Resolve the IVF index cache directory.
+
+    ``SPARK_GRAFT_IVF_CACHE`` overrides; otherwise the repo checkout root
+    (two levels above this package) — unless the package is installed under
+    site-packages, where writing next to the install tree would be wrong, so
+    fall back to a per-user temp dir. At 100 TB the 'cache' is object-store
+    parquet addressed by config, which the env var models.
+    """
+    import os
+    import tempfile
+    from pathlib import Path
+
+    env = os.environ.get("SPARK_GRAFT_IVF_CACHE")
+    if env:
+        return Path(env)
+    root = Path(__file__).resolve().parents[2]
+    if "site-packages" in root.parts or "dist-packages" in root.parts:
+        return Path(tempfile.gettempdir()) / "spark_graft_ivf_cache"
+    return root / ".ivf_cache"
+
+
+def _dataset_fingerprint(src: "Path") -> str:
+    """Identity of a parquet dataset for cache keying: size + st_mtime_ns +
+    an md5 over head/tail content bytes (the parquet footer carries row
+    counts and column stats, so a same-size same-second regeneration still
+    flips the hash). Directory-style datasets fingerprint each member file,
+    so a rewritten part flips the key even if the dir's own stat doesn't.
+    """
+    import hashlib
+
+    def one(f) -> str:
+        st = f.stat()
+        h = hashlib.md5()
+        with open(f, "rb") as fh:
+            h.update(fh.read(65536))
+            if st.st_size > 131072:
+                fh.seek(-65536, 2)
+            h.update(fh.read(65536))
+        return f"{st.st_size}-{st.st_mtime_ns}-{h.hexdigest()[:12]}"
+
+    try:
+        if src.is_dir():
+            parts = sorted(p for p in src.rglob("*") if p.is_file())
+            h = hashlib.md5()
+            for p in parts:
+                h.update(f"{p.name}:{one(p)};".encode())
+            return h.hexdigest()[:16]
+        return hashlib.md5(one(src).encode()).hexdigest()[:16]
+    except OSError:
+        return "nosrc"
+
+
 def load_or_train_centroids(
     spark,
     vectors: DataFrame,
@@ -231,6 +299,7 @@ def load_or_train_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 1,
+    train_sample_rate: float | None = None,
 ) -> DataFrame:
     """Train-once / serve-many IVF index: trained centroids are persisted to
     a tiny JSON artifact keyed by (dataset, n_centroids, n_iter) and reloaded
@@ -248,24 +317,29 @@ def load_or_train_centroids(
     import os
     from pathlib import Path
 
-    cache_dir = Path(__file__).resolve().parents[2] / ".ivf_cache"
-    # Key includes the source file's size+mtime: if the dataset is ever
-    # regenerated, the stale index retrains instead of silently serving
-    # centroids that no longer match what the oracle derives from the data.
+    cache_dir = _ivf_cache_root()
+    # Key includes the source dataset's content fingerprint (size, mtime_ns,
+    # head/tail md5): if the dataset is ever regenerated — even same-size
+    # within the same second — the stale index retrains instead of silently
+    # serving centroids that no longer match what the oracle derives.
     src = Path(sf_dir) / "embeddings.parquet"
-    try:
-        st = src.stat()
-        fp = f"-{st.st_size}-{int(st.st_mtime)}"
-    except OSError:
-        fp = ""
-    key = f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{fp}.json"
+    sr = "" if train_sample_rate is None else f"-s{train_sample_rate}"
+    key = (
+        f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{sr}"
+        f"-{_dataset_fingerprint(src)}.json"
+    )
     path = cache_dir / key
     schema = "cell int, cvec array<bigint>"
     if path.exists():
         rows = json.loads(path.read_text())
         return spark.createDataFrame([(r["cell"], r["cvec"]) for r in rows], schema)
     cents = kmeans_train(
-        vectors, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids, n_iter=n_iter
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+        train_sample_rate=train_sample_rate,
     )
     local = [(r["cell"], list(r["cvec"])) for r in cents.collect()]
     cache_dir.mkdir(exist_ok=True)
@@ -284,6 +358,7 @@ def load_or_build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     n_iter: int = 1,
+    train_sample_rate: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full IVF index = centroids + INVERTED LISTS. Returns
     ``(centroids, assignments)`` where assignments is ``(vid, cell, v)`` —
@@ -308,15 +383,15 @@ def load_or_build_ivf_index(
         vec_col=vec_col,
         n_centroids=n_centroids,
         n_iter=n_iter,
+        train_sample_rate=train_sample_rate,
     )
-    cache_dir = Path(__file__).resolve().parents[2] / ".ivf_cache"
+    cache_dir = _ivf_cache_root()
     src = Path(sf_dir) / "embeddings.parquet"
-    try:
-        st = src.stat()
-        fp = f"-{st.st_size}-{int(st.st_mtime)}"
-    except OSError:
-        fp = ""
-    lists_dir = cache_dir / f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{fp}-lists.parquet"
+    sr = "" if train_sample_rate is None else f"-s{train_sample_rate}"
+    lists_dir = cache_dir / (
+        f"{Path(sf_dir).name}-c{n_centroids}-i{n_iter}{sr}"
+        f"-{_dataset_fingerprint(src)}-lists.parquet"
+    )
     if not lists_dir.exists():
         assigned = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
         tmp = lists_dir.with_name(lists_dir.name + f".tmp{os.getpid()}")

@@ -299,12 +299,28 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
+def _ivf_oracle(
+    n_iter: int = 2, n_probe: int = 2, train_sample_rate: float | None = None
+) -> str:
     """DuckDB twin of ``similarity.ivf_topk`` with trained centroids: the
     Lloyd iterations are unrolled as CTE chains (seed = first 8 vectors,
     assign = argmax 4-dp fixed-point cosine with (sim DESC, cell) tie-break,
     update = element-wise integer mean), matching the Spark arithmetic
-    bit-for-bit because everything is BIGINT fixed-point."""
+    bit-for-bit because everything is BIGINT fixed-point.
+
+    ``train_sample_rate`` mirrors ``kmeans_train``'s deterministic
+    content-hash training sample: Lloyd assignment CTEs filter to rows with
+    ``substr(md5(vec_id), 1, 6)`` below the nested-hex threshold — the
+    byte-identical DuckDB spelling of ``operators/sampling.py``."""
+    from data_ingestion_bra_spark.operators.sampling import hex_threshold
+
+    train_src = "n"
+    if train_sample_rate is not None and train_sample_rate < 1.0:
+        thr = hex_threshold(train_sample_rate)
+        train_src = (
+            "(SELECT * FROM n WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)"
+            f" < '{thr}')"
+        )
 
     def cent_norm(c: str) -> str:
         return f"sqrt(CAST(list_sum(list_transform({c}, x -> x * x)) AS DOUBLE))"
@@ -327,7 +343,7 @@ def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
       SELECT vid, cell FROM (
         SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
         FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(f'cent{k - 1}')} AS sim
-              FROM n nv CROSS JOIN cent{k - 1} c) s
+              FROM {train_src} nv CROSS JOIN cent{k - 1} c) s
       ) WHERE rn = 1
     ),
     exp{k} AS (
@@ -378,12 +394,15 @@ def _ivf_oracle(n_iter: int = 2, n_probe: int = 2) -> str:
 
 @register(
     "similarity_topk_ivf",
-    _ivf_oracle(n_iter=1, n_probe=2),
+    _ivf_oracle(n_iter=1, n_probe=2, train_sample_rate=0.5),
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 with TRAINED centroids (one deterministic Lloyd iteration
-    over integer fixed-point vectors, seeded from the first 8 vectors) and
+    over integer fixed-point vectors, seeded from the first 8 vectors,
+    trained on a 50% deterministic content-hash sample — at 100 TB the
+    trainer must never assign the full corpus once per iteration; the
+    corpus is assigned exactly once at index build) and
     multi-probe (each query searches its 2 nearest cells) — the scale path:
     candidates come from an equi-join on cell id, cost tracks cell sizes,
     and recall is tunable via n_probe without touching the index.
@@ -397,7 +416,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle remains bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents, lists = similarity.load_or_build_ivf_index(
-        spark, emb, sf_dir, n_centroids=8, n_iter=1
+        spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
     )
     return similarity.ivf_topk(
         emb,

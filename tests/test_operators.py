@@ -147,6 +147,59 @@ def test_ivf_trained_centroids_recall(spark):
     assert recalls[0] <= recalls[-1], recalls  # more probes never hurt
 
 
+def test_ivf_sample_trained_recall(spark):
+    """Centroids trained on a 50% deterministic content-hash sample (the
+    100 TB training mode — Lloyd never assigns the full corpus) must keep
+    the same ≥0.9 recall contract at probe=4."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bf = similarity.brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    truth = {(r["query_id"], r["cand_id"]) for r in bf.collect()}
+    cents = similarity.kmeans_train(
+        emb, n_centroids=8, n_iter=1, train_sample_rate=0.5
+    )
+    ivf = similarity.ivf_topk(
+        emb, n_probe=4, query_ids=list(range(10)), k=5, centroids=cents
+    )
+    got = {(r["query_id"], r["cand_id"]) for r in ivf.collect()}
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_dataset_fingerprint_detects_same_size_same_second(tmp_path):
+    """Cache-key fingerprint must flip when a dataset is regenerated with
+    identical size AND identical mtime (the race the stat-only key missed):
+    content bytes participate via the head/tail md5."""
+    import os
+
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"A" * 4096)
+    st = f.stat()
+    fp1 = similarity._dataset_fingerprint(f)
+    f.write_bytes(b"B" * 4096)  # same size
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
+    fp2 = similarity._dataset_fingerprint(f)
+    assert fp1 != fp2
+    # directory-style datasets: a rewritten member flips the key too
+    d = tmp_path / "dirstyle.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"A" * 1024)
+    fpd1 = similarity._dataset_fingerprint(d)
+    stp = (d / "part-0.parquet").stat()
+    (d / "part-0.parquet").write_bytes(b"B" * 1024)
+    os.utime(d / "part-0.parquet", ns=(stp.st_atime_ns, stp.st_mtime_ns))
+    assert similarity._dataset_fingerprint(d) != fpd1
+
+
+def test_ivf_cache_root_env_override(tmp_path, monkeypatch):
+    """SPARK_GRAFT_IVF_CACHE relocates the index cache (object-store slot at
+    scale); without it the default never lands under site-packages."""
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CACHE", str(tmp_path / "ivfc"))
+    assert similarity._ivf_cache_root() == tmp_path / "ivfc"
+    monkeypatch.delenv("SPARK_GRAFT_IVF_CACHE")
+    assert "site-packages" not in similarity._ivf_cache_root().parts
+
+
 def test_kmeans_train_deterministic(spark):
     """Two independent training runs produce identical centroids (fixed
     seeds, integer arithmetic — no RNG, no float summation-order drift)."""
