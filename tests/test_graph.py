@@ -2,13 +2,29 @@
 
 from __future__ import annotations
 
-from data_ingestion_bra_spark.operators.graph import connected_components
+import random
+
+import pytest
+
+from data_ingestion_bra_spark.operators.graph import (
+    connected_components,
+    star_contraction_components,
+)
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kw).collect()
     return {r.doc: r.cluster_id for r in rows}
+
+
+def _star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    res = star_contraction_components(df, **kw)
+    if kw.get("return_rounds"):
+        out, rounds = res
+        return {r.doc: r.cluster_id for r in out.collect()}, rounds
+    return {r.doc: r.cluster_id for r in res.collect()}
 
 
 def test_chain_collapses_to_min_label(spark):
@@ -32,3 +48,61 @@ def test_label_direction_is_symmetric(spark):
 
 def test_empty_edges(spark):
     assert _cc(spark, []) == {}
+
+
+# ---- star contraction (Kiveris alternating large-star/small-star) ----
+
+
+def test_star_matches_minlabel_on_shapes(spark):
+    """Property: star contraction and min-label agree on path, star, clique,
+    two-component, and self-loop/singleton shapes."""
+    shapes = [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],  # path
+        [(10, 11), (10, 12), (10, 13)],  # star (root not min? 10 is min)
+        [(21, 20), (22, 20), (23, 20)],  # star rooted at min
+        [(1, 2), (1, 3), (2, 3)],  # clique
+        [(10, 11), (11, 12), (20, 21)],  # two components
+        [(5, 5)],  # self-loop only
+        [(7, 7), (7, 8)],  # self-loop + edge
+    ]
+    for edges in shapes:
+        assert _star(spark, edges) == _cc(spark, edges, algorithm="minlabel"), edges
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 80))
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        assert _star(spark, edges) == _cc(spark, edges, algorithm="minlabel"), trial
+
+
+def test_star_long_path_converges_in_log2_rounds(spark):
+    """A 1,000-node path — the adversarial diameter that min-label needs
+    1,000 rounds for — must converge in O(log²) alternating rounds."""
+    edges = [(i, i + 1) for i in range(999)]
+    got, rounds = _star(spark, edges, return_rounds=True)
+    assert got == {i: 0 for i in range(1000)}
+    assert rounds <= 12, rounds
+
+
+def test_auto_falls_back_to_star_on_exhausted_minlabel(spark):
+    """algorithm='auto' with max_iter far below the diameter must still
+    return the CORRECT full labeling (via the star fallback), not the
+    silently-incomplete min-label state."""
+    edges = [(i, i + 1) for i in range(99)]
+    got = _cc(spark, edges, max_iter=3, algorithm="auto")
+    assert got == {i: 0 for i in range(100)}
+    # minlabel alone at max_iter=3 is provably incomplete on this graph
+    partial = _cc(spark, edges, max_iter=3, algorithm="minlabel")
+    assert partial != got
+
+
+def test_unknown_algorithm_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], "doc_a BIGINT, doc_b BIGINT")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        connected_components(df, algorithm="bfs")
