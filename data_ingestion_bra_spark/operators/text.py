@@ -139,14 +139,22 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Pure regexp Column expressions (one codegen stage, no UDF); patterns are
     Java/RE2-portable so the DuckDB oracle replays them verbatim.
+
+    Audit semantics: each class is counted against the text AFTER the prior
+    classes' redactions — mirroring the sequential replace chain — so
+    ``n_<class>`` is exactly the number of ``[<CLASS>]`` tokens the redacted
+    body carries (a CPF span consumed by the earlier email replacement is
+    neither redacted as CPF nor counted as one).
     """
     t = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
-    ]
+    counts = []
     red = t
     for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
         red = F.regexp_replace(red, pat, PII_REPLACEMENTS[name])
     return df.select(
         F.col(id_col).alias("doc_id"),

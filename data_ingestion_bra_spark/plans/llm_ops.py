@@ -946,16 +946,19 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pii_oracle() -> str:
     """Replays operators/text.py PII_PATTERNS verbatim (RE2-compatible by
     construction); counts via regexp_extract_all, redaction via the same
-    ordered chain of global regexp_replace calls."""
+    ordered chain of global regexp_replace calls. Counting mirrors the
+    sequential chain (each class counted on the prior classes' OUTPUT), so
+    counts always equal the redaction tokens in the fingerprinted body."""
     from data_ingestion_bra_spark.operators.text import PII_PATTERNS, PII_REPLACEMENTS
 
-    counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat in PII_PATTERNS.items()
-    )
+    count_exprs = []
     red = "text"
     for name, pat in PII_PATTERNS.items():
+        count_exprs.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{PII_REPLACEMENTS[name]}', 'g')"
+    counts = ",\n           ".join(count_exprs)
     return f"""
     SELECT doc_id,
            {counts},
