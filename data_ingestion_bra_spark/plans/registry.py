@@ -91,11 +91,24 @@ GATE_ORDER: tuple[str, ...] = (
     "text_langid",
     "text_term_stats_top3",
     "text_fingerprints",
-    "multimodal_decode_features",
-    "multimodal_binary_meta",
+    # REAL decoders (round 4): genuine PNG and RIFF/WAVE containers parsed
+    # by vendored/stdlib code inside the mapInPandas contract. They gate in
+    # place of their stub twins (multimodal_decode_features,
+    # multimodal_audio_features, multimodal_binary_meta) — the stubs stay
+    # registered below the window and hash-verified in ORACLE_FULL_r04.json.
+    "multimodal_image_png_decode",
+    "multimodal_audio_wav_decode",
     "text_chunks_sliding",
     "curation_pipeline",
     "sample_weighted_by_quality",
+    # Round-3 additions the driver never saw (previously below the window):
+    # contamination screening, sequence packing, the packed end-to-end
+    # curation pipeline, and the dataset-card mixture report — each is its
+    # own capability row, not a family twin.
+    "dedup_contamination_check",
+    "text_pack_sequences",
+    "curation_pack_pipeline",
+    "corpus_mixture_report",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",
@@ -108,13 +121,16 @@ GATE_ORDER: tuple[str, ...] = (
     "text_pii_redaction",
     "join_full_outer_nation_activity",
     "count_distinct_customers_per_status",
-    "approx_count_distinct_customers",
+    # Displaced family twins (still registered + verified in
+    # ORACLE_FULL_r04.json): approx_count_distinct_customers (sketch twin of
+    # the gated exact count-distinct), pivot_orders_status (reshape twin of
+    # the gated grouping sets), json_extract_props (covered by
+    # map_funcs_suite), events_multires_rollup (covered by grouping sets +
+    # tumbling windows).
     "set_ops_multiset",
     "grouping_sets_status_priority",
-    "pivot_orders_status",
     "scalar_cast_suite",
     "manifest_null_counts_documents",
-    "json_extract_props",
     "percentiles_quantity",
     # Window families: rank, frames (RANGE 30d), grouped-map twin.
     "window_rank_family",
@@ -132,7 +148,6 @@ GATE_ORDER: tuple[str, ...] = (
     "events_tumbling_hourly",
     "events_session_windows",
     "events_asof_purchase_click",
-    "events_multires_rollup",
     "shipping_priority_top10",
     "nation_revenue",
 )

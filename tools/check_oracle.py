@@ -78,8 +78,17 @@ def _pdf_rows(pdf: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH writes the full per-query report (the committable artifact
+    # that keeps below-gate-window queries provably green round over round)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as e
 
@@ -104,9 +113,11 @@ def main() -> int:
             srows = _pdf_rows(spdf)
         except Exception as ex:
             failures.append((name, f"SPARK ERROR: {ex}"))
+            report[name] = {"ok": False, "err": f"spark: {str(ex)[:300]}"}
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             continue
         if name not in oracles:
+            report[name] = {"ok": True, "rows": len(srows), "mode": "rows-only"}
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
             continue
         try:
@@ -115,6 +126,7 @@ def main() -> int:
             drows = _pdf_rows(dpdf)
         except Exception as ex:
             failures.append((name, f"DUCKDB ERROR: {ex}"))
+            report[name] = {"ok": False, "err": f"duckdb: {str(ex)[:300]}"}
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
         problems = []
@@ -132,11 +144,30 @@ def main() -> int:
                     break
         if problems:
             failures.append((name, "; ".join(problems)))
+            report[name] = {"ok": False, "rows": len(srows), "err": "; ".join(problems)}
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
+            report[name] = {
+                "ok": True,
+                "rows": len(srows),
+                "mode": "rows+schema+hash",
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{n_run - len(failures)}/{n_run} green")
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": n_run,
+            "n_green": n_run - len(failures),
+            "checker": "tools/check_oracle.py (type-strict pandas fetch path)",
+            "queries": report,
+        }
+        Path(json_out).write_text(json.dumps(payload, indent=1) + "\n")
+        print(f"report written: {json_out}")
     return 1 if failures else 0
 
 

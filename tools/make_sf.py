@@ -14,7 +14,14 @@ referential integrity and distribution shape, which is what the bench needs:
   quadratically;
 - ``documents.text`` gets a per-replica suffix so near-dup structure is
   preserved (each replica is a near-duplicate family, not an exact-dup
-  explosion that would inflate LSH candidate pairs 45x);
+  explosion that would inflate LSH candidate pairs 45x). Beyond 10 copies,
+  replicas are split into GROUPS of 10: members of a group stay mutual
+  near-dups (suffix-only edits), while every token is salted with the group
+  id across groups — so near-dup family size stays ~10 however large the
+  replica, and candidate-pair volume scales LINEARLY with corpus size the
+  way a real corpus's duplicate rate does (a 100x replica where all 100
+  copies are mutual near-dups would measure a quadratic data artifact, not
+  the operator);
 - ``events.user_id`` is offset per replica so session/window state grows in
   key-count (more parallel state) rather than per-key depth.
 
@@ -70,8 +77,15 @@ def make_sf(copies: int, src: str, out: str) -> None:
             if c in ceils:
                 exprs.append(f"{c} + i * {ceils[c]} AS {c}")
             elif t == "documents" and c == "text":
-                # suffix keeps replicas near-dups, not exact dups
-                exprs.append("CASE WHEN i = 0 THEN text ELSE text || ' r' || i END AS text")
+                # suffix keeps replicas near-dups, not exact dups; groups of
+                # 10 bound the family size (token-salt across groups)
+                exprs.append(
+                    "CASE WHEN i = 0 THEN text "
+                    "WHEN i < 10 THEN text || ' r' || i "
+                    "ELSE regexp_replace(text, '(\\S+)', "
+                    "concat('g', CAST(i // 10 AS VARCHAR), '_\\1'), 'g')"
+                    " || ' r' || (i % 10) END AS text"
+                )
             else:
                 exprs.append(c)
         con.execute(
