@@ -207,40 +207,54 @@ def minhash_jaccard_estimate(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, *, nibbles: int = 8) -> DataFrame:
-    """32-bit SimHash (8 md5 nibbles × 4 bits) per document.
+    """SimHash (``nibbles`` md5 nibbles × 4 bits, up to 60 bits) per doc.
 
     Per distinct token: h = md5(token); nibble i's bit b contributes
     (+1 | -1) to bit position 4*i+b; final bit = (sum > 0). All arithmetic is
-    SQL-portable (strpos over a hex alphabet), so the DuckDB oracle matches
-    bit-for-bit.
+    SQL-portable, so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: per-distinct-token weights are computed once per VOCABULARY
+    entry as a packed ``array<bigint>`` and joined back, then summed with
+    ``nbits`` parallel column aggregates in ONE groupBy(doc) — the shuffle
+    carries |docs| rows (map-side combined), never |doc,token| × nbits
+    exploded rows. The earlier (doc, bit)-exploded formulation shuffled
+    60× the corpus token count at 60-bit width — a 4.5-billion-row shuffle
+    at the 100× replica; this one moves three orders of magnitude less.
     """
+    nbits = nibbles * 4
     doc_toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).distinct()
-    # Per-distinct-token bit weights, computed once per vocabulary entry and
-    # joined back — md5/bit math runs |vocab| × 32 times, not |corpus| × 32.
-    tok_contrib = (
-        doc_toks.select("tok")
-        .distinct()
-        .withColumn("h", F.md5("tok"))
-        .select("tok", "h", F.explode(F.sequence(F.lit(0), F.lit(nibbles * 4 - 1))).alias("bit"))
-        .withColumn("nib_pos", (F.col("bit") / 4).cast("int") + 1)
-        .withColumn("nib", F.expr("instr('0123456789abcdef', substr(h, nib_pos, 1)) - 1"))
-        .withColumn("w", F.expr("(shiftright(nib, CAST(bit % 4 AS INT)) & 1) * 2 - 1"))
-        .select("tok", "bit", "w")
+    # hex nibble -> int via conv(); weights packed per token: bit 4i+b of
+    # nibble i contributes (nib>>b & 1)*2-1
+    nibs = F.transform(
+        F.slice(F.split(F.md5(F.col("tok")), ""), 1, nibbles),
+        lambda c: F.conv(c, 16, 10).cast("int"),
     )
-    return (
-        doc_toks.join(tok_contrib, "tok")
-        .groupBy("doc", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc")
-        .agg(
-            F.sum(F.expr("CAST(bitval AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
-                "simhash"
-            )
+    ws = F.flatten(
+        F.transform(
+            nibs,
+            lambda nib: F.array(
+                *[
+                    (F.shiftright(nib, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for b in range(4)
+                ]
+            ),
         )
     )
+    tok_contrib = doc_toks.select("tok").distinct().select("tok", ws.alias("ws"))
+    sums = (
+        doc_toks.join(tok_contrib, "tok")
+        .groupBy("doc")
+        .agg(*[F.sum(F.col("ws")[i]).alias(f"s{i}") for i in range(nbits)])
+    )
+    fp = None
+    for i in range(nbits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select("doc", fp.alias("simhash"))
 
 
 def simhash_near_pairs(

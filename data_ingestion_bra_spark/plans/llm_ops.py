@@ -193,6 +193,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_full",
+    """
+    WITH tk AS (SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    h AS (SELECT doc, md5(tok) AS h FROM tk),
+    bits AS (SELECT doc, h, unnest(generate_series(0, 59)) AS bit FROM h),
+    w AS (SELECT doc, bit,
+                 ((strpos('0123456789abcdef', substr(h, (bit // 4) + 1, 1)) - 1)
+                   >> (bit % 4)) & 1 AS b
+          FROM bits),
+    s AS (SELECT doc, bit, SUM(2 * b - 1) AS s FROM w GROUP BY doc, bit),
+    fp AS (SELECT doc,
+                  CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END) * (1::BIGINT << bit)) AS BIGINT)
+                    AS simhash
+           FROM s GROUP BY doc)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("dedup", "simhash", "full-corpus"),
+)
+def dedup_simhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-corpus SimHash near-dups — the shape actually run at 100 TB
+    (the capped ``dedup_simhash`` twin exists so its all-pairs oracle stays
+    fixture-cheap; THIS is the entry the scale bench exercises): 60-bit
+    fingerprints, pigeonhole bucketing with 4 disjoint 15-bit bands, and
+    Hamming ≤ 3 < n_bands — so any qualifying pair agrees exactly on ≥ 1
+    band and the banded equi-join loses zero recall. 2^15 values per band
+    keeps bucket occupancy ~n/32768 per band: candidate volume tracks true
+    near-dup density linearly, never n². The oracle can therefore verify
+    with a plain all-pairs Hamming filter at fixture scale — pigeonhole
+    makes the two formulations provably identical."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(d, "doc_id", "text", nibbles=15)
+    return dedup.simhash_near_pairs(fps, max_hamming=3, n_bands=4, band_bits=15)
+
+
+@register(
     "dedup_duplicate_clusters",
     "WITH RECURSIVE "
     + _SH_CTE

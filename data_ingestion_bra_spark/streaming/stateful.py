@@ -91,8 +91,14 @@ def sessionize_fn(
             sv += float(value)
 
     state.update((start_us, last_us, n, sv))
-    # Emit when the watermark passes session end + gap.
-    state.setTimeoutTimestamp(last_us // 1000 + GAP_SECONDS * 1000)
+    # Emit when the watermark passes session end + gap. Clamp to just past
+    # the CURRENT watermark: on an out-of-order replay (backfill files not
+    # time-sliced) the watermark may already be beyond session end + gap,
+    # and Spark rejects a timeout in the past — such a session should
+    # simply time out at the next opportunity.
+    timeout_ms = last_us // 1000 + GAP_SECONDS * 1000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
 
     if out_sessions:
         yield pd.DataFrame(

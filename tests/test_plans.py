@@ -60,6 +60,10 @@ def test_snowflake_joins_all_broadcast(spark):
 PYTHON_ALLOWED = {
     "multimodal_decode_features",
     "multimodal_audio_features",
+    # real-decode twins: genuine PNG / RIFF-WAVE containers synthesized and
+    # parsed inside the same Arrow-batched mapInPandas contract
+    "multimodal_image_png_decode",
+    "multimodal_audio_wav_decode",
     "grouped_map_rank_per_lang",
 }
 
