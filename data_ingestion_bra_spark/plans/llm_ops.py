@@ -1257,6 +1257,47 @@ def multimodal_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_png_resize",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(8 + doc_id % 8 AS BIGINT) AS w,
+                      CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS h
+               FROM documents),
+    px AS (SELECT doc_id,
+                  ((((ty * h) // 10) * w + ((tx * w) // 12)) * 3 + c) AS j
+           FROM d,
+                unnest(generate_series(0, 9)) AS a(ty),
+                unnest(generate_series(0, 11)) AS b(tx),
+                unnest(generate_series(0, 2)) AS cc(c)),
+    v AS (SELECT doc_id, CAST((doc_id * 31 + j * 7) % 256 AS BIGINT) AS pv FROM px)
+    SELECT doc_id,
+           CAST(360 AS BIGINT) AS n_pixel_bytes,
+           CAST(12 AS INT) AS width,
+           CAST(10 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(pv) * 1000000 // (360 * 255) AS BIGINT) AS mean_intensity_e6
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "png", "resize", "real-decode", "mapInPandas"),
+)
+def multimodal_image_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: each doc's genuine PNG is decoded (vendored
+    codec), nearest-neighbor resampled to 12×10, re-encoded, and re-decoded
+    — all inside one Arrow-batched mapInPandas stage; output features come
+    from the RESIZED pixels. Because nearest-neighbor source indices are
+    pure integer arithmetic (sx = tx*w//12, sy = ty*h//10) over the
+    modular-arithmetic source image, the SQL oracle recomputes every
+    resized pixel and verifies the full decode→resample→encode→decode
+    round-trip. Pillow's richer resamplers slot into the same callable."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.resize_png_images(
+        multimodal.synthesize_png(d), width=12, height=10
+    )
+
+
+@register(
     "curation_pack_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text, length(text) AS L,

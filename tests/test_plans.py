@@ -63,6 +63,7 @@ PYTHON_ALLOWED = {
     # real-decode twins: genuine PNG / RIFF-WAVE containers synthesized and
     # parsed inside the same Arrow-batched mapInPandas contract
     "multimodal_image_png_decode",
+    "multimodal_image_png_resize",
     "multimodal_audio_wav_decode",
     "grouped_map_rank_per_lang",
 }

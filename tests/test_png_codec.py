@@ -87,6 +87,44 @@ def test_decode_images_with_vendored_decoder(spark):
     assert r["mean_intensity_e6"] == (sum(pix) * 1_000_000) // (len(pix) * 255)
 
 
+def test_png_real_resize_roundtrip(spark):
+    """decode → nearest-neighbor resample → re-encode → re-decode: resized
+    features must equal the hand-computed NN sample of the source pixels."""
+    doc_id = 9
+    w, h, pix = multimodal._synth_pixels(doc_id)
+    payload = multimodal._synth_png_bytes(doc_id)
+    df = spark.createDataFrame(
+        [(doc_id, bytearray(payload))], "doc_id bigint, payload binary"
+    )
+    (r,) = multimodal.resize_png_images(df, width=12, height=10).collect()
+    assert (r["width"], r["height"], r["channels"]) == (12, 10, 3)
+    assert r["n_pixel_bytes"] == 12 * 10 * 3
+    want = []
+    for ty in range(10):
+        sy = ty * h // 10
+        for tx in range(12):
+            sx = tx * w // 12
+            want += pix[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+    assert r["mean_intensity_e6"] == (sum(want) * 1_000_000) // (len(want) * 255)
+
+
+def test_png_resize_upscale_and_downscale():
+    """NN resample in both directions preserves corner pixels exactly."""
+    w, h, pix = 4, 4, bytes(range(48))
+    data = multimodal._png_resize(
+        __import__(
+            "data_ingestion_bra_spark.operators.png", fromlist=["png"]
+        ).encode_png(w, h, pix, channels=3),
+        8,
+        2,
+    )
+    dw, dh, dch, dpix = png.decode_png(data)
+    assert (dw, dh, dch) == (8, 2, 3)
+    # corner (0,0) keeps source pixel 0; row 1 maps to source row 2
+    assert dpix[0:3] == pix[0:3]
+    assert dpix[8 * 3 : 8 * 3 + 3] == pix[2 * 4 * 3 : 2 * 4 * 3 + 3]
+
+
 @pytest.mark.skipif(
     not pytest.importorskip("importlib").util.find_spec("PIL"),
     reason="Pillow not installed",
