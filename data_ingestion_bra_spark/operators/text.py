@@ -81,6 +81,98 @@ def quality_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _e4(x: Column) -> Column:
+    """Ratio → 1e-4 fixed-point BIGINT (the repo-wide hash-safe convention:
+    floor of correctly-rounded IEEE ops is the same integer everywhere)."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as strings; empty when < n tokens
+    (guarded: Spark's sequence(1, 0) DESCENDS instead of being empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Self-repetition quality signals (the Gopher/MassiveText family):
+    fraction of DUPLICATE word 2-grams / 3-grams within each document.
+    Degenerate machine-generated or boilerplate text repeats itself; these
+    ratios are the standard gate. Pure per-row array expressions — zero
+    shuffles, rides the scan at any scale."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+
+    def dup_ratio(n: int) -> Column:
+        grams = _ngram_array(toks, n)
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        return F.when(total > 0, _e4((total - distinct) / total)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(_ngram_array(toks, 2)).cast("bigint").alias("n_2grams"),
+        F.size(F.array_distinct(_ngram_array(toks, 2))).cast("bigint").alias("n_distinct_2grams"),
+        dup_ratio(2).alias("dup_2gram_ratio_e4"),
+        F.size(_ngram_array(toks, 3)).cast("bigint").alias("n_3grams"),
+        F.size(F.array_distinct(_ngram_array(toks, 3))).cast("bigint").alias("n_distinct_3grams"),
+        dup_ratio(3).alias("dup_3gram_ratio_e4"),
+    )
+
+
+#: Gopher-style rule gates (Rae et al. 2021 §A1.1, re-expressed as integer
+#: thresholds): token-count band, mean word length band, minimum fraction
+#: of alphabetic tokens, minimum stopword evidence.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN_E4 = 3 * 10_000
+GOPHER_MAX_MEAN_LEN_E4 = 10 * 10_000
+GOPHER_MIN_ALPHA_RATIO_E4 = 8_000
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality gates as one codegen projection:
+    per-doc metrics plus the final ``passes_quality`` flag (AND of all
+    gates). Thresholds are module constants so a pipeline can tune them;
+    everything integer/fixed-point so the oracle twin is exact."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    ltoks = F.split(F.lower(F.trim(t)), r"\s+")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len_e4 = _e4(sum_len / n)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio_e4 = _e4(alpha / n)
+    stop_hits = _marker_hits(ltoks, LANG_MARKERS["en"])
+    passes = (
+        (n >= GOPHER_MIN_TOKENS)
+        & (n <= GOPHER_MAX_TOKENS)
+        & (mean_len_e4 >= GOPHER_MIN_MEAN_LEN_E4)
+        & (mean_len_e4 <= GOPHER_MAX_MEAN_LEN_E4)
+        & (alpha_ratio_e4 >= GOPHER_MIN_ALPHA_RATIO_E4)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("bigint").alias("n_tokens"),
+        mean_len_e4.alias("mean_token_len_e4"),
+        alpha_ratio_e4.alias("alpha_token_ratio_e4"),
+        stop_hits.alias("stopword_hits"),
+        passes.cast("bigint").alias("passes_quality"),
+    )
+
+
 def fingerprint_expr(text: Column | str) -> Column:
     """Document fingerprint: md5 over the normalized text (lowercase,
     whitespace collapsed) — the exact-dedup key for noisy duplicates."""

@@ -231,8 +231,10 @@ def dedup_simhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_pairs(fps, max_hamming=3, n_bands=4, band_bits=15)
 
 
-@register(
-    "dedup_duplicate_clusters",
+#: shared recursive-CTE prefix: LSH candidate pairs → symmetric edges →
+#: transitive closure → components keyed by min doc id. Reused by the
+#: cluster listing AND the canonical-selection oracle.
+_CLUSTER_CTES = (
     "WITH RECURSIVE "
     + _SH_CTE
     + ","
@@ -254,6 +256,14 @@ def dedup_simhash_full(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT reach.doc, e.t FROM reach JOIN e ON e.s = reach.r
     ),
     comp AS (SELECT doc, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+"""
+)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    _CLUSTER_CTES
+    + """
     SELECT comp.doc AS doc_id, comp.cluster_id, CAST(sz.n AS BIGINT) AS cluster_sz
     FROM comp
     JOIN (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id) sz
@@ -269,15 +279,76 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks ONE canonical doc per duplicate family at 100 TB. The oracle
     replays the same edges and closes them with a recursive CTE."""
     d = load_table(spark, sf_dir, "documents")
+    comp = _lsh_dup_components(d)
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_sz"))
+    return comp.join(sizes, "cluster_id").select(
+        F.col("doc").alias("doc_id"), "cluster_id", "cluster_sz"
+    )
+
+
+def _lsh_dup_components(d: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs (estimate ≥ 0.25) closed into connected
+    components — the shared front half of the cluster listing and the
+    canonical-selection step. Returns (doc, cluster_id)."""
     sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False)
     sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
     pairs = est.filter(F.col("jaccard_est_e4") >= 2500).select("doc_a", "doc_b")
-    comp = graph.connected_components(pairs)
-    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_sz"))
-    return comp.join(sizes, "cluster_id").select(
-        F.col("doc").alias("doc_id"), "cluster_id", "cluster_sz"
+    return graph.connected_components(pairs)
+
+
+@register(
+    "dedup_canonical_selection",
+    _CLUSTER_CTES
+    + """
+    SELECT cluster_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           canonical_doc,
+           CAST(canonical_chars AS BIGINT) AS canonical_chars
+    FROM (
+      SELECT comp.cluster_id,
+             COUNT(*) OVER (PARTITION BY comp.cluster_id) AS n_docs,
+             comp.doc AS canonical_doc,
+             length(d.text) AS canonical_chars,
+             row_number() OVER (PARTITION BY comp.cluster_id
+                                ORDER BY length(d.text) DESC, comp.doc ASC) AS rn
+      FROM comp JOIN documents d ON d.doc_id = comp.doc
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "graph", "clusters", "canonical", "llm-pipeline"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETENTION step of cluster dedup: per duplicate cluster, keep the
+    best document (longest text, doc_id ascending as the deterministic
+    tie-break — a stand-in for any quality score) and report cluster size.
+    This is what actually shrinks a training corpus: pairs → components →
+    ONE canonical survivor per family. One window over the (tiny) component
+    table joined with per-doc quality — the document bodies never shuffle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = _lsh_dup_components(d)
+    quality = d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    scored = comp.join(quality, comp["doc"] == quality["doc_id"]).select(
+        "cluster_id", "doc", "n_chars"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("bigint"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("doc").alias("canonical_doc"),
+            F.col("n_chars").alias("canonical_chars"),
+        )
     )
 
 
@@ -654,6 +725,88 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter features of a pretraining-data quality gate."""
     d = load_table(spark, sf_dir, "documents")
     return text.quality_metrics(d, "doc_id", "text")
+
+
+@register(
+    "text_repetition_scores",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(generate_series(1, len(toks) - 1),
+                                          i -> concat_ws(' ', toks[i], toks[i+1]))
+                      ELSE [] END AS g2,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                      ELSE [] END AS g3
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(g2) AS BIGINT) AS n_2grams,
+           CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+           CAST(CASE WHEN len(g2) > 0
+                     THEN FLOOR((len(g2) - len(list_distinct(g2))) / len(g2)
+                                * 10000.0 + 0.5)
+                     ELSE 0 END AS BIGINT) AS dup_2gram_ratio_e4,
+           CAST(len(g3) AS BIGINT) AS n_3grams,
+           CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3grams,
+           CAST(CASE WHEN len(g3) > 0
+                     THEN FLOOR((len(g3) - len(list_distinct(g3))) / len(g3)
+                                * 10000.0 + 0.5)
+                     ELSE 0 END AS BIGINT) AS dup_3gram_ratio_e4
+    FROM g
+    """,
+    tags=("text", "quality", "repetition", "llm-pipeline"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-repetition signals (duplicate word 2-/3-gram fractions per
+    document) — the MassiveText/Gopher gate against degenerate repetitive
+    text; see operators/text.py:repetition_metrics (zero-shuffle
+    projection)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_metrics(d, "doc_id", "text")
+
+
+@register(
+    "text_gopher_quality",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n,
+                 CAST(FLOOR(list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS mean_len_e4,
+                 CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS alpha_e4,
+                 CAST(len(list_filter(ltoks,
+                          x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+                   AS stop_hits
+          FROM t)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           mean_len_e4 AS mean_token_len_e4,
+           alpha_e4 AS alpha_token_ratio_e4,
+           stop_hits AS stopword_hits,
+           CAST(CASE WHEN n >= 50 AND n <= 100000
+                      AND mean_len_e4 >= 30000 AND mean_len_e4 <= 100000
+                      AND alpha_e4 >= 8000 AND stop_hits >= 2
+                     THEN 1 ELSE 0 END AS BIGINT) AS passes_quality
+    FROM m
+    """,
+    tags=("text", "quality", "gopher", "llm-pipeline"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gates (token-count band, mean word length band,
+    alphabetic-token fraction, stopword evidence) collapsed to per-doc
+    metrics + a final passes_quality flag — one codegen projection; see
+    operators/text.py:gopher_quality."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.gopher_quality(d, "doc_id", "text")
 
 
 @register(

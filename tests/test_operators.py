@@ -416,6 +416,56 @@ def test_audio_features_stub_contract(spark):
     assert rows[1]["peak"] == 126 and rows[1]["zero_crossings"] == 0
 
 
+def test_repetition_metrics_known_values(spark):
+    """Hand-computed duplicate n-gram fractions, incl. degenerate repeats
+    and the short-doc guard (Spark's sequence(1,0) descends — must yield
+    empty gram arrays, not [1,0]-indexed garbage)."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),  # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (1, "one two three four"),  # all grams unique
+            (2, "single"),  # < n tokens: zero grams, ratio 0
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_metrics(df, "doc_id", "text").collect()}
+    r0 = rows[0]
+    assert (r0["n_2grams"], r0["n_distinct_2grams"]) == (5, 2)
+    assert r0["dup_2gram_ratio_e4"] == 6000  # 3/5
+    assert (r0["n_3grams"], r0["n_distinct_3grams"]) == (4, 2)
+    assert r0["dup_3gram_ratio_e4"] == 5000
+    r1 = rows[1]
+    assert r1["dup_2gram_ratio_e4"] == 0 and r1["dup_3gram_ratio_e4"] == 0
+    r2 = rows[2]
+    assert (r2["n_2grams"], r2["n_3grams"]) == (0, 0)
+    assert r2["dup_2gram_ratio_e4"] == 0
+
+
+def test_gopher_quality_gates(spark):
+    """Each gate flips the flag: a good doc passes; too-short, low-alpha,
+    and stopword-free docs fail for their specific reason."""
+    good = (
+        "the quick brown foxes and their lazy dogs jumped over a fence of stone "
+        * 5
+    )  # 70 tokens, mean word length ~4
+    short = "the cat sat of and"
+    numeric = " ".join(["123"] * 60) + " the of and a"
+    rows = {
+        r["doc_id"]: r
+        for r in text.gopher_quality(
+            spark.createDataFrame(
+                [(0, good), (1, short), (2, numeric)], "doc_id bigint, text string"
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[0]["passes_quality"] == 1
+    assert rows[1]["passes_quality"] == 0 and rows[1]["n_tokens"] < 50
+    assert rows[2]["passes_quality"] == 0
+    assert rows[2]["alpha_token_ratio_e4"] < 8000
+
+
 def test_wav_real_decode_roundtrip(spark):
     """REAL audio: genuine RIFF/WAVE bytes (stdlib wave writer) parsed back
     by the stdlib wave reader inside the mapInPandas contract; features are
