@@ -85,3 +85,50 @@ def test_salted_agg_equals_plain_agg(spark, rows):
         for r in salted_agg_sum(df, "k", F.col("v"), salt_col="rid", n_salts=4).collect()
     }
     assert salted == plain
+
+
+def _model_repetition(text: str, n: int) -> tuple[int, int, int]:
+    """Python model of repetition_metrics' n-gram stats."""
+    toks = text.strip().split()
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+    total, distinct = len(grams), len(set(grams))
+    ratio = int((total - distinct) / total * 10000.0 + 0.5) if total else 0
+    return total, distinct, ratio
+
+
+word = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+docs = st.lists(word, min_size=1, max_size=30).map(" ".join)
+
+
+@SET
+@given(st.lists(docs, min_size=1, max_size=10))
+def test_repetition_metrics_match_python_model(spark, texts):
+    from data_ingestion_bra_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        for n, pre in ((2, "2gram"), (3, "3gram")):
+            total, distinct, ratio = _model_repetition(t, n)
+            r = rows[i]
+            assert r[f"n_{pre}s"] == total, (t, n)
+            assert r[f"n_distinct_{pre}s"] == distinct, (t, n)
+            assert r[f"dup_{pre}_ratio_e4"] == ratio, (t, n)
+
+
+@SET
+@given(st.lists(docs, min_size=1, max_size=10))
+def test_gopher_quality_flag_consistent_with_metrics(spark, texts):
+    """passes_quality must equal the AND of the reported per-metric gates —
+    the flag can never disagree with the metrics it's derived from."""
+    from data_ingestion_bra_spark.operators import text as T
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    for r in T.gopher_quality(df, "doc_id", "text").collect():
+        want = int(
+            T.GOPHER_MIN_TOKENS <= r["n_tokens"] <= T.GOPHER_MAX_TOKENS
+            and T.GOPHER_MIN_MEAN_LEN_E4 <= r["mean_token_len_e4"] <= T.GOPHER_MAX_MEAN_LEN_E4
+            and r["alpha_token_ratio_e4"] >= T.GOPHER_MIN_ALPHA_RATIO_E4
+            and r["stopword_hits"] >= T.GOPHER_MIN_STOPWORD_HITS
+        )
+        assert r["passes_quality"] == want
