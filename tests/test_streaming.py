@@ -121,6 +121,36 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The Gopher gate is stateless: streaming micro-batches must keep
+    exactly the docs the batch form keeps, in any file arrival order."""
+    good = (
+        "the quick brown foxes and their lazy dogs jumped over a fence of stone "
+        * 5
+    )
+    docs = spark.createDataFrame(
+        [(0, good), (1, "too short"), (2, good + " again"), (3, "123 456 789")],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(
+        jobs.quality_gate_stream(stream), name="t_qgate", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_qgate").collect()}
+    from data_ingestion_bra_spark.operators.text import gopher_quality
+
+    want = {
+        tuple(r)
+        for r in gopher_quality(spark.read.parquet(d), "doc_id", "text")
+        .filter("passes_quality = 1")
+        .collect()
+    }
+    assert got == want
+    assert {r[0] for r in got} == {0, 2}
+
+
 def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     """The PII scrub is stateless, so streaming micro-batches must produce
     exactly the batch result row-for-row regardless of file arrival order."""
