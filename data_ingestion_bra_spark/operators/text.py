@@ -97,6 +97,20 @@ def _ngram_array(toks: Column, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def dup_ngram_ratio_e4_expr(text_col: Column | str, n: int) -> Column:
+    """Duplicate word n-gram fraction of a text column at 1e-4 fixed point
+    (0 when the doc has fewer than n tokens) — the reusable gate
+    expression behind ``repetition_metrics`` and pipeline compositions."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(t), r"\s+")
+    grams = _ngram_array(toks, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, _e4((total - distinct) / total)).otherwise(
+        F.lit(0).cast("bigint")
+    )
+
+
 def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Self-repetition quality signals (the Gopher/MassiveText family):
     fraction of DUPLICATE word 2-grams / 3-grams within each document.
@@ -107,12 +121,7 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = F.split(F.trim(t), r"\s+")
 
     def dup_ratio(n: int) -> Column:
-        grams = _ngram_array(toks, n)
-        total = F.size(grams)
-        distinct = F.size(F.array_distinct(grams))
-        return F.when(total > 0, _e4((total - distinct) / total)).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        return dup_ngram_ratio_e4_expr(t, n)
 
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -137,12 +146,11 @@ GOPHER_MIN_ALPHA_RATIO_E4 = 8_000
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
-def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Gopher-style document quality gates as one codegen projection:
-    per-doc metrics plus the final ``passes_quality`` flag (AND of all
-    gates). Thresholds are module constants so a pipeline can tune them;
-    everything integer/fixed-point so the oracle twin is exact."""
-    t = F.col(text_col)
+def gopher_metric_cols(text_col: Column | str) -> dict[str, Column]:
+    """The Gopher gate metrics as reusable named Columns (shared by
+    ``gopher_quality`` and pipeline compositions — one definition, however
+    many call sites)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(t), r"\s+")
     ltoks = F.split(F.lower(F.trim(t)), r"\s+")
     n = F.size(toks)
@@ -152,8 +160,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     mean_len_e4 = _e4(sum_len / n)
-    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
-    alpha_ratio_e4 = _e4(alpha / n)
+    alpha_ratio_e4 = _e4(F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n)
     stop_hits = _marker_hits(ltoks, LANG_MARKERS["en"])
     passes = (
         (n >= GOPHER_MIN_TOKENS)
@@ -163,13 +170,24 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (alpha_ratio_e4 >= GOPHER_MIN_ALPHA_RATIO_E4)
         & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
     )
+    return {
+        "n_tokens": n.cast("bigint"),
+        "mean_token_len_e4": mean_len_e4,
+        "alpha_token_ratio_e4": alpha_ratio_e4,
+        "stopword_hits": stop_hits,
+        "passes_quality": passes.cast("bigint"),
+    }
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document quality gates as one codegen projection:
+    per-doc metrics plus the final ``passes_quality`` flag (AND of all
+    gates). Thresholds are module constants so a pipeline can tune them;
+    everything integer/fixed-point so the oracle twin is exact."""
+    cols = gopher_metric_cols(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        n.cast("bigint").alias("n_tokens"),
-        mean_len_e4.alias("mean_token_len_e4"),
-        alpha_ratio_e4.alias("alpha_token_ratio_e4"),
-        stop_hits.alias("stopword_hits"),
-        passes.cast("bigint").alias("passes_quality"),
+        *[c.alias(name) for name, c in cols.items()],
     )
 
 

@@ -1107,6 +1107,84 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_gopher_pipeline",
+    r"""
+    WITH t AS (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id, text, len(toks) AS n,
+                 CAST(FLOOR(list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS mean_len_e4,
+                 CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS alpha_e4,
+                 len(list_filter(ltoks,
+                     x -> list_contains(['the','a','of','and'], x))) AS stop_hits,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                      ELSE [] END AS g3
+          FROM t),
+    gated AS (
+      SELECT doc_id, text, length(text) AS L FROM m
+      WHERE n >= 50 AND n <= 100000
+        AND mean_len_e4 >= 30000 AND mean_len_e4 <= 100000
+        AND alpha_e4 >= 8000 AND stop_hits >= 2
+        AND (len(g3) = 0 OR
+             FLOOR((len(g3) - len(list_distinct(g3))) / len(g3) * 10000.0 + 0.5) <= 2000)
+    ),
+    ded AS (SELECT doc_id, text, L FROM
+              (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM gated)
+            WHERE rn = 1)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+    FROM ded, unnest(generate_series(0,
+          CAST(CASE WHEN L <= 200 THEN 0
+                    ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    """,
+    tags=("text", "curation", "gopher", "pipeline", "llm-pipeline"),
+)
+def curation_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v2 — the round-4 gates composed end-to-end in one lazy
+    plan: Gopher rule gates AND the self-repetition gate (duplicate 3-gram
+    fraction ≤ 20%) → exact dedup → sliding chunks. Same scale shape as
+    curation_pipeline: every gate is a narrow codegen filter at the scan
+    (one scan — the gate expressions come from the same
+    operators/text.py definitions the standalone queries use), the only
+    shuffle is the dedup hash partition, chunking explodes row-locally."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = text.gopher_metric_cols(F.col("text"))
+    d3 = text.dup_ngram_ratio_e4_expr(F.col("text"), 3)
+    gated = d.filter((g["passes_quality"] == 1) & (d3 <= 2000)).select(
+        "doc_id", "text"
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = ded.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+
+
+@register(
     "sample_weighted_by_quality",
     """
     WITH t AS (
