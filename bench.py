@@ -278,9 +278,15 @@ def main() -> None:
     extended = {}
     for name in (
         "dedup_duplicate_clusters",
+        "dedup_canonical_selection",
         "text_pii_redaction",
         "dedup_contamination_check",
         "text_pack_sequences",
+        "text_repetition_scores",
+        "text_gopher_quality",
+        "curation_gopher_pipeline",
+        "multimodal_image_png_decode",
+        "multimodal_audio_wav_decode",
     ):
         if name in queries:
             t0 = time.perf_counter()
