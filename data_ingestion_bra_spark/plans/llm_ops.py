@@ -1107,6 +1107,59 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunk_level",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+      FROM d, unnest(generate_series(0,
+            CAST(CASE WHEN L <= 200 THEN 0
+                      ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    )
+    SELECT chunk_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "chunks", "sequence-level", "llm-pipeline"),
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-level dedup — the pass document-level dedup can't do:
+    boilerplate chunks (headers, licenses, templates) recur across
+    otherwise-distinct documents. Chunk the corpus (same 200/150 sliding
+    windows as text_chunks_sliding), hash each chunk, keep the duplicated
+    ones with occurrence counts and a deterministic canonical owner.
+    Scale shape: chunking explodes row-locally at the scan, then ONE
+    hash-partition shuffle on the 32-byte chunk fingerprint with map-side
+    partial counts — document bodies never shuffle; the survivors table is
+    exactly what a train-time chunk filter broadcasts or bloom-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return (
+        chunks.select("doc_id", F.md5(piece).alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+@register(
     "curation_gopher_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text,
