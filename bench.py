@@ -80,8 +80,10 @@ SF10_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash_full",
     "dedup_duplicate_clusters",
+    "dedup_chunk_level",
     "similarity_topk_ivf",
     "curation_pipeline",
+    "curation_gopher_pipeline",
     "dedup_contamination_check",
 ]
 

@@ -87,14 +87,25 @@ def _e4(x: Column) -> Column:
     return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("bigint")
 
 
-def _ngram_array(toks: Column, n: int) -> Column:
-    """Word n-grams of a token array as strings; empty when < n tokens
-    (guarded: Spark's sequence(1, 0) DESCENDS instead of being empty)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+def _ngram_structs(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as an ``array<struct>`` of n shifted
+    slices zipped together — NO per-gram lambda and NO string building.
+
+    Two deliberate performance properties (measured at the 100× replica):
+
+    - no ``element_at(toks, i+j)`` inside a transform lambda —
+      lambda-internal references to the token array re-evaluate per element
+      in interpreted mode (e.g. in a Filter predicate), which re-split the
+      text once per gram element (~500× slowdown);
+    - no ``concat_ws`` gram strings at all — duplicate detection only needs
+      DISTINCT COUNTS, and ``array_distinct`` compares the structs
+      directly. Tokens come from a ``\\s+`` split so they can't contain the
+      separator, making struct-distinct provably equal to string-distinct
+      (the SQL oracle keeps the string form).
+    """
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    parts = [F.slice(toks, j + 1, count).alias(f"g{j}") for j in range(n)]
+    return F.arrays_zip(*parts)
 
 
 def dup_ngram_ratio_e4_expr(text_col: Column | str, n: int) -> Column:
@@ -103,8 +114,8 @@ def dup_ngram_ratio_e4_expr(text_col: Column | str, n: int) -> Column:
     expression behind ``repetition_metrics`` and pipeline compositions."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(t), r"\s+")
-    grams = _ngram_array(toks, n)
-    total = F.size(grams)
+    grams = _ngram_structs(toks, n)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     distinct = F.size(F.array_distinct(grams))
     return F.when(total > 0, _e4((total - distinct) / total)).otherwise(
         F.lit(0).cast("bigint")
@@ -126,11 +137,11 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(_ngram_array(toks, 2)).cast("bigint").alias("n_2grams"),
-        F.size(F.array_distinct(_ngram_array(toks, 2))).cast("bigint").alias("n_distinct_2grams"),
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint").alias("n_2grams"),
+        F.size(F.array_distinct(_ngram_structs(toks, 2))).cast("bigint").alias("n_distinct_2grams"),
         dup_ratio(2).alias("dup_2gram_ratio_e4"),
-        F.size(_ngram_array(toks, 3)).cast("bigint").alias("n_3grams"),
-        F.size(F.array_distinct(_ngram_array(toks, 3))).cast("bigint").alias("n_distinct_3grams"),
+        F.greatest(F.size(toks) - 2, F.lit(0)).cast("bigint").alias("n_3grams"),
+        F.size(F.array_distinct(_ngram_structs(toks, 3))).cast("bigint").alias("n_distinct_3grams"),
         dup_ratio(3).alias("dup_3gram_ratio_e4"),
     )
 
