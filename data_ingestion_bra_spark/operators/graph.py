@@ -42,6 +42,21 @@ def _symmetric(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the canonical edge relation is a depth-1 star forest —
+    every source has exactly ONE target, and no target is also a source.
+    This is precisely the joint fixed point of the large-star/small-star
+    steps, so it certifies convergence independently of the scalar witness
+    (one cheap two-aggregate action over the just-checkpointed relation)."""
+    multi_target = e.groupBy("s").agg(F.countDistinct("t").alias("n")).filter(
+        F.col("n") > 1
+    )
+    target_is_source = e.join(
+        e.select(F.col("t").alias("s")).distinct(), "s", "left_semi"
+    )
+    return multi_target.isEmpty() and target_is_source.isEmpty()
+
+
 def star_contraction_components(
     edges: DataFrame,
     *,
@@ -65,11 +80,16 @@ def star_contraction_components(
       v ∈ Γ⁻(u), v ≠ m, to m.
 
     Convergence witness: (edge count, sum s, sum t) — ONE scalar action per
-    round; the triple is stationary exactly at the star fixed point because
-    every rewrite strictly decreases targets. Labels come off the converged
-    stars; isolated/self-loop-only nodes rejoin as their own cluster via a
-    left join against the original node set (they leave the edge relation
-    at canonicalization).
+    round. A stationary triple is a cheap NECESSARY signal; before trusting
+    it the loop confirms the state is structurally a star forest (every
+    source has exactly one target and no target reappears as a source),
+    which IS the fixed point of both contraction steps — so a hypothetical
+    witness collision across distinct states can never end the loop early.
+    If ``max_rounds`` exhausts without a verified fixed point the function
+    raises rather than labeling from a half-contracted graph. Labels come
+    off the converged stars; isolated/self-loop-only nodes rejoin as their
+    own cluster via a left join against the original node set (they leave
+    the edge relation at canonicalization).
     """
     nodes = (
         _symmetric(edges.select(F.col(src).alias("s"), F.col(dst).alias("t")))
@@ -79,6 +99,7 @@ def star_contraction_components(
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     prev = None
     rounds = 0
+    converged = False
     for rounds in range(1, max_rounds + 1):
         sym = _symmetric(e)
         mins = (
@@ -112,9 +133,17 @@ def star_contraction_components(
                 F.coalesce(F.sum("t"), F.lit(0)),
             ).collect()[0]
         )
-        if cur == prev:
+        if cur == prev and _is_star_forest(e):
+            converged = True
             break
         prev = cur
+    else:  # pragma: no cover - adversarial escape, exercised via unit test
+        converged = _is_star_forest(e)
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not reach a verified fixed point within "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
     star = e.select(F.col("s").alias("doc"), F.col("t").alias("cluster_id")).union(
         e.select(F.col("t").alias("doc"), F.col("t").alias("cluster_id"))
     ).groupBy("doc").agg(F.min("cluster_id").alias("cluster_id"))

@@ -402,6 +402,10 @@ def _wav_decode_features(payload: bytes) -> tuple[int, int, int, int, int]:
     samples.frombytes(raw)
     if sys.byteorder == "big":  # pragma: no cover
         samples.byteswap()
+    if n == 0:
+        # structurally valid but empty container: fail the documented
+        # decoder contract, not with max()-of-empty/ZeroDivisionError
+        raise ValueError("empty WAV: zero frames")
     duration_ms = n * 1000 // rate
     peak = max(abs(s) for s in samples)
     mean_abs_e6 = sum(abs(s) for s in samples) * 1_000_000 // (n * 32768)

@@ -342,7 +342,7 @@ def load_or_train_centroids(
         train_sample_rate=train_sample_rate,
     )
     local = [(r["cell"], list(r["cvec"])) for r in cents.collect()]
-    cache_dir.mkdir(exist_ok=True)
+    cache_dir.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp{os.getpid()}")
     tmp.write_text(json.dumps([{"cell": c, "cvec": v} for c, v in sorted(local)]))
     os.replace(tmp, path)

@@ -125,13 +125,15 @@ def read_documents_stream(spark, path: str, *, max_files_per_trigger: int = 1) -
 
 def quality_gate_stream(docs: DataFrame) -> DataFrame:
     """Curation-at-ingest: the Gopher rule gates (operators/text.py:
-    gopher_quality) applied to a document stream, keeping only passing
-    docs. Stateless projection + filter — no watermark, no state store —
-    so low-quality documents are dropped at ingest cost before they ever
-    land in bronze, the cheapest place to drop them."""
-    from data_ingestion_bra_spark.operators.text import gopher_quality
+    gopher_metric_cols) applied to a document stream, keeping only passing
+    docs WITH ALL their source columns — what survives the gate is what
+    lands in bronze, body included (no downstream join needed to recover
+    it). Stateless filter — no watermark, no state store — so low-quality
+    documents are dropped at ingest cost, the cheapest place to drop
+    them."""
+    from data_ingestion_bra_spark.operators.text import gopher_metric_cols
 
-    return gopher_quality(docs, "doc_id", "text").filter(F.col("passes_quality") == 1)
+    return docs.filter(gopher_metric_cols("text")["passes_quality"] == 1)
 
 
 def pii_scrub_stream(docs: DataFrame) -> DataFrame:

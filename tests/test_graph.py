@@ -102,6 +102,19 @@ def test_auto_falls_back_to_star_on_exhausted_minlabel(spark):
     assert partial != got
 
 
+def test_star_raises_on_exhausted_rounds_instead_of_mislabeling(spark):
+    """If max_rounds exhausts before a VERIFIED fixed point, the function
+    must raise — never label from a half-contracted edge set (a path graph
+    at max_rounds=0 is structurally not a star forest)."""
+    from data_ingestion_bra_spark.operators.graph import star_contraction_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a verified fixed point"):
+        star_contraction_components(edges, max_rounds=0)
+
+
 def test_unknown_algorithm_rejected(spark):
     df = spark.createDataFrame([(1, 2)], "doc_a BIGINT, doc_b BIGINT")
     with pytest.raises(ValueError, match="unknown algorithm"):

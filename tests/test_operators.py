@@ -503,6 +503,22 @@ def test_wav_decode_rejects_corrupt_container(spark):
         multimodal.wav_audio_features(df).collect()
 
 
+def test_wav_decode_rejects_zero_frame_container():
+    """A structurally valid zero-frame WAV must fail the documented decoder
+    contract, not crash with max()-of-empty or ZeroDivisionError."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    with pytest.raises(ValueError, match="empty WAV: zero frames"):
+        multimodal._wav_decode_features(buf.getvalue())
+
+
 def test_ivf_index_cache_invalidates_on_data_change(spark, tmp_path):
     """The persisted IVF index is keyed by the dataset's file identity: a
     regenerated embeddings table must retrain/reassign, never serve stale

@@ -139,14 +139,16 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
         jobs.quality_gate_stream(stream), name="t_qgate", output_mode="append"
     )
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_qgate").collect()}
-    from data_ingestion_bra_spark.operators.text import gopher_quality
+    from data_ingestion_bra_spark.operators.text import gopher_metric_cols
 
     want = {
         tuple(r)
-        for r in gopher_quality(spark.read.parquet(d), "doc_id", "text")
-        .filter("passes_quality = 1")
+        for r in spark.read.parquet(d)
+        .filter(gopher_metric_cols("text")["passes_quality"] == 1)
         .collect()
     }
+    # surviving rows keep ALL source columns (doc_id AND the body)
+    assert spark.sql("SELECT * FROM t_qgate").columns == ["doc_id", "text"]
     assert got == want
     assert {r[0] for r in got} == {0, 2}
 
