@@ -235,8 +235,12 @@ def frame_sample_plan(df: DataFrame, *, every_n: int = 10) -> DataFrame:
     index, derived WITHOUT decoding (index arithmetic on metadata), so the
     expensive decode only runs on sampled frames downstream.
 
-    Stub semantics: n_frames := n_bytes // 256 (a real impl reads container
-    metadata); emits (doc_id, frame_idx) for every ``every_n``-th frame.
+    Stub semantics: n_frames := n_bytes // 256 (kept as the cheap oracle
+    twin over text-byte fixtures); the REAL implementation is
+    ``gif_video_meta`` + ``gif_frame_features`` below, which parse
+    n_frames from genuine GIF container metadata and decode only the
+    sampled frames. Emits (doc_id, frame_idx) for every ``every_n``-th
+    frame.
     """
     return df.select(
         "doc_id",
@@ -593,3 +597,165 @@ def resize_png_images(df: DataFrame, *, width: int, height: int) -> DataFrame:
     Arrow-batched mapInPandas stage; outputs integer-exact features of the
     resized image (SQL-oracle-checkable)."""
     return df.mapInPandas(png_resize_batch_fn(width, height), schema=PNG_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL video: animated GIF89a containers encoded AND decoded with the
+# vendored stdlib-only codec (operators/gif.py) — the video verse of the
+# PNG/WAV playbook. Replaces the `n_frames := n_bytes // 256` stub with a
+# genuine container-metadata parse, and decodes ONLY sampled frames.
+# --------------------------------------------------------------------------
+
+#: 16-entry grayscale palette: index k -> (k*17, k*17, k*17); spans 0..255
+#: exactly, and gray(k) = k*17 keeps every feature integer-exact for the
+#: SQL oracle.
+GIF_PALETTE: list[tuple[int, int, int]] = [(k * 17, k * 17, k * 17) for k in range(16)]
+
+
+def _synth_gif_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(width, height, n_frames, per-frame delay in centiseconds) as pure
+    modular arithmetic of doc_id, so a SQL oracle regenerates them."""
+    w = 4 + doc_id % 5
+    h = 4 + (doc_id // 5) % 5
+    nf = 2 + doc_id % 7
+    delay_cs = 4 + doc_id % 4
+    return w, h, nf, delay_cs
+
+
+def _synth_gif_bytes(doc_id: int) -> bytes:
+    """Real animated GIF89a bytes for a doc's deterministic synthetic
+    frames: frame f pixel j has palette index (doc_id*31 + f*17 + j*7) % 16
+    — pure integer modular arithmetic, SQL-regenerable."""
+    from data_ingestion_bra_spark.operators import gif as _gif
+
+    w, h, nf, delay_cs = _synth_gif_params(doc_id)
+    frames = [
+        bytes((doc_id * 31 + f * 17 + j * 7) % 16 for j in range(w * h))
+        for f in range(nf)
+    ]
+    return _gif.encode_gif(w, h, frames, GIF_PALETTE, delays_cs=[delay_cs] * nf)
+
+
+def synth_gif_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id) in, (doc_id, real GIF payload) out."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_synth_gif_bytes(int(d)) for d in ids]}
+        )
+
+
+def synthesize_gif(df: DataFrame) -> DataFrame:
+    """Attach a real animated-GIF payload per doc_id (deterministic
+    synthetic frames through the vendored encoder)."""
+    return df.select("doc_id").mapInPandas(synth_gif_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+
+
+GIF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        # summed Graphic Control Extension delays, centiseconds -> ms
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def gif_meta_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload=GIF bytes) in, container
+    metadata out — structural walk ONLY (every LZW data sub-block skipped
+    by its length prefix, zero pixel decode). This is the real-container
+    metadata path that replaces the byte-length frame-count stub."""
+    from data_ingestion_bra_spark.operators import gif as _gif
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = _gif.parse_gif_meta(bytes(payload))
+            out.append(
+                (int(doc_id), m.n_frames, m.width, m.height, m.total_delay_cs * 10)
+            )
+        yield pd.DataFrame(
+            out, columns=["doc_id", "n_frames", "width", "height", "duration_ms"]
+        )
+
+
+def gif_video_meta(df: DataFrame) -> DataFrame:
+    """REAL video-container metadata over a GIF payload column via
+    mapInPandas: frame count, geometry, and duration parsed from the
+    container's block structure without decompressing a single frame —
+    at 100 TB the metadata pass costs a container walk, not a decode."""
+    return df.mapInPandas(gif_meta_batch_fn, schema=GIF_META_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_intensity_e6", T.LongType()),
+    ]
+)
+
+
+def gif_frame_features_batch_fn(every_n: int):
+    """mapInPandas worker factory: (doc_id, payload=GIF) in, one row per
+    SAMPLED frame out. Per payload: parse container metadata (no decode),
+    choose indices 0, every_n, 2*every_n, ...; LZW-decompress ONLY those
+    frames (others skipped structurally); map palette indices through the
+    decoded color table and compute integer-exact mean intensity. The
+    sampling decision is row-local, so the whole sample-then-decode
+    pipeline is one shuffle-free mapInPandas stage — no join needed to
+    bring payloads back to sampled indices."""
+    from data_ingestion_bra_spark.operators import gif as _gif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                meta = _gif.parse_gif_meta(p)
+                want = set(range(0, meta.n_frames, every_n))
+                _, palette, frames = _gif.decode_gif_frames(p, want)
+                npx = meta.width * meta.height
+                for fr in frames:
+                    total = sum(
+                        palette[3 * idx] + palette[3 * idx + 1] + palette[3 * idx + 2]
+                        for idx in fr.pixels
+                    )
+                    out.append(
+                        (
+                            int(doc_id),
+                            fr.index,
+                            meta.width,
+                            meta.height,
+                            npx,
+                            total * 1_000_000 // (npx * 3 * 255),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "mean_intensity_e6",
+                ],
+            )
+
+    return fn
+
+
+def gif_frame_features(df: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """REAL video frame sampling + decode over a GIF payload column:
+    container metadata gives n_frames (parsed, not inferred from byte
+    length), every ``every_n``-th frame is LZW-decoded — unsampled frames
+    are never decompressed — and features are integer-exact over the
+    palette-mapped pixels (SQL-oracle-checkable)."""
+    return df.mapInPandas(gif_frame_features_batch_fn(every_n), schema=GIF_FRAME_SCHEMA)

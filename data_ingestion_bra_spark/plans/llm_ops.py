@@ -1582,6 +1582,81 @@ def multimodal_image_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_gif_meta",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 7 AS BIGINT) AS n_frames,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(4 + (doc_id // 5) % 5 AS INT) AS height,
+           CAST((2 + doc_id % 7) * (4 + doc_id % 4) * 10 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "video", "gif", "real-decode", "mapInPandas"),
+)
+def multimodal_video_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata, zero new dependencies: each doc gets
+    a genuine animated GIF89a (vendored stdlib-only codec,
+    operators/gif.py — real LZW streams, Graphic Control Extensions,
+    global color table), and the metadata stage walks the container's
+    block structure — skipping every LZW data sub-block by its length
+    prefix, decoding NOTHING — to read frame count, geometry, and summed
+    GCE delays. This replaces the former ``n_frames := n_bytes // 256``
+    stub with parsed container truth. All parameters are pure modular
+    arithmetic of doc_id, so the SQL oracle regenerates them and verifies
+    what the parser read out of real GIF bytes. At 100 TB the metadata
+    pass costs a container walk per payload inside one shuffle-free
+    Arrow-batched mapInPandas stage; ffmpeg probes slot into the same
+    batch contract for richer codecs."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.gif_video_meta(multimodal.synthesize_gif(d))
+
+
+@register(
+    "multimodal_video_gif_frames",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS INT) AS w,
+                      CAST(4 + (doc_id // 5) % 5 AS INT) AS h,
+                      CAST(2 + doc_id % 7 AS BIGINT) AS nf
+               FROM documents),
+    f AS (SELECT doc_id, w, h, fi
+          FROM d, unnest(generate_series(0, nf - 1, 2)) AS t(fi)),
+    s AS (SELECT doc_id, w, h, fi,
+                 CAST(((doc_id * 31 + fi * 17 + j * 7) % 16) * 17 AS BIGINT) AS gray
+          FROM f, unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS tj(j))
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           w AS width,
+           h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(gray) * 1000000 // (w * h * 255) AS BIGINT) AS mean_intensity_e6
+    FROM s GROUP BY doc_id, w, h, fi
+    """,
+    tags=("multimodal", "video", "gif", "frame-sampling", "real-decode", "mapInPandas"),
+)
+def multimodal_video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling + decode: every doc's genuine animated
+    GIF is metadata-parsed for its true frame count, then every 2nd frame
+    index is LZW-decompressed — unsampled frames are skipped by sub-block
+    length and never decoded, so decode cost tracks the SAMPLE, not the
+    video length (each GIF frame owns an independent LZW stream, which is
+    what makes this demonstrable). Features map palette indices through
+    the decoded global color table in exact integer arithmetic; frame
+    pixels are pure modular arithmetic of (doc_id, frame, j), so the SQL
+    oracle regenerates every sampled frame and verifies the full
+    parse→sample→decode pipeline against real container bytes. The whole
+    sample-then-decode path is ONE shuffle-free mapInPandas stage: the
+    sampling decision is row-local, so no explode+join round trip ever
+    touches the payload bytes."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.gif_frame_features(multimodal.synthesize_gif(d), every_n=2)
+
+
+@register(
     "curation_pack_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text, length(text) AS L,

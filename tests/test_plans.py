@@ -65,6 +65,10 @@ PYTHON_ALLOWED = {
     "multimodal_image_png_decode",
     "multimodal_image_png_resize",
     "multimodal_audio_wav_decode",
+    # real video: genuine animated GIF89a containers, metadata-parse and
+    # sampled-frame LZW decode in the same contract
+    "multimodal_video_gif_meta",
+    "multimodal_video_gif_frames",
     "grouped_map_rank_per_lang",
 }
 
