@@ -97,6 +97,7 @@ SF10_QUERIES = [
     "curation_pipeline",
     "curation_gopher_pipeline",
     "dedup_contamination_check",
+    "dedup_contamination_bloom",
 ]
 
 

@@ -1,0 +1,112 @@
+"""Bloom-filter pre-filtering as pure Column expressions — the 100 TB
+contamination-check shape.
+
+Why this exists: the exact contamination check broadcasts the benchmark's
+DISTINCT shingle strings and hash-joins the corpus against them. That is
+right while the benchmark side is small, but the broadcast grows with
+shingle *strings* (tens of bytes each). The bloom variant broadcasts a
+fixed-size BITMAP instead (m/8 bytes regardless of shingle length),
+pre-filters the corpus scan-side with k hash probes, and only the tiny
+bloom-surviving subset reaches the exact confirm join — the same
+build-filter-confirm discipline Spark's own runtime bloom-join
+(``InjectRuntimeFilter`` / ``BloomFilterAggregate``) applies; those
+expressions aren't SQL-registered in this build, so the bitmap and probes
+are composed from public expressions (``xxhash64``, ``pmod``,
+``element_at``, ``shiftrightunsigned``) that all stay inside codegen.
+
+Exactness: the bloom admits false positives only, and every survivor is
+re-checked by the exact join — so the composed operator's output is
+bit-identical to the exact variant (one shared SQL oracle covers both).
+
+Scale anatomy:
+- **build**: bit positions are computed IN SPARK over the benchmark scan;
+  only the distinct positions (``<= k * |bench|`` longs) reach the driver
+  — a control-plane collect, same class as IVF centroids.
+- **ship**: the bitmap rides a 1-row DataFrame through a broadcast — the
+  executor-side footprint is m/8 bytes however large the benchmark set's
+  string form is.
+- **probe**: k ``xxhash64`` + ``element_at`` + shift-AND expressions per
+  corpus shingle, whole-stage-codegen'd, zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: default sizing: 2^20 bits (128 KiB bitmap) with 3 probes — fpp < 1% up
+#: to ~100k distinct members; both knobs are per-call parameters.
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_SEEDS = (0x51ED, 0xA3C9, 0x7F4B)
+
+
+def bloom_bit_positions(c: Column, m_bits: int, seeds: tuple[int, ...]) -> list[Column]:
+    """The k probe positions of a value as Column expressions — ONE
+    definition shared by build and probe sides, so the seeded
+    ``xxhash64(value, seed)`` tuple types can never drift between them."""
+    return [F.pmod(F.xxhash64(c, F.lit(s)), F.lit(m_bits)) for s in seeds]
+
+
+def build_bloom_words(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> list[int]:
+    """Build the bitmap as a list of m_bits/64 signed 64-bit words.
+
+    Positions are computed distributively (explode of the k probe
+    expressions + distinct); only the distinct position longs are
+    collected — control-plane traffic bounded by k * |build side|, never
+    the corpus."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = (
+        df.select(
+            F.explode(F.array(*bloom_bit_positions(F.col(col), m_bits, seeds))).alias(
+                "p"
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in pos:
+        p = r["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement into Spark's signed BIGINT domain
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_dataframe(spark: SparkSession, words: list[int]) -> DataFrame:
+    """The bitmap as a 1-row broadcastable DataFrame (column ``bf``)."""
+    return spark.createDataFrame([(words,)], "bf array<bigint>")
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    col: str,
+    bloom_df: DataFrame,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """Keep only rows whose ``col`` value hits ALL k bloom bits.
+
+    The 1-row bitmap joins in via broadcast (the BroadcastNestedLoopJoin
+    this plans is a 1×N attach — O(N), the exact shape Spark's runtime
+    bloom filter uses); probes are codegen expressions. Output drops the
+    helper columns, so the relation is ``df`` minus bloom-negative rows
+    (plus false positives for the exact tier to strike)."""
+    probed = df.join(F.broadcast(bloom_df))
+    helpers = []
+    for i, p in enumerate(bloom_bit_positions(F.col(col), m_bits, seeds)):
+        probed = probed.withColumn(f"__bfp{i}", p)
+        helpers.append(f"__bfp{i}")
+    cond = " AND ".join(
+        f"(shiftrightunsigned(element_at(bf, CAST({h} DIV 64 AS INT) + 1), "
+        f"CAST({h} % 64 AS INT)) & 1) = 1"
+        for h in helpers
+    )
+    return probed.filter(F.expr(cond)).drop("bf", *helpers)

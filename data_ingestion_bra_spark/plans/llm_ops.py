@@ -1308,9 +1308,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contamination uses 8-gram shingles — wider than the dedup 3-grams: an
 # 8-token verbatim overlap is the standard "benchmark leaked into the
 # training set" signal, not natural phrase reuse.
-@register(
-    "dedup_contamination_check",
-    f"""
+_CONTAMINATION_ORACLE = f"""
     WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
     sh AS (
       SELECT DISTINCT doc,
@@ -1325,7 +1323,12 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN COUNT(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
     FROM c JOIN b USING (shingle)
     GROUP BY c.doc
-    """,
+    """
+
+
+@register(
+    "dedup_contamination_check",
+    _CONTAMINATION_ORACLE,
     tags=("dedup", "contamination", "llm-pipeline"),
 )
 def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,6 +1351,51 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bset = bench.select("shingle").distinct()
     return (
         cand.join(F.broadcast(bset), "shingle")
+        .select("doc", "shingle")
+        .distinct()
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            F.when(F.col("n_overlap") >= 3, F.lit(1)).otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "dedup_contamination_bloom",
+    _CONTAMINATION_ORACLE,
+    tags=("dedup", "contamination", "bloom", "llm-pipeline"),
+)
+def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB contamination variant the exact check's docstring
+    promises: a BLOOM bitmap built over the benchmark shingles (bit
+    positions computed in Spark, only distinct position longs reach the
+    driver) pre-filters corpus shingles scan-side with k codegen hash
+    probes, and only bloom survivors reach the exact confirm join — so
+    the executor-side broadcast is a fixed m/8-byte bitmap instead of the
+    benchmark's shingle strings, and the expensive exact probe runs on
+    the (tiny) surviving subset. False positives are struck by the
+    confirm join, making the output bit-identical to
+    ``dedup_contamination_check`` — both entries share one SQL oracle,
+    which is itself the proof of identical semantics. See
+    ``operators/bloom.py`` for the build/ship/probe anatomy."""
+    from data_ingestion_bra_spark.operators import bloom
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
+    bset = bench.select("shingle").distinct()
+    words = bloom.build_bloom_words(bset, "shingle")
+    bf = bloom.bloom_dataframe(spark, words)
+    cand = dedup.doc_shingles(
+        d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8, distinct=False
+    )
+    survivors = bloom.bloom_prefilter(cand, "shingle", bf)
+    return (
+        survivors.join(F.broadcast(bset), "shingle")
         .select("doc", "shingle")
         .distinct()
         .groupBy(F.col("doc").alias("doc_id"))

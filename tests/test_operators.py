@@ -545,3 +545,36 @@ def test_ivf_index_cache_invalidates_on_data_change(spark, tmp_path):
     emb2 = load_table(spark, sf, "embeddings")
     c2, l2 = similarity.load_or_build_ivf_index(spark, emb2, sf, n_centroids=4, n_iter=1)
     assert l2.count() == emb2.count() < n_full  # rebuilt from the new data
+
+
+def test_bloom_prefilter_no_false_negatives_and_filters(spark):
+    """Every member value survives the bloom (zero false negatives — the
+    exactness contract), and a disjoint probe set is mostly rejected (the
+    bitmap actually filters; fpp << 1 at this density)."""
+    from data_ingestion_bra_spark.operators import bloom
+
+    members = spark.createDataFrame(
+        [(f"member shingle {i}",) for i in range(200)], "shingle string"
+    )
+    words = bloom.build_bloom_words(members, "shingle")
+    bf = bloom.bloom_dataframe(spark, words)
+    kept = bloom.bloom_prefilter(members, "shingle", bf)
+    assert kept.count() == 200  # no false negatives, all columns intact
+    assert kept.columns == ["shingle"]
+    others = spark.createDataFrame(
+        [(f"absent shingle {i}",) for i in range(2000)], "shingle string"
+    )
+    n_fp = bloom.bloom_prefilter(others, "shingle", bf).count()
+    assert n_fp < 20, n_fp  # fpp < 1% at 200 members in 2^20 bits
+
+
+def test_bloom_matches_exact_contamination(spark):
+    """The bloom-prefiltered contamination check is bit-identical to the
+    exact broadcast-join variant on the fixture corpus."""
+    from data_ingestion_bra_spark.plans.registry import get_queries
+
+    q = get_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {tuple(r) for r in q["dedup_contamination_check"](spark, sf).collect()}
+    bloom_v = {tuple(r) for r in q["dedup_contamination_bloom"](spark, sf).collect()}
+    assert exact == bloom_v and len(exact) > 0

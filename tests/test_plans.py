@@ -100,11 +100,16 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - similarity_topk_ivf: nearest-centroid assignment is a broadcast cross
 #    join of every vector against the (tiny, broadcast) centroid table — the
 #    canonical IVF/k-means assignment shape; cost is n × k, never n².
+#  - dedup_contamination_bloom: the 1-ROW bloom-bitmap DataFrame attaches to
+#    the corpus via broadcast (1×N, O(N)) — the same shape Spark's own
+#    runtime bloom-filter join materializes; the bitmap then feeds codegen
+#    probe expressions, never a pair-axis join.
 BNLJ_ALLOWED = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "events_asof_purchase_click",
     "events_range_join_clicks_before_purchase",
+    "dedup_contamination_bloom",
 }
 
 
