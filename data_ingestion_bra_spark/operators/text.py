@@ -7,17 +7,37 @@ whole-stage codegen and their DuckDB oracle twins match exactly.
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: packaged default curation config — the reference's config-JSON
+#: discipline (app/config/*.json via schema.load_config) applied to the
+#: curation tier: gate thresholds and langid marker sets are DECLARED,
+#: not hard-coded, so a pipeline tunes them by pointing at another JSON.
+DEFAULT_CURATION_CONFIG_PATH = (
+    Path(__file__).resolve().parent.parent / "config" / "curation.json"
+)
+
+
+def load_curation_config(path: str | Path | None = None) -> dict:
+    """Load a curation config (``gopher`` thresholds + ``langid_markers``),
+    defaulting to the packaged JSON. Same loader shape as
+    ``schema.load_config`` (reference app/ingestao_api.py:21-23)."""
+    with open(path or DEFAULT_CURATION_CONFIG_PATH, encoding="utf-8") as f:
+        return json.load(f)
+
+
+_DEFAULT_CURATION = load_curation_config()
+
 # Marker stopword sets per language for the n-gram/stopword langid heuristic.
-# Deterministic and tiny by design — a real pipeline would plug a fastText
-# model in via pandas_udf; the engine surface (score → argmax → label) is
-# identical.
+# Deterministic and tiny by design — config-declared; the model-grade tier
+# (operators/langid_nb.py) plugs into the same score → argmax → label
+# surface.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and"),
-    "pt": ("de", "que", "em", "uma"),
-    "es": ("el", "la", "los", "una"),
+    lang: tuple(words) for lang, words in _DEFAULT_CURATION["langid_markers"].items()
 }
 
 BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -40,14 +60,23 @@ def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("bigint")
 
 
-def langid_expr(text: Column | str) -> Column:
+def langid_expr(
+    text: Column | str, *, markers: dict[str, tuple[str, ...]] | None = None
+) -> Column:
     """Stopword-marker language heuristic: argmax of per-language marker hit
     counts, 'und' (undetermined) when no marker fires. Ties break by language
-    code order (deterministic)."""
+    code order (deterministic). ``markers`` defaults to the config-declared
+    sets (``config/curation.json`` → ``langid_markers``)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(c), r"\s+")
-    scores = [(lang, _marker_hits(toks, marks)) for lang, marks in sorted(LANG_MARKERS.items())]
-    best = F.greatest(*[s for _, s in scores])
+    marker_sets = markers or LANG_MARKERS
+    scores = [
+        (lang, _marker_hits(toks, tuple(marks)))
+        for lang, marks in sorted(marker_sets.items())
+    ]
+    best = (
+        F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    )
     out = F.lit("und")
     # First language (in sorted order) achieving the max wins.
     for lang, s in reversed(scores):
@@ -148,19 +177,27 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 #: Gopher-style rule gates (Rae et al. 2021 §A1.1, re-expressed as integer
 #: thresholds): token-count band, mean word length band, minimum fraction
-#: of alphabetic tokens, minimum stopword evidence.
-GOPHER_MIN_TOKENS = 50
-GOPHER_MAX_TOKENS = 100_000
-GOPHER_MIN_MEAN_LEN_E4 = 3 * 10_000
-GOPHER_MAX_MEAN_LEN_E4 = 10 * 10_000
-GOPHER_MIN_ALPHA_RATIO_E4 = 8_000
-GOPHER_MIN_STOPWORD_HITS = 2
+#: of alphabetic tokens, minimum stopword evidence. Values come from the
+#: packaged curation config; the module-level names remain the documented
+#: defaults (and stay importable for tests/back-compat).
+_G = _DEFAULT_CURATION["gopher"]
+GOPHER_MIN_TOKENS = _G["min_tokens"]
+GOPHER_MAX_TOKENS = _G["max_tokens"]
+GOPHER_MIN_MEAN_LEN_E4 = _G["min_mean_token_len_e4"]
+GOPHER_MAX_MEAN_LEN_E4 = _G["max_mean_token_len_e4"]
+GOPHER_MIN_ALPHA_RATIO_E4 = _G["min_alpha_token_ratio_e4"]
+GOPHER_MIN_STOPWORD_HITS = _G["min_stopword_hits"]
 
 
-def gopher_metric_cols(text_col: Column | str) -> dict[str, Column]:
+def gopher_metric_cols(
+    text_col: Column | str, *, config: dict | None = None
+) -> dict[str, Column]:
     """The Gopher gate metrics as reusable named Columns (shared by
     ``gopher_quality`` and pipeline compositions — one definition, however
-    many call sites)."""
+    many call sites). ``config`` is a curation config dict (see
+    ``load_curation_config``); None uses the packaged defaults."""
+    cfg = (config or _DEFAULT_CURATION)["gopher"]
+    markers = (config or _DEFAULT_CURATION)["langid_markers"]
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(t), r"\s+")
     ltoks = F.split(F.lower(F.trim(t)), r"\s+")
@@ -172,14 +209,14 @@ def gopher_metric_cols(text_col: Column | str) -> dict[str, Column]:
     )
     mean_len_e4 = _e4(sum_len / n)
     alpha_ratio_e4 = _e4(F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n)
-    stop_hits = _marker_hits(ltoks, LANG_MARKERS["en"])
+    stop_hits = _marker_hits(ltoks, tuple(markers[cfg["stopword_lang"]]))
     passes = (
-        (n >= GOPHER_MIN_TOKENS)
-        & (n <= GOPHER_MAX_TOKENS)
-        & (mean_len_e4 >= GOPHER_MIN_MEAN_LEN_E4)
-        & (mean_len_e4 <= GOPHER_MAX_MEAN_LEN_E4)
-        & (alpha_ratio_e4 >= GOPHER_MIN_ALPHA_RATIO_E4)
-        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+        (n >= cfg["min_tokens"])
+        & (n <= cfg["max_tokens"])
+        & (mean_len_e4 >= cfg["min_mean_token_len_e4"])
+        & (mean_len_e4 <= cfg["max_mean_token_len_e4"])
+        & (alpha_ratio_e4 >= cfg["min_alpha_token_ratio_e4"])
+        & (stop_hits >= cfg["min_stopword_hits"])
     )
     return {
         "n_tokens": n.cast("bigint"),
@@ -190,12 +227,16 @@ def gopher_metric_cols(text_col: Column | str) -> dict[str, Column]:
     }
 
 
-def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def gopher_quality(
+    df: DataFrame, id_col: str, text_col: str, *, config: dict | None = None
+) -> DataFrame:
     """Gopher-style document quality gates as one codegen projection:
     per-doc metrics plus the final ``passes_quality`` flag (AND of all
-    gates). Thresholds are module constants so a pipeline can tune them;
-    everything integer/fixed-point so the oracle twin is exact."""
-    cols = gopher_metric_cols(text_col)
+    gates). Thresholds are DECLARED in a curation config JSON (packaged
+    default: ``config/curation.json``) — the reference's config-driven
+    discipline applied to curation; everything integer/fixed-point so the
+    oracle twin is exact."""
+    cols = gopher_metric_cols(text_col, config=config)
     return df.select(
         F.col(id_col).alias("doc_id"),
         *[c.alias(name) for name, c in cols.items()],

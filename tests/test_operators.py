@@ -578,3 +578,57 @@ def test_bloom_matches_exact_contamination(spark):
     exact = {tuple(r) for r in q["dedup_contamination_check"](spark, sf).collect()}
     bloom_v = {tuple(r) for r in q["dedup_contamination_bloom"](spark, sf).collect()}
     assert exact == bloom_v and len(exact) > 0
+
+
+def test_gopher_config_driven_thresholds(spark):
+    """Gates are declarative: a custom curation config changes who passes
+    with no operator-code change, and the default config reproduces the
+    packaged-constant behavior exactly."""
+    import copy
+
+    good = "the quick brown foxes and their lazy dogs jumped over a stone " * 5
+    docs = spark.createDataFrame(
+        [(0, good), (1, "too short to pass")], "doc_id bigint, text string"
+    )
+    base = {r["doc_id"]: r["passes_quality"] for r in
+            text.gopher_quality(docs, "doc_id", "text").collect()}
+    assert base == {0: 1, 1: 0}
+    # defaults match the module constants (back-compat contract)
+    cfg_default = text.load_curation_config()
+    explicit = {r["doc_id"]: r["passes_quality"] for r in
+                text.gopher_quality(docs, "doc_id", "text", config=cfg_default).collect()}
+    assert explicit == base
+    # loosen min_tokens -> the short doc now... still fails stopword evidence?
+    loose = copy.deepcopy(cfg_default)
+    loose["gopher"]["min_tokens"] = 1
+    loose["gopher"]["min_stopword_hits"] = 0
+    loose["gopher"]["min_mean_token_len_e4"] = 0
+    got = {r["doc_id"]: r["passes_quality"] for r in
+           text.gopher_quality(docs, "doc_id", "text", config=loose).collect()}
+    assert got == {0: 1, 1: 1}
+    # tighten min_tokens past the good doc -> everyone fails
+    tight = copy.deepcopy(cfg_default)
+    tight["gopher"]["min_tokens"] = 10_000
+    got = {r["doc_id"]: r["passes_quality"] for r in
+           text.gopher_quality(docs, "doc_id", "text", config=tight).collect()}
+    assert got == {0: 0, 1: 0}
+
+
+def test_langid_markers_config_driven(spark):
+    """Marker sets are declarative: a custom marker map changes the label
+    surface with no operator change."""
+    docs = spark.createDataFrame(
+        [(0, "zork bleep the of and")], "doc_id bigint, text string"
+    )
+    default = docs.select(text.langid_expr("text").alias("lang")).first()["lang"]
+    assert default == "en"
+    custom = {"xx": ("zork", "bleep"), "en": ("the", "a", "of", "and")}
+    got = docs.select(
+        text.langid_expr("text", markers=custom).alias("lang")
+    ).first()["lang"]
+    assert got == "en"  # 3 en hits beat 2 xx hits
+    custom2 = {"xx": ("zork", "bleep", "the", "of", "and")}
+    got2 = docs.select(
+        text.langid_expr("text", markers=custom2).alias("lang")
+    ).first()["lang"]
+    assert got2 == "xx"
