@@ -1,0 +1,126 @@
+"""Model-grade language identification: a character-trigram multinomial
+naive-Bayes scorer over a committed integer weight table — the trained
+classifier that occupies the long-named "fastText-via-batch-UDF" slot,
+built instead as pure DataFrame/Column operations (broadcast weight join
++ one aggregation), so it stays JVM-side and SQL-oracle-exact.
+
+The weight table (``config/langid_nb_weights.json``) is produced OFFLINE
+by ``tools/train_langid_nb.py`` on real public-domain multilingual text
+and committed; production swaps in a table trained on a larger corpus
+(the architecture — trained log-prob weights, integer-scaled, argmax —
+is unchanged, only the table grows). Scores are integer sums of
+``round(1000 * ln P(gram|lang))`` weights, so Spark and the DuckDB
+oracle compute bit-identical results.
+
+Scale anatomy (the 100 TB shape):
+- normalization + trigram explode are row-local scan work;
+- the weight table (hundreds of rows) broadcast-joins — never shuffles;
+- ONE shuffle total: the per-doc score aggregation, with map-side
+  partial sums absorbing the gram fan-out.
+
+The stopword-marker heuristic (``text.langid_expr``) remains the cheap
+zero-join tier; this is the quality tier above it.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_WEIGHTS_PATH = (
+    Path(__file__).resolve().parent.parent / "config" / "langid_nb_weights.json"
+)
+
+
+def load_nb_model(path: str | Path | None = None) -> dict:
+    """Load the committed weight table (langs, per-lang unseen defaults,
+    per-gram integer weights)."""
+    with open(path or DEFAULT_WEIGHTS_PATH, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def nb_weights_df(spark: SparkSession, model: dict) -> DataFrame:
+    """Weight table as a wide DataFrame: (g, w_<lang>...) — small by
+    construction, always broadcast."""
+    langs = model["langs"]
+    rows = [
+        tuple([w["g"]] + [int(w[lang]) for lang in langs]) for w in model["weights"]
+    ]
+    schema = "g string, " + ", ".join(f"w_{lang} bigint" for lang in langs)
+    return spark.createDataFrame(rows, schema)
+
+
+def normalize_expr(text_col) -> "F.Column":
+    """lower → non-[a-z space] to space → collapse spaces → trim. MUST stay
+    in lockstep with tools/train_langid_nb.py:normalize and the oracle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z ]", " "), " +", " ")
+    )
+
+
+def langid_nb(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    spark: SparkSession | None = None,
+    model: dict | None = None,
+) -> DataFrame:
+    """Score every document against every language; label = argmax with
+    deterministic ties (language-code order), 'und' for docs too short to
+    yield a trigram. Output: (doc_id, nb_lang, n_grams, s_<lang>_md...)
+    where scores are milli-log-prob integer sums."""
+    model = model or load_nb_model()
+    langs = model["langs"]
+    defaults = model["defaults"]
+    spark = spark or df.sparkSession
+    weights = nb_weights_df(spark, model)
+
+    # materialize norm as a real attribute BEFORE the trigram lambda: a
+    # lambda-internal reference to the regexp chain would re-evaluate it
+    # per element (the HOF re-eval hazard SCALE.md documents)
+    normed = df.select(
+        F.col(id_col).alias("doc_id"), normalize_expr(text_col).alias("norm")
+    )
+    grams = normed.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN length(norm) >= 3 THEN "
+                "transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3)) "
+                "ELSE array(CAST(NULL AS STRING)) END"
+            )
+        ).alias("g"),
+    )
+    scored = grams.join(F.broadcast(weights), "g", "left")
+    per_lang = [
+        F.sum(
+            F.when(F.col("g").isNull(), F.lit(0))
+            .otherwise(F.coalesce(F.col(f"w_{lang}"), F.lit(int(defaults[lang]))))
+        )
+        .cast("bigint")
+        .alias(f"s_{lang}_md")
+        for lang in langs
+    ]
+    agg = scored.groupBy("doc_id").agg(
+        F.count("g").cast("bigint").alias("n_grams"), *per_lang
+    )
+    # argmax with ties broken by language-code order (first max wins)
+    label = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [F.col(f"s_{lo}_md") for lo in langs[langs.index(lang) + 1 :]]
+        cond = F.lit(True)
+        for s in later:
+            cond = cond & (F.col(f"s_{lang}_md") >= s)
+        label = F.when(cond, F.lit(lang)).otherwise(label)
+    label = F.when(F.col("n_grams") == 0, F.lit("und")).otherwise(label)
+    return agg.select(
+        "doc_id",
+        label.alias("nb_lang"),
+        "n_grams",
+        *[f"s_{lang}_md" for lang in langs],
+    )

@@ -831,10 +831,90 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic (argmax over marker hit counts,
-    deterministic tie-break). The production slot for a fastText pandas_udf;
-    the engine surface is identical."""
+    deterministic tie-break) — the cheap zero-join tier; the model-grade
+    trained tier is ``text_langid_nb`` below."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", text.langid_expr("text").alias("lang_pred"))
+
+
+def _langid_nb_oracle() -> str:
+    """Generate the NB-langid oracle from the SAME committed weight table
+    the operator scores with — one source of truth, inlined as VALUES."""
+    from data_ingestion_bra_spark.operators.langid_nb import load_nb_model
+
+    m = load_nb_model()
+    langs = m["langs"]
+    rows = ", ".join(
+        "('%s', %s)" % (w["g"], ", ".join(str(int(w[lang])) for lang in langs))
+        for w in m["weights"]
+    )
+    wcols = ", ".join(f"w_{lang}" for lang in langs)
+    coalesced = ",\n                  ".join(
+        f"CASE WHEN g IS NULL THEN 0 ELSE coalesce(w_{lang}, {int(m['defaults'][lang])}) END AS v_{lang}"
+        for lang in langs
+    )
+    sums = ",\n           ".join(
+        f"CAST(sum(v_{lang}) AS BIGINT) AS s_{lang}_md" for lang in langs
+    )
+    # argmax, ties by language-code order
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        cond = " AND ".join(
+            f"s_{lang}_md >= s_{lo}_md" for lo in langs[i + 1 :]
+        )
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    label = (
+        "CASE WHEN n_grams = 0 THEN 'und' "
+        + " ".join(branches)
+        + f" ELSE '{langs[-1]}' END"
+    )
+    return f"""
+    WITH w(g, {wcols}) AS (VALUES {rows}),
+    d AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                     ' +', ' ', 'g')) AS norm
+          FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(CASE WHEN len(norm) >= 3
+                             THEN list_transform(generate_series(1, len(norm) - 2),
+                                                 i -> substr(norm, i, 3))
+                             ELSE [CAST(NULL AS VARCHAR)] END) AS g
+          FROM d),
+    j AS (SELECT doc_id, g,
+                  {coalesced}
+          FROM t LEFT JOIN w USING (g)),
+    a AS (SELECT doc_id,
+           CAST(count(g) AS BIGINT) AS n_grams,
+           {sums}
+          FROM j GROUP BY doc_id)
+    SELECT doc_id,
+           {label} AS nb_lang,
+           n_grams,
+           {", ".join(f"s_{lang}_md" for lang in langs)}
+    FROM a
+    """
+
+
+@register(
+    "text_langid_nb",
+    _langid_nb_oracle(),
+    tags=("text", "langid", "model", "llm-pipeline"),
+)
+def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-GRADE language ID: a character-trigram multinomial naive
+    Bayes whose integer weight table was trained OFFLINE on real
+    public-domain multilingual text (tools/train_langid_nb.py) and
+    committed (config/langid_nb_weights.json) — the trained classifier
+    occupying the named fastText slot, expressed as pure DataFrame ops:
+    trigram explode (row-local) → broadcast weight join → ONE per-doc
+    aggregation shuffle with map-side partials. Scores are integer
+    milli-log-prob sums, so the DuckDB oracle — generated from the SAME
+    weight table — verifies them bit-for-bit. The stopword heuristic
+    (``text_langid``) remains the cheap tier."""
+    from data_ingestion_bra_spark.operators.langid_nb import langid_nb
+
+    d = load_table(spark, sf_dir, "documents")
+    return langid_nb(d, "doc_id", "text", spark=spark)
 
 
 @register(

@@ -632,3 +632,38 @@ def test_langid_markers_config_driven(spark):
         text.langid_expr("text", markers=custom2).alias("lang")
     ).first()["lang"]
     assert got2 == "xx"
+
+
+def test_langid_nb_classifies_heldout_real_sentences(spark):
+    """The trained NB model must correctly label held-out sentences (NOT in
+    the training corpus) in each supported language — evidence the weight
+    table encodes real language signal, not fixture coincidence."""
+    from data_ingestion_bra_spark.operators.langid_nb import langid_nb
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The weather was cold this morning and the children walked to school together."),
+            (1, "La ventana de la cocina estaba abierta y los vecinos hablaban en la calle."),
+            (2, "O menino comprou um livro na feira e leu durante toda a viagem de trem."),
+            (3, "xy"),  # too short for any trigram -> 'und'
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["nb_lang"] for r in langid_nb(docs, "doc_id", "text").collect()}
+    assert got == {0: "en", 1: "es", 2: "pt", 3: "und"}
+
+
+def test_langid_nb_agrees_with_heuristic_on_fixture(spark):
+    """On the fixture corpus (synthetic English-ish vocab) the NB tier and
+    the stopword heuristic must broadly agree where the heuristic is
+    confident — the promised accuracy check between tiers."""
+    from data_ingestion_bra_spark.operators.langid_nb import langid_nb
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    heur = d.select("doc_id", text.langid_expr("text").alias("h"))
+    nb = langid_nb(d, "doc_id", "text").select("doc_id", "nb_lang")
+    joined = heur.join(nb, "doc_id").filter("h = 'en'")
+    n = joined.count()
+    n_agree = joined.filter("nb_lang = 'en'").count()
+    assert n > 0 and n_agree / n >= 0.95, (n_agree, n)
