@@ -73,14 +73,33 @@ def _load_all() -> None:
 #: the whole catalog. Names not listed keep registration order at the end.
 GATE_ORDER: tuple[str, ...] = (
     # LLM-data tier: each row of the capability table gets driver credit.
+    # Round-5 rotation (verdict item 7 + the round's new capabilities):
+    # IN:  dedup_simhash_full, dedup_chunk_level, curation_gopher_pipeline,
+    #      multimodal_image_png_resize, text_repetition_scores,
+    #      multimodal_video_gif_frames, dedup_contamination_bloom,
+    #      text_langid_nb.
+    # OUT (family twins whose capability stays in-window; all remain
+    # registered + hash-verified in the full-catalog report):
+    #      dedup_simhash (capped twin of the gated full-corpus banding),
+    #      dedup_ngram_jaccard (the verify tier runs inside the gated
+    #      dedup_minhash_lsh), similarity_rplsh_bucketed (RP-LSH banding
+    #      also drives the gated dedup_embedding_cosine),
+    #      curation_pipeline (v1; the gated pack + gopher pipelines compose
+    #      supersets of its stages), multimodal_image_png_decode (the gated
+    #      resize entry decodes AND re-encodes the same containers),
+    #      dedup_contamination_check (the gated bloom variant ends in the
+    #      identical exact confirm join, same oracle),
+    #      text_langid (heuristic tier of the gated NB model),
+    #      grouped_map_rank_per_lang (ranking semantics of the gated
+    #      window_rank_family; the FlatMapGroupsInPandas surface stays
+    #      pytest- and hash-verified below the window).
     "dedup_exact_groups",
-    "dedup_ngram_jaccard",
+    "dedup_chunk_level",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_full",
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "similarity_rplsh_bucketed",
     "dedup_events_stream_exact",
     # duplicate-CLUSTER collapse (connected components) is its own
     # capability row, so it gets driver credit; text_token_counts is a
@@ -88,24 +107,22 @@ GATE_ORDER: tuple[str, ...] = (
     # gate window (still hash-verified by tools/check_oracle.py).
     "dedup_duplicate_clusters",
     "text_quality_scores",
-    "text_langid",
+    "text_langid_nb",
     "text_term_stats_top3",
     "text_fingerprints",
-    # REAL decoders (round 4): genuine PNG and RIFF/WAVE containers parsed
-    # by vendored/stdlib code inside the mapInPandas contract. They gate in
-    # place of their stub twins (multimodal_decode_features,
-    # multimodal_audio_features, multimodal_binary_meta) — the stubs stay
-    # registered below the window and hash-verified in ORACLE_FULL_r04.json.
-    "multimodal_image_png_decode",
+    "text_repetition_scores",
+    # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
+    # parsed by vendored/stdlib code inside the mapInPandas contract. The
+    # stub twins (multimodal_decode_features, multimodal_audio_features,
+    # multimodal_binary_meta) stay registered below the window and
+    # hash-verified in the full-catalog report.
+    "multimodal_image_png_resize",
     "multimodal_audio_wav_decode",
+    "multimodal_video_gif_frames",
     "text_chunks_sliding",
-    "curation_pipeline",
+    "curation_gopher_pipeline",
     "sample_weighted_by_quality",
-    # Round-3 additions the driver never saw (previously below the window):
-    # contamination screening, sequence packing, the packed end-to-end
-    # curation pipeline, and the dataset-card mixture report — each is its
-    # own capability row, not a family twin.
-    "dedup_contamination_check",
+    "dedup_contamination_bloom",
     "text_pack_sequences",
     "curation_pack_pipeline",
     "corpus_mixture_report",
@@ -121,8 +138,8 @@ GATE_ORDER: tuple[str, ...] = (
     "text_pii_redaction",
     "join_full_outer_nation_activity",
     "count_distinct_customers_per_status",
-    # Displaced family twins (still registered + verified in
-    # ORACLE_FULL_r04.json): approx_count_distinct_customers (sketch twin of
+    # Displaced family twins (still registered + verified in the committed
+    # full-catalog report): approx_count_distinct_customers (sketch twin of
     # the gated exact count-distinct), pivot_orders_status (reshape twin of
     # the gated grouping sets), json_extract_props (covered by
     # map_funcs_suite), events_multires_rollup (covered by grouping sets +
@@ -132,10 +149,9 @@ GATE_ORDER: tuple[str, ...] = (
     "scalar_cast_suite",
     "manifest_null_counts_documents",
     "percentiles_quantity",
-    # Window families: rank, frames (RANGE 30d), grouped-map twin.
+    # Window families: rank, frames (RANGE 30d).
     "window_rank_family",
     "window_range_frame_trailing30d",
-    "grouped_map_rank_per_lang",
     # Function suites + subqueries + TPC-H-shape joins.
     "string_funcs_suite",
     "date_funcs_suite",
