@@ -60,6 +60,8 @@ def build_bloom_words(
     expressions + distinct); only the distinct position longs are
     collected — control-plane traffic bounded by k * |build side|, never
     the corpus."""
+    import numpy as np
+
     if m_bits % 64:
         raise ValueError("m_bits must be a multiple of 64")
     pos = (
@@ -69,14 +71,13 @@ def build_bloom_words(
             )
         )
         .distinct()
-        .collect()
+        .toPandas()["p"]  # Arrow columnar fetch — no per-row driver objects
+        .to_numpy(dtype=np.int64)
     )
-    words = [0] * (m_bits // 64)
-    for r in pos:
-        p = r["p"]
-        words[p >> 6] |= 1 << (p & 63)
-    # two's-complement into Spark's signed BIGINT domain
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+    # two's-complement view into Spark's signed BIGINT domain
+    return [int(w) for w in words.view(np.int64)]
 
 
 def bloom_dataframe(spark: SparkSession, words: list[int]) -> DataFrame:

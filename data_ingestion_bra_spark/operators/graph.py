@@ -117,6 +117,10 @@ def star_contraction_components(
         # small-star over canonical (s > t) edges: m = min of s's smaller
         # neighborhood; rewire s and each non-min smaller neighbor to m
         mins2 = e.groupBy("s").agg(F.min("t").alias("m"))
+        # LAZY checkpoint: the witness aggregate right below is the round's
+        # first action and materializes it — one control-plane action per
+        # round instead of the former eager-checkpoint + witness pair
+        # (halves driver round-trips on deep graphs; semantics unchanged).
         e = (
             mins2.select("s", F.col("m").alias("t"))
             .union(
@@ -125,7 +129,7 @@ def star_contraction_components(
                 .select(F.col("t").alias("s"), F.col("m").alias("t"))
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = tuple(
             e.agg(
