@@ -417,6 +417,10 @@ def main() -> None:
         "curation_gopher_pipeline",
         "multimodal_image_png_decode",
         "multimodal_audio_wav_decode",
+        "multimodal_video_gif_meta",
+        "multimodal_video_gif_frames",
+        "text_langid_nb",
+        "dedup_contamination_bloom",
     ):
         if name in queries:
             t0 = time.perf_counter()

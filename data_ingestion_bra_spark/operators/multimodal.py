@@ -759,3 +759,86 @@ def gif_frame_features(df: DataFrame, *, every_n: int = 2) -> DataFrame:
     are never decompressed — and features are integer-exact over the
     palette-mapped pixels (SQL-oracle-checkable)."""
     return df.mapInPandas(gif_frame_features_batch_fn(every_n), schema=GIF_FRAME_SCHEMA)
+
+
+def _gif_resize_frame(pixels: bytes, w: int, h: int, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of a palette-index frame: source index =
+    (ty*h//th, tx*w//tw) — pure integer arithmetic, oracle-recomputable."""
+    out = bytearray()
+    for ty in range(th):
+        base = (ty * h // th) * w
+        for tx in range(tw):
+            out.append(pixels[base + tx * w // tw])
+    return bytes(out)
+
+
+def gif_thumbs_batch_fn(target_w: int, target_h: int, every_n: int):
+    """mapInPandas worker factory: (doc_id, payload=GIF) in, one row per
+    sampled THUMBNAIL frame out. Per payload: metadata parse (no decode) →
+    sample every ``every_n``-th frame → LZW-decode only those → NN-resample
+    each to (target_w, target_h) → re-encode the thumbnails as a NEW
+    animated GIF through the vendored encoder → re-decode it → features
+    from the RE-DECODED pixels (proving the full round trip ran). The
+    video twin of the PNG resize path."""
+    from data_ingestion_bra_spark.operators import gif as _gif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                meta = _gif.parse_gif_meta(p)
+                want = set(range(0, meta.n_frames, every_n))
+                _, palette, frames = _gif.decode_gif_frames(p, want)
+                thumbs = [
+                    _gif_resize_frame(
+                        fr.pixels, meta.width, meta.height, target_w, target_h
+                    )
+                    for fr in frames
+                ]
+                pal = [
+                    (palette[3 * k], palette[3 * k + 1], palette[3 * k + 2])
+                    for k in range(meta.n_colors)
+                ]
+                reencoded = _gif.encode_gif(target_w, target_h, thumbs, pal)
+                _, pal2, decoded = _gif.decode_gif(reencoded)
+                npx = target_w * target_h
+                for fr, orig in zip(decoded, frames):
+                    total = sum(
+                        pal2[3 * i] + pal2[3 * i + 1] + pal2[3 * i + 2]
+                        for i in fr.pixels
+                    )
+                    out.append(
+                        (
+                            int(doc_id),
+                            orig.index,
+                            target_w,
+                            target_h,
+                            npx,
+                            total * 1_000_000 // (npx * 3 * 255),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "mean_intensity_e6",
+                ],
+            )
+
+    return fn
+
+
+def gif_frame_thumbnails(
+    df: DataFrame, *, width: int, height: int, every_n: int = 2
+) -> DataFrame:
+    """REAL video thumbnailing: sampled-frame decode → integer NN resample
+    → re-encode as a new animated GIF → re-decode, one Arrow-batched
+    mapInPandas stage; features integer-exact over the re-decoded pixels."""
+    return df.mapInPandas(
+        gif_thumbs_batch_fn(width, height, every_n), schema=GIF_FRAME_SCHEMA
+    )

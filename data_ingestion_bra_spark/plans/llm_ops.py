@@ -1785,6 +1785,53 @@ def multimodal_video_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_gif_thumbs",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS INT) AS w,
+                      CAST(4 + (doc_id // 5) % 5 AS INT) AS h,
+                      CAST(2 + doc_id % 7 AS BIGINT) AS nf
+               FROM documents),
+    f AS (SELECT doc_id, w, h, fi
+          FROM d, unnest(generate_series(0, nf - 1, 2)) AS t(fi)),
+    px AS (SELECT doc_id, w, h, fi,
+                  CAST(((ty * h) // 5) * w + ((tx * w) // 6) AS BIGINT) AS j
+           FROM f,
+                unnest(generate_series(0, 4)) AS a(ty),
+                unnest(generate_series(0, 5)) AS b(tx)),
+    v AS (SELECT doc_id, fi,
+                 CAST(((doc_id * 31 + fi * 17 + j * 7) % 16) * 17 AS BIGINT) AS gray
+          FROM px)
+    SELECT doc_id,
+           CAST(fi AS BIGINT) AS frame_idx,
+           CAST(6 AS INT) AS width,
+           CAST(5 AS INT) AS height,
+           CAST(30 AS BIGINT) AS n_pixels,
+           CAST(sum(gray) * 1000000 // (30 * 255) AS BIGINT) AS mean_intensity_e6
+    FROM v GROUP BY doc_id, fi
+    """,
+    tags=("multimodal", "video", "gif", "resize", "real-decode", "mapInPandas"),
+)
+def multimodal_video_gif_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video thumbnailing — the video twin of the PNG resize entry:
+    every doc's genuine animated GIF is metadata-parsed, every 2nd frame
+    LZW-decoded (others skipped structurally), nearest-neighbor resampled
+    to 6×5 in pure integer arithmetic (sx = tx*w//6, sy = ty*h//5), the
+    thumbnails RE-ENCODED as a new animated GIF through the vendored
+    encoder, re-decoded, and featured from the re-decoded pixels — so the
+    oracle (which recomputes every thumbnail pixel from the modular source
+    formula) verifies the full parse→sample→decode→resample→encode→decode
+    round trip. One shuffle-free Arrow-batched mapInPandas stage; ffmpeg's
+    scale filter slots into the same batch contract."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.gif_frame_thumbnails(
+        multimodal.synthesize_gif(d), width=6, height=5, every_n=2
+    )
+
+
+@register(
     "curation_pack_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text, length(text) AS L,

@@ -176,3 +176,27 @@ def test_vendored_codec_matches_pil():
         for f in range(nf):
             img.seek(f)
             assert img.convert("P").tobytes() == frames[f]
+
+
+def test_gif_frame_thumbnails_spark(spark):
+    """Thumbnail round trip: features must equal the hand-computed NN
+    sample of the synthetic source frames, proving decode → resample →
+    re-encode → re-decode all ran."""
+    doc_id = 21
+    df = multimodal.synthesize_gif(
+        spark.createDataFrame([(doc_id,)], "doc_id bigint")
+    )
+    rows = multimodal.gif_frame_thumbnails(df, width=6, height=5, every_n=2).collect()
+    w, h, nf, _ = multimodal._synth_gif_params(doc_id)
+    assert [r["frame_idx"] for r in rows] == list(range(0, nf, 2))
+    for r in rows:
+        f = r["frame_idx"]
+        want = []
+        for ty in range(5):
+            sy = ty * h // 5
+            for tx in range(6):
+                sx = tx * w // 6
+                j = sy * w + sx
+                want.append(((doc_id * 31 + f * 17 + j * 7) % 16) * 17)
+        assert (r["width"], r["height"], r["n_pixels"]) == (6, 5, 30)
+        assert r["mean_intensity_e6"] == sum(want) * 1_000_000 // (30 * 255)

@@ -69,6 +69,7 @@ PYTHON_ALLOWED = {
     # sampled-frame LZW decode in the same contract
     "multimodal_video_gif_meta",
     "multimodal_video_gif_frames",
+    "multimodal_video_gif_thumbs",
     "grouped_map_rank_per_lang",
 }
 
