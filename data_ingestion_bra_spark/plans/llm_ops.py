@@ -770,6 +770,68 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_metrics(d, "doc_id", "text")
 
 
+def _quality_model_oracle() -> str:
+    """Generate the quality-model oracle from the SAME committed weight
+    table the operator scores with — one source of truth, integer dot
+    product inlined."""
+    from data_ingestion_bra_spark.operators.quality_model import load_quality_model
+
+    m = load_quality_model()
+    w = m["weights"]
+    dot = f"{int(m['bias'])} + " + " + ".join(
+        f"({int(w[name])}) * {name}" for name in m["features"]
+    )
+    return rf"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(FLOOR(list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS mean_token_len_e4,
+                 CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS alpha_token_ratio_e4,
+                 CAST(len(list_filter(ltoks,
+                          x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+                   AS stopword_hits,
+                 CAST(CASE WHEN len(toks) >= 3
+                           THEN FLOOR(((len(toks) - 2) - len(list_distinct(
+                                  list_transform(generate_series(1, len(toks) - 2),
+                                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))
+                                / (len(toks) - 2) * 10000.0 + 0.5)
+                           ELSE 0 END AS BIGINT) AS dup_3gram_ratio_e4
+          FROM t)
+    SELECT doc_id, n_tokens, mean_token_len_e4, alpha_token_ratio_e4,
+           stopword_hits, dup_3gram_ratio_e4,
+           CAST({dot} AS BIGINT) AS score_e6,
+           CAST(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS passes_model
+    FROM m
+    """
+
+
+@register(
+    "text_quality_model",
+    _quality_model_oracle(),
+    tags=("text", "quality", "model", "llm-pipeline"),
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality scoring — the trained tier above the rule
+    gates (the CCNet-style split): an integer logistic regression FIT
+    OFFLINE (tools/train_quality_model.py; positives = real multilingual
+    prose, negatives = generated degenerate text) whose committed integer
+    weights (config/quality_model_weights.json) dot-product the engine's
+    existing metric expressions in pure codegen Columns — zero shuffles,
+    zero UDFs, rides the scan at any corpus size, and the DuckDB oracle
+    (generated from the SAME weight table) verifies every score
+    bit-for-bit. ``score_e6`` doubles as a ranking signal for
+    quality-weighted sampling; ``passes_model`` is the keep gate."""
+    from data_ingestion_bra_spark.operators.quality_model import quality_model_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_model_score(d, "doc_id", "text")
+
+
 @register(
     "text_gopher_quality",
     r"""
@@ -1282,7 +1344,9 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation v2 — the round-4 gates composed end-to-end in one lazy
     plan: Gopher rule gates AND the self-repetition gate (duplicate 3-gram
-    fraction ≤ 20%) → exact dedup → sliding chunks. Same scale shape as
+    fraction threshold, declared in config/curation.json
+    ``repetition.max_dup_3gram_ratio_e4``) → exact dedup → sliding chunks.
+    Same scale shape as
     curation_pipeline: every gate is a narrow codegen filter at the scan
     (one scan — the gate expressions come from the same
     operators/text.py definitions the standalone queries use), the only
@@ -1290,9 +1354,11 @@ def curation_gopher_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    g = text.gopher_metric_cols(F.col("text"))
+    cfg = text.load_curation_config()
+    g = text.gopher_metric_cols(F.col("text"), config=cfg)
     d3 = text.dup_ngram_ratio_e4_expr(F.col("text"), 3)
-    gated = d.filter((g["passes_quality"] == 1) & (d3 <= 2000)).select(
+    max_d3 = cfg["repetition"]["max_dup_3gram_ratio_e4"]
+    gated = d.filter((g["passes_quality"] == 1) & (d3 <= max_d3)).select(
         "doc_id", "text"
     )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")

@@ -667,3 +667,61 @@ def test_langid_nb_agrees_with_heuristic_on_fixture(spark):
     n = joined.count()
     n_agree = joined.filter("nb_lang = 'en'").count()
     assert n > 0 and n_agree / n >= 0.95, (n_agree, n)
+
+
+def test_quality_model_separates_prose_from_degenerate(spark):
+    """The committed integer logistic regression must keep held-out real
+    prose (NOT in the training set) and reject each degenerate class it
+    was fit against — evidence the weights encode quality signal."""
+    from data_ingestion_bra_spark.operators.quality_model import quality_model_score
+
+    prose = (
+        "The committee met on Thursday morning and the members discussed a "
+        "plan for the next season of work. Each of the teams presented a "
+        "short report and the chair thanked everyone for the careful "
+        "preparation and the honest questions that followed the meeting."
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, prose),
+            (1, " ".join(["spark"] * 80)),          # token spam
+            (2, " ".join(str(i * 7919 % 10**6) for i in range(50))),  # digit noise
+            (3, " ".join(["#$%^&*"] * 40)),          # punctuation soup
+            (4, "just a fragment"),                  # too short
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["passes_model"] for r in
+           quality_model_score(docs, "doc_id", "text").collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_quality_model_score_matches_python_mirror(spark):
+    """Integer score must equal the trainer's Python feature mirror dotted
+    with the committed weights — the bit-exactness contract."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from train_quality_model import features as py_features
+
+    from data_ingestion_bra_spark.operators.quality_model import (
+        load_quality_model,
+        quality_model_score,
+    )
+
+    m = load_quality_model()
+    texts = [
+        "the quick brown fox jumps over the lazy dog and the cat watches",
+        "one two three four five six seven eight nine ten",
+        "a a a a a a a a a a a a",
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {r["doc_id"]: r["score_e6"] for r in
+           quality_model_score(docs, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        f = py_features(t)
+        want = m["bias"] + sum(
+            m["weights"][name] * f[j] for j, name in enumerate(m["features"])
+        )
+        assert got[i] == want, (i, got[i], want)
