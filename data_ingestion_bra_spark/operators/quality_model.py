@@ -56,6 +56,18 @@ def quality_feature_cols(text_col: Column | str) -> dict[str, Column]:
     }
 
 
+def quality_score_expr(text_col: Column | str, *, model: dict | None = None) -> Column:
+    """The integer model score as ONE reusable Column expression — for
+    pipeline compositions that gate on ``score >= 0`` without carrying the
+    per-feature projection."""
+    model = model or load_quality_model()
+    feats = quality_feature_cols(text_col)
+    score = F.lit(int(model["bias"])).cast("bigint")
+    for name in model["features"]:
+        score = score + F.lit(int(model["weights"][name])).cast("bigint") * feats[name]
+    return score
+
+
 def quality_model_score(
     df: DataFrame, id_col: str, text_col: str, *, model: dict | None = None
 ) -> DataFrame:

@@ -1301,6 +1301,104 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_model_oracle() -> str:
+    """Generate the curation-v3 oracle: model gate (integer dot product
+    from the committed weight table) + repetition gate (config threshold)
+    → exact dedup → sliding chunks."""
+    from data_ingestion_bra_spark.operators.quality_model import load_quality_model
+
+    m = load_quality_model()
+    from data_ingestion_bra_spark.operators.text import load_curation_config
+
+    max_d3 = load_curation_config()["repetition"]["max_dup_3gram_ratio_e4"]
+    w = m["weights"]
+    dot = f"{int(m['bias'])} + " + " + ".join(
+        f"({int(w[name])}) * {name}" for name in m["features"]
+    )
+    return rf"""
+    WITH t AS (SELECT doc_id, text,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id, text, length(text) AS L,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(FLOOR(list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS mean_token_len_e4,
+                 CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS alpha_token_ratio_e4,
+                 CAST(len(list_filter(ltoks,
+                          x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+                   AS stopword_hits,
+                 CAST(CASE WHEN len(toks) >= 3
+                           THEN FLOOR(((len(toks) - 2) - len(list_distinct(
+                                  list_transform(generate_series(1, len(toks) - 2),
+                                      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))))
+                                / (len(toks) - 2) * 10000.0 + 0.5)
+                           ELSE 0 END AS BIGINT) AS dup_3gram_ratio_e4
+          FROM t),
+    gated AS (SELECT doc_id, text, L FROM m
+              WHERE ({dot}) >= 0 AND dup_3gram_ratio_e4 <= {max_d3}),
+    ded AS (SELECT doc_id, text, L FROM
+              (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM gated)
+            WHERE rn = 1)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+    FROM ded, unnest(generate_series(0,
+          CAST(CASE WHEN L <= 200 THEN 0
+                    ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    """
+
+
+@register(
+    "curation_model_pipeline",
+    _curation_model_oracle(),
+    tags=("text", "curation", "model", "pipeline", "llm-pipeline"),
+)
+def curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v3 — the TRAINED tier composed end-to-end: model-based
+    quality gate (committed integer logistic regression, ``score >= 0``)
+    AND the config-declared repetition gate → exact dedup → sliding
+    chunks, in ONE lazy plan. Same scale anatomy as the rule-gate
+    pipelines: both gates are narrow codegen filters at the scan (the
+    score is a dot product over the shared metric expressions — no model
+    server, no UDF), the only shuffle is the dedup hash partition, and
+    chunking explodes row-locally. The oracle regenerates the score from
+    the SAME weight table, so the whole gated pipeline is hash-verified."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_bra_spark.operators.quality_model import quality_score_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    cfg = text.load_curation_config()
+    score = quality_score_expr(F.col("text"))
+    d3 = text.dup_ngram_ratio_e4_expr(F.col("text"), 3)
+    gated = d.filter(
+        (score >= 0) & (d3 <= cfg["repetition"]["max_dup_3gram_ratio_e4"])
+    ).select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = ded.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+
+
 @register(
     "curation_gopher_pipeline",
     r"""
