@@ -420,6 +420,8 @@ def main() -> None:
         "multimodal_video_gif_meta",
         "multimodal_video_gif_frames",
         "text_langid_nb",
+        "text_quality_model",
+        "curation_model_pipeline",
         "dedup_contamination_bloom",
     ):
         if name in queries:
