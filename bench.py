@@ -419,6 +419,7 @@ def main() -> None:
         "multimodal_audio_wav_decode",
         "multimodal_video_gif_meta",
         "multimodal_video_gif_frames",
+        "multimodal_video_gif_thumbs",
         "text_langid_nb",
         "text_quality_model",
         "curation_model_pipeline",
