@@ -451,7 +451,10 @@ def main() -> None:
         # Budgeted: the sf10 runs are minutes-long; if an external timeout
         # looms, truncating the section (and SAYING so) beats emitting
         # nothing. Round-4 validation measured ~200s for the full set.
-        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "420"))
+        # Round-5 measured ~390s for the full section (9 queries × 3 scale
+        # points); 420s left no headroom for box variance, and a truncated
+        # tail would silently drop the newest entries' sf10 evidence.
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "560"))
         sec_start = time.perf_counter()
         truncated: list[str] = []
         scale_points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else []) + [("sf10", sf10)]
