@@ -77,7 +77,7 @@ GATE_ORDER: tuple[str, ...] = (
     # IN:  dedup_simhash_full, dedup_chunk_level, curation_gopher_pipeline,
     #      multimodal_image_png_resize, text_repetition_scores,
     #      multimodal_video_gif_frames, dedup_contamination_bloom,
-    #      text_langid_nb.
+    #      text_langid_nb, text_quality_model.
     # OUT (family twins whose capability stays in-window; all remain
     # registered + hash-verified in the full-catalog report):
     #      dedup_simhash (capped twin of the gated full-corpus banding),
@@ -109,7 +109,11 @@ GATE_ORDER: tuple[str, ...] = (
     "text_quality_scores",
     "text_langid_nb",
     "text_term_stats_top3",
-    "text_fingerprints",
+    # text_quality_model (trained integer-logreg tier) gates in place of
+    # text_fingerprints: the md5-normalized-text fingerprint expression is
+    # exercised by the gated exact-dedup/curation pipelines, and the
+    # fingerprint query stays hash-verified below the window.
+    "text_quality_model",
     "text_repetition_scores",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
