@@ -1,0 +1,70 @@
+"""Driver-contract guards for bench.py and the gate window — the two
+interfaces the external driver consumes mechanically.
+
+Round 4's only external failure was bench.py's final line outgrowing the
+driver's 2000-char stdout tail capture (`BENCH_r04.json: parsed: null`);
+these tests pin the fix so it cannot regress silently.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from data_ingestion_bra_spark.plans.registry import GATE_ORDER, QUERIES, _load_all
+
+
+def _fake_payload(n_queries: int) -> dict:
+    return {
+        "metric": "headline_queries_total_runtime_warm",
+        "value": 12.345,
+        "unit": "sec",
+        "queries": {
+            f"some_quite_long_query_name_number_{i:03d}": round(0.1 * i + 0.123, 3)
+            for i in range(n_queries)
+        },
+        "sf": "/root/testdata/sf0.1",
+    }
+
+
+def test_compact_line_fits_tail_window_for_current_headline():
+    """The REAL headline set must produce a final line comfortably under
+    the 2000-char driver tail window, parseable, with value + per-query
+    sf0.1 timings (the round-4 failure mode, pinned)."""
+    payload = _fake_payload(0)
+    payload["queries"] = {name: 1.234 for name in bench.HEADLINE}
+    line = bench.build_compact_line(payload)
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 12.345
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_compact_line_degrades_instead_of_overflowing():
+    """Even an absurdly grown headline set must never exceed the window —
+    the builder drops detail (flagged) rather than overflow."""
+    line = bench.build_compact_line(_fake_payload(200))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed.get("queries_truncated") is True
+    assert len(parsed["queries"]) == 15
+    # the slowest queries are the ones kept
+    assert min(parsed["queries"].values()) >= 0.1 * 185
+
+
+def test_gate_order_is_exactly_the_driver_window():
+    """GATE_ORDER must stay exactly 50 names (the driver verifies the
+    first 50 in dict order), unique, and every name registered."""
+    _load_all()
+    assert len(GATE_ORDER) == 50
+    assert len(set(GATE_ORDER)) == 50
+    missing = [n for n in GATE_ORDER if n not in QUERIES]
+    assert not missing, missing
+
+
+def test_every_registered_query_has_oracle_or_documented_exception():
+    """Catalog-wide: every query carries a DuckDB oracle twin (the driver
+    falls back to a weaker rows-only check for None — currently none do)."""
+    _load_all()
+    no_oracle = [n for n, s in QUERIES.items() if s.oracle is None]
+    assert no_oracle == [], no_oracle
