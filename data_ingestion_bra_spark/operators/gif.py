@@ -235,6 +235,13 @@ class GifFrame:
     pixels: bytes  # palette indices, len == width*height
 
 
+def _need(payload: bytes, i: int, n: int, what: str) -> None:
+    """Uniform decoder contract: every truncation is a ``ValueError``,
+    never a leaked ``struct.error``/``IndexError`` (fuzz-tested)."""
+    if i + n > len(payload):
+        raise ValueError(f"truncated GIF: {what}")
+
+
 def _skip_sub_blocks(payload: bytes, i: int) -> int:
     """Advance past a sub-block chain WITHOUT touching its contents — the
     primitive that makes metadata parse and sampled decode O(walk)."""
@@ -295,6 +302,7 @@ def _walk(payload: bytes, want: set[int] | None):
             label = payload[i]
             i += 1
             if label == 0xF9:  # Graphic Control Extension: read the delay
+                _need(payload, i, 4, "short Graphic Control Extension")
                 if payload[i] != 4:
                     raise ValueError("corrupt GIF: GCE block size != 4")
                 (pending_delay,) = struct.unpack("<H", payload[i + 2 : i + 4])
@@ -305,6 +313,7 @@ def _walk(payload: bytes, want: set[int] | None):
         if marker != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block marker 0x{marker:02x}")
         # image descriptor
+        _need(payload, i, 10, "short image descriptor")
         left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[i : i + 9])
         i += 9
         if fpacked & 0x80:

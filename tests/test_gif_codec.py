@@ -200,3 +200,32 @@ def test_gif_frame_thumbnails_spark(spark):
                 want.append(((doc_id * 31 + f * 17 + j * 7) % 16) * 17)
         assert (r["width"], r["height"], r["n_pixels"]) == (6, 5, 30)
         assert r["mean_intensity_e6"] == sum(want) * 1_000_000 // (30 * 255)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    op=st.integers(0, 2),
+    pos=st.integers(0, 10_000),
+    byte=st.integers(0, 255),
+    n_junk=st.integers(1, 20),
+)
+def test_decoder_contract_under_corruption(op, pos, byte, n_junk):
+    """ANY corruption — truncation, byte flip, junk insertion — must either
+    decode or raise ValueError; struct.error/IndexError never leak (the
+    decoder failure contract, fuzz-pinned)."""
+    payload = gif.encode_gif(
+        6, 5, _frames(6, 5, 3, seed=9), PAL16, delays_cs=[4] * 3
+    )
+    b = bytearray(payload)
+    if op == 0:
+        b = b[: 1 + pos % (len(b) - 1)]
+    elif op == 1:
+        b[pos % len(b)] = byte
+    else:
+        i = pos % len(b)
+        b = b[:i] + bytes([byte] * n_junk) + b[i:]
+    for fn in (gif.decode_gif, gif.parse_gif_meta):
+        try:
+            fn(bytes(b))
+        except ValueError:
+            pass
