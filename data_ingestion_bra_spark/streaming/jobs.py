@@ -136,6 +136,19 @@ def quality_gate_stream(docs: DataFrame) -> DataFrame:
     return docs.filter(gopher_metric_cols("text")["passes_quality"] == 1)
 
 
+def model_gate_stream(docs: DataFrame) -> DataFrame:
+    """Curation-at-ingest, TRAINED tier: the committed integer-logreg
+    quality model (operators/quality_model.py) applied as a streaming
+    filter — the score is a codegen dot product over scan-resident metric
+    expressions, so the model gate rides every micro-batch with no state
+    store, no watermark, and no model server; surviving docs keep ALL
+    source columns. The streaming twin of ``text_quality_model``'s
+    ``passes_model`` gate."""
+    from data_ingestion_bra_spark.operators.quality_model import quality_score_expr
+
+    return docs.filter(quality_score_expr(F.col("text")) >= 0)
+
+
 def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     """Governance-at-ingest: the PII scrub (operators/text.py) applied to a
     document stream. A pure stateless projection — no watermark, no state

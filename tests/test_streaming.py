@@ -174,3 +174,38 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
 
     want = {tuple(r) for r in pii_scrub(spark.read.parquet(d), "doc_id", "text").collect()}
     assert got == want and len(got) == 4
+
+
+def test_streaming_model_gate_matches_batch(spark, tmp_path):
+    """The trained quality-model gate is stateless: streaming micro-batches
+    must keep exactly the docs the batch score keeps, with all source
+    columns, in any file arrival order."""
+    good = (
+        "the committee met on thursday morning and the members discussed a "
+        "plan for the next season of work and the chair thanked everyone "
+        "for the careful preparation and the honest questions that followed "
+    ) * 2
+    docs = spark.createDataFrame(
+        [(0, good), (1, " ".join(["spark"] * 60)), (2, good + " again"),
+         (3, "1 2 3 4 5 6 7 8 9")],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(
+        jobs.model_gate_stream(stream), name="t_mgate", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_mgate").collect()}
+    from data_ingestion_bra_spark.operators.quality_model import quality_score_expr
+    from pyspark.sql import functions as F
+
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(d)
+        .filter(quality_score_expr(F.col("text")) >= 0)
+        .collect()
+    }
+    assert spark.sql("SELECT * FROM t_mgate").columns == ["doc_id", "text"]
+    assert got == want
+    assert {r[0] for r in got} == {0, 2}
