@@ -37,7 +37,19 @@ CORPUS: dict[str, str] = {
         "Data pipelines read tables, filter rows, and write the results to "
         "partitioned storage every day. "
         "This is a simple sentence with common English words that people "
-        "use when they talk about work and life."
+        "use when they talk about work and life. "
+        "In the morning the streets of the town fill with people walking to "
+        "their offices and shops, and by evening the same streets carry them "
+        "home again under the yellow light of the lamps. "
+        "She opened the window and looked out over the garden, where the "
+        "first leaves of autumn were already falling onto the wet grass. "
+        "The report explains how the system collects measurements from each "
+        "station, checks them against the expected ranges, and stores the "
+        "clean values in a shared table for later analysis. "
+        "When the train finally arrived, the children ran along the platform "
+        "and waved at the driver, who smiled and sounded the whistle twice. "
+        "A good library holds more than books; it holds the quiet hours of "
+        "everyone who ever sat at its long wooden tables to read and think."
     ),
     "es": (
         "Todos los seres humanos nacen libres e iguales en dignidad y "
@@ -48,7 +60,20 @@ CORPUS: dict[str, str] = {
         "Las canalizaciones de datos leen tablas, filtran filas y escriben "
         "los resultados en almacenamiento particionado todos los dias. "
         "Esta es una frase sencilla con palabras comunes del espanol que la "
-        "gente usa cuando habla del trabajo y de la vida."
+        "gente usa cuando habla del trabajo y de la vida. "
+        "Por la manana las calles del pueblo se llenan de gente que camina "
+        "hacia sus oficinas y tiendas, y por la tarde las mismas calles los "
+        "llevan de regreso a casa bajo la luz amarilla de las lamparas. "
+        "Ella abrio la ventana y miro hacia el jardin, donde las primeras "
+        "hojas del otono ya caian sobre la hierba mojada. "
+        "El informe explica como el sistema recoge las medidas de cada "
+        "estacion, las compara con los rangos esperados y guarda los valores "
+        "limpios en una tabla compartida para su analisis posterior. "
+        "Cuando el tren por fin llego, los ninos corrieron por el anden y "
+        "saludaron al conductor, que sonrio e hizo sonar el silbato dos veces. "
+        "Una buena biblioteca guarda mas que libros; guarda las horas "
+        "tranquilas de todos los que alguna vez se sentaron a leer y pensar "
+        "en sus largas mesas de madera."
     ),
     "pt": (
         "Todos os seres humanos nascem livres e iguais em dignidade e em "
@@ -59,7 +84,21 @@ CORPUS: dict[str, str] = {
         "Os pipelines de dados leem tabelas, filtram linhas e escrevem os "
         "resultados em armazenamento particionado todos os dias. "
         "Esta e uma frase simples com palavras comuns do portugues que as "
-        "pessoas usam quando falam do trabalho e da vida."
+        "pessoas usam quando falam do trabalho e da vida. "
+        "De manha as ruas da cidade se enchem de gente caminhando para os "
+        "seus escritorios e lojas, e ao entardecer as mesmas ruas os levam "
+        "de volta para casa sob a luz amarela dos postes. "
+        "Ela abriu a janela e olhou para o jardim, onde as primeiras folhas "
+        "do outono ja caiam sobre a grama molhada. "
+        "O relatorio explica como o sistema recolhe as medidas de cada "
+        "estacao, verifica os valores contra as faixas esperadas e guarda os "
+        "dados limpos numa tabela compartilhada para analise posterior. "
+        "Quando o trem finalmente chegou, as criancas correram pela "
+        "plataforma e acenaram para o condutor, que sorriu e tocou o apito "
+        "duas vezes. "
+        "Uma boa biblioteca guarda mais do que livros; guarda as horas "
+        "tranquilas de todos os que um dia se sentaram para ler e pensar em "
+        "suas longas mesas de madeira."
     ),
 }
 
