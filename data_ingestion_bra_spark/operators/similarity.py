@@ -469,3 +469,96 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine_e4", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def semdedup_prune(
+    centroids: DataFrame,
+    assignments: DataFrame,
+    *,
+    threshold_e4: int = 4500,
+) -> DataFrame:
+    """Semantic deduplication by cluster-then-prune (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): k-means partitions the corpus into cells, exact
+    pairwise cosine runs ONLY within a cell, and inside every τ-connected
+    duplicate neighborhood the member LEAST similar to its centroid is kept
+    (the paper's keep-low-centroid-sim rule — extreme points preserve
+    diversity) while dominated members are pruned.
+
+    Dominance is a local, deterministic rule — prune x iff some same-cell
+    neighbor y with cosine(x, y) ≥ τ has (cent_sim, vid) lexicographically
+    smaller — so the whole operator is two equi-joins and one aggregation:
+    no iteration, no connected-components pass, and the only pairs ever
+    scored are cell-local. At 100 TB the cell count scales with the corpus
+    (n_centroids ∝ N keeps E[cell size] constant, the paper's own regime),
+    so the quadratic step stays bounded per cell while the join on ``cell``
+    remains a plain shuffle equi-join; cells are also the unit of
+    parallelism, so skewed cells split under AQE.
+
+    Inputs are the PERSISTED IVF index (``load_or_build_ivf_index``):
+    training is paid once and serves both ANN queries and semantic dedup.
+    Returns one row per vector: (vec_id, cell, cent_sim_e4, n_dups, keep).
+    All-BIGINT output, so the unrolled-k-means DuckDB oracle is bit-exact.
+    """
+    c = centroids.select(
+        "cell", F.col("cvec").alias("cv"), norm_expr(F.col("cvec")).alias("cn")
+    )
+    scored = (
+        assignments.select("vid", "cell", "v")
+        .withColumn("vn", norm_expr(F.col("v")))
+        .join(F.broadcast(c), "cell")
+        .select(
+            "vid",
+            "cell",
+            "v",
+            "vn",
+            cosine_e4_expr(idot_expr(F.col("v"), F.col("cv")), F.col("vn"), F.col("cn")).alias(
+                "cent_sim_e4"
+            ),
+        )
+    )
+    left = scored.select(
+        F.col("vid").alias("a_id"),
+        "cell",
+        F.col("v").alias("av"),
+        F.col("vn").alias("an"),
+        F.col("cent_sim_e4").alias("a_cs"),
+    )
+    right = scored.select(
+        F.col("vid").alias("b_id"),
+        "cell",
+        F.col("v").alias("bv"),
+        F.col("vn").alias("bn"),
+        F.col("cent_sim_e4").alias("b_cs"),
+    )
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "a_cs",
+            "b_id",
+            "b_cs",
+            cosine_e4_expr(idot_expr(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")).alias(
+                "pair_cos_e4"
+            ),
+        )
+        .filter(F.col("pair_cos_e4") >= F.lit(int(threshold_e4)))
+    )
+    dominated = (F.col("b_cs") < F.col("a_cs")) | (
+        (F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id"))
+    )
+    stats = pairs.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max(dominated.cast("int")).alias("dom"),
+    )
+    return (
+        scored.select(F.col("vid").alias("vec_id"), "cell", "cent_sim_e4")
+        .join(stats.withColumnRenamed("a_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "cent_sim_e4",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.lit(1) - F.coalesce(F.col("dom"), F.lit(0))).cast("bigint").alias("keep"),
+        )
+    )

@@ -409,19 +409,22 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle(
-    n_iter: int = 2, n_probe: int = 2, train_sample_rate: float | None = None
-) -> str:
-    """DuckDB twin of ``similarity.ivf_topk`` with trained centroids: the
-    Lloyd iterations are unrolled as CTE chains (seed = first 8 vectors,
+def _kmeans_oracle_ctes(n_iter: int, train_sample_rate: float | None = None):
+    """Shared unrolled-Lloyd CTE generator for every oracle that needs the
+    trained k-means centroids (IVF top-k, SemDeDup): seed = first 8 vectors,
     assign = argmax 4-dp fixed-point cosine with (sim DESC, cell) tie-break,
-    update = element-wise integer mean), matching the Spark arithmetic
+    update = element-wise integer mean — matching the Spark arithmetic
     bit-for-bit because everything is BIGINT fixed-point.
 
     ``train_sample_rate`` mirrors ``kmeans_train``'s deterministic
     content-hash training sample: Lloyd assignment CTEs filter to rows with
     ``substr(md5(vec_id), 1, 6)`` below the nested-hex threshold — the
-    byte-identical DuckDB spelling of ``operators/sampling.py``."""
+    byte-identical DuckDB spelling of ``operators/sampling.py``.
+
+    Returns ``(cte_sql, final_cent, asg_sim)``: the cent0..centN CTE chain to
+    splice after ``_VEC_CTE``, the name of the trained-centroid CTE, and a
+    renderer ``asg_sim(cent)`` for the fixed-point assignment cosine against
+    row alias ``nv`` and centroid alias ``c``."""
     from data_ingestion_bra_spark.operators.sampling import hex_threshold
 
     train_src = "n"
@@ -466,13 +469,23 @@ def _ivf_oracle(
         FROM exp{k} GROUP BY cell, pos
       ) GROUP BY cell
     )""")
-    final_cent = f"cent{n_iter}"
+    return ",".join(parts), f"cent{n_iter}", asg_sim
+
+
+def _ivf_oracle(
+    n_iter: int = 2, n_probe: int = 2, train_sample_rate: float | None = None
+) -> str:
+    """DuckDB twin of ``similarity.ivf_topk`` with trained centroids: the
+    Lloyd iterations are unrolled as CTE chains (``_kmeans_oracle_ctes``),
+    then query vectors multi-probe their nearest cells and candidates come
+    from the cell equi-join, mirroring the Spark plan bit-for-bit."""
+    cent_sql, final_cent, asg_sim = _kmeans_oracle_ctes(n_iter, train_sample_rate)
     cos = _COS_E4.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
     return (
         "WITH "
         + _VEC_CTE
         + ",\n    "
-        + ",".join(parts)
+        + cent_sql
         + f""",
     asgq AS (
       SELECT vid, cell FROM (
@@ -538,6 +551,73 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         assignments=lists,
     )
+
+
+def _semdedup_oracle(
+    n_iter: int = 1, train_sample_rate: float | None = 0.5, threshold_e4: int = 4500
+) -> str:
+    """DuckDB twin of ``similarity.semdedup_prune``: the SAME unrolled-Lloyd
+    centroid CTEs as the IVF oracle (one source of truth,
+    ``_kmeans_oracle_ctes``), then full-corpus nearest-cell assignment keeps
+    its argmax cosine as cent_sim_e4, cell-local pairwise cosine finds
+    τ-neighbors, and the keep-low-centroid-sim dominance rule prunes —
+    all-BIGINT, bit-exact."""
+    cent_sql, final_cent, asg_sim = _kmeans_oracle_ctes(n_iter, train_sample_rate)
+    cos = _COS_E4.format(a="x.e", b="y.e", na="x.nrm", nb="y.nrm")
+    return (
+        "WITH "
+        + _VEC_CTE
+        + ",\n    "
+        + cent_sql
+        + f""",
+    asgf AS (
+      SELECT vid, cell, sim FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM n nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn = 1
+    ),
+    sc AS (SELECT a.vid, a.cell, a.sim AS cent_sim_e4, n.e, n.nrm
+           FROM asgf a JOIN n ON n.vec_id = a.vid),
+    p AS (
+      SELECT x.vid AS a_id, x.cent_sim_e4 AS a_cs, y.vid AS b_id, y.cent_sim_e4 AS b_cs
+      FROM sc x JOIN sc y ON x.cell = y.cell AND x.vid <> y.vid
+      WHERE {cos} >= {int(threshold_e4)}
+    ),
+    st AS (
+      SELECT a_id, CAST(count(*) AS BIGINT) AS n_dups,
+             max(CASE WHEN b_cs < a_cs OR (b_cs = a_cs AND b_id < a_id)
+                      THEN 1 ELSE 0 END) AS dom
+      FROM p GROUP BY a_id
+    )
+    SELECT sc.vid AS vec_id, CAST(sc.cell AS BIGINT) AS cell, sc.cent_sim_e4,
+           coalesce(st.n_dups, 0) AS n_dups,
+           CAST(1 - coalesce(st.dom, 0) AS BIGINT) AS keep
+    FROM sc LEFT JOIN st ON st.a_id = sc.vid
+    """
+    )
+
+
+@register(
+    "dedup_semantic_semdedup",
+    _semdedup_oracle(n_iter=1, train_sample_rate=0.5, threshold_e4=4500),
+    tags=("dedup", "embedding", "semantic", "kmeans", "llm-pipeline"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup by cluster-then-prune (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells bound the pairwise-cosine step, and
+    within every τ-connected neighborhood the member least similar to its
+    centroid survives (the paper's diversity-preserving keep rule). Reuses
+    the SAME persisted IVF index as ``similarity_topk_ivf`` — the index is
+    trained once and serves both ANN search and semantic dedup; the serve
+    plan here is index scan → broadcast centroid join → cell-local pair
+    join → one aggregation, with no iteration and no all-pairs scan.
+    Returns every vector with (cell, cent_sim_e4, n_dups, keep)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, lists = similarity.load_or_build_ivf_index(
+        spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
+    )
+    return similarity.semdedup_prune(cents, lists, threshold_e4=4500)
 
 
 def _embedding_cosine_oracle() -> str:

@@ -725,3 +725,36 @@ def test_quality_model_score_matches_python_mirror(spark):
             m["weights"][name] * f[j] for j, name in enumerate(m["features"])
         )
         assert got[i] == want, (i, got[i], want)
+
+
+def test_semdedup_prune_keeps_low_centroid_sim(spark):
+    """SemDeDup dominance: within a τ-neighborhood in one cell, only the
+    member LEAST similar to its centroid survives; singletons and
+    cross-cell near-pairs are untouched."""
+    # Two well-separated directions => 2 seed cells (first 2 vecs).
+    # Cell of e1: three near-identical vectors (0/2/3) + seed; vector 4 is
+    # slightly off-axis so its centroid-sim is lowest among the dup group.
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.999, 0.01, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = similarity.seed_centroids(vecs, n_centroids=2)
+    lists = similarity.assign_cells(vecs, cents).select("vid", "cell", "v")
+    out = {
+        r["vec_id"]: (r["n_dups"], r["keep"])
+        for r in similarity.semdedup_prune(cents, lists, threshold_e4=9900).collect()
+    }
+    # cell 0: {0, 2, 3} all pairwise >= 0.99 cosine. cent_sim: 0 and 2 are
+    # exactly on the centroid (10000), 3 is lower -> 3 survives, 0/2 pruned.
+    assert out[0] == (2, 0)
+    assert out[2] == (2, 0)
+    assert out[3][1] == 1
+    # cell 1: {1, 4} identical -> tie on cent_sim, lower vec_id survives.
+    assert out[1] == (1, 1)
+    assert out[4] == (1, 0)
