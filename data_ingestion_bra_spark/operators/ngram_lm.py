@@ -1,0 +1,121 @@
+"""CCNet-style perplexity quality filter (Wenzek et al. 2020,
+arXiv:1911.00359): score every document by a word-bigram language model
+trained OFFLINE on clean public-domain prose (tools/train_ngram_lm.py,
+committed integer weight table), and keep documents whose average negative
+log-likelihood stays under a ceiling — the standard "does this look like
+well-formed text" gate of large-scale corpus curation.
+
+Runtime architecture (the part that must survive 100 TB):
+
+- the model is FROZEN at train time — interpolation and smoothing are baked
+  into per-bigram / per-unigram integer milli-log weights, so scoring is a
+  pure lookup-sum with no float math until one final fixed-point division;
+- bigram explode is row-local (two shifted slices zipped — no lambda
+  re-evaluation, per the ``_ngram_structs`` doctrine in operators/text.py);
+- both weight tables are small by construction (vocabulary-bounded) and
+  broadcast: the only shuffle in the whole plan is the per-doc aggregation,
+  which partial-aggregates map-side;
+- scores are integer milli-nats, so the DuckDB oracle — generated from the
+  SAME committed table — verifies every document bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators.langid_nb import normalize_expr
+
+DEFAULT_WEIGHTS_PATH = Path(__file__).resolve().parent.parent / "config" / "ngram_lm_weights.json"
+
+#: Average negative log-likelihood ceiling (milli-nats per bigram): documents
+#: at or under this read as plausible prose under the reference LM. Chosen on
+#: the fixture corpus (see tests) so the gate separates vocabulary-overlapping
+#: documents from pure-OOV noise; a production deployment retunes it per
+#: CCNet against its own reference corpus.
+DEFAULT_KEEP_MAX_AVG_NLL_MILLI = 8100
+
+
+def load_lm(path: str | Path | None = None) -> dict:
+    with open(path or DEFAULT_WEIGHTS_PATH, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def lm_tables(spark: SparkSession, model: dict) -> tuple[DataFrame, DataFrame]:
+    """(bigram, unigram-backoff) weight tables — vocabulary-bounded, always
+    broadcast."""
+    bi = spark.createDataFrame(
+        [(r["g"], int(r["lp"])) for r in model["bi"]], "g string, lp bigint"
+    )
+    uni = spark.createDataFrame(
+        [(r["w"], int(r["blp"])) for r in model["uni"]], "w string, blp bigint"
+    )
+    return bi, uni
+
+
+def perplexity_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    spark: SparkSession | None = None,
+    model: dict | None = None,
+    keep_max_avg_nll_milli: int = DEFAULT_KEEP_MAX_AVG_NLL_MILLI,
+) -> DataFrame:
+    """Per-document LM score: (doc_id, n_bigrams, sum_lp_milli,
+    avg_nll_milli, keep). Documents with fewer than two tokens score
+    (0, 0, 0, keep=0) — too short to judge, so the gate drops them (CCNet's
+    own head/middle/tail buckets never see empty text either)."""
+    model = model or load_lm()
+    spark = spark or df.sparkSession
+    bi, uni = lm_tables(spark, model)
+    oov = int(model["oov_lp"])
+
+    norm = normalize_expr(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    count = F.greatest(n - 1, F.lit(0))
+    grams = F.arrays_zip(F.slice(toks, 1, count).alias("w1"), F.slice(toks, 2, count).alias("w2"))
+    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"), grams.alias("_grams"))
+
+    exploded = (
+        base.filter((F.col("_norm") != "") & (F.size(F.col("_grams")) > 0))
+        .select("doc_id", F.explode("_grams").alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("g"),
+            F.col("p.w2").alias("w2"),
+        )
+    )
+    scored = (
+        exploded.join(F.broadcast(bi), "g", "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")), "w2", "left")
+        .select("doc_id", F.coalesce(F.col("lp"), F.col("blp"), F.lit(oov)).alias("lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("sum_lp_milli")
+    )
+    n_bi = F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint")
+    s_lp = F.coalesce(F.col("sum_lp_milli"), F.lit(0)).cast("bigint")
+    # floor(x + 0.5) of one exact-integer / integer division: the repo-wide
+    # cross-engine-stable rounding (see plans/registry.py conventions).
+    avg = F.when(
+        n_bi > 0,
+        F.floor(-s_lp.cast("double") / n_bi + F.lit(0.5)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_bi.alias("n_bigrams"),
+            s_lp.alias("sum_lp_milli"),
+            avg.alias("avg_nll_milli"),
+            ((n_bi > 0) & (avg <= F.lit(int(keep_max_avg_nll_milli))))
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )

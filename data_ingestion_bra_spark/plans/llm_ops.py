@@ -1037,6 +1037,75 @@ def _langid_nb_oracle() -> str:
     """
 
 
+def _perplexity_lm_oracle() -> str:
+    """Generated from the SAME committed LM weight table the operator scores
+    with (tools/train_ngram_lm.py) — bigram and unigram-backoff milli-log
+    weights inlined as VALUES, normalization identical to the langid oracle,
+    per-doc milli-nat sums bit-exact."""
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        DEFAULT_KEEP_MAX_AVG_NLL_MILLI,
+        load_lm,
+    )
+
+    m = load_lm()
+    bi_rows = ", ".join("('%s', %d)" % (r["g"], r["lp"]) for r in m["bi"])
+    uni_rows = ", ".join("('%s', %d)" % (r["w"], r["blp"]) for r in m["uni"])
+    oov = int(m["oov_lp"])
+    keep_max = int(DEFAULT_KEEP_MAX_AVG_NLL_MILLI)
+    avg = (
+        "CAST(FLOOR(-CAST(a.sum_lp_milli AS DOUBLE) / a.n_bigrams + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH bi(g, lp) AS (VALUES {bi_rows}),
+    uni(w, blp) AS (VALUES {uni_rows}),
+    d AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                     ' +', ' ', 'g')) AS norm
+          FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d WHERE norm <> ''),
+    ge AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS g,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i + 1])) AS w2
+           FROM t WHERE len(toks) >= 2),
+    s AS (SELECT ge.doc_id, coalesce(bi.lp, uni.blp, {oov}) AS lp
+          FROM ge LEFT JOIN bi ON bi.g = ge.g LEFT JOIN uni ON uni.w = ge.w2),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(lp) AS BIGINT) AS sum_lp_milli
+          FROM s GROUP BY doc_id)
+    SELECT dd.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(a.sum_lp_milli, 0) AS BIGINT) AS sum_lp_milli,
+           CASE WHEN coalesce(a.n_bigrams, 0) > 0 THEN {avg}
+                ELSE CAST(0 AS BIGINT) END AS avg_nll_milli,
+           CAST(CASE WHEN coalesce(a.n_bigrams, 0) > 0 AND {avg} <= {keep_max}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM documents dd LEFT JOIN a ON a.doc_id = dd.doc_id
+    """
+
+
+@register(
+    "text_perplexity_lm",
+    _perplexity_lm_oracle(),
+    tags=("text", "quality", "perplexity", "model", "llm-pipeline"),
+)
+def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (Wenzek et al. 2020, arXiv:1911.00359):
+    every document scored by a word-bigram LM trained offline on clean
+    public-domain prose (committed integer weight table,
+    tools/train_ngram_lm.py), keep = average negative log-likelihood under
+    the configured ceiling. Plan: row-local bigram explode (two shifted
+    slices zipped) → TWO broadcast weight joins (bigram hit, unigram
+    backoff, OOV constant) → one map-side-partial aggregation — the only
+    shuffle is the per-doc sum, and the frozen-interpolation table keeps
+    runtime scoring a pure integer lookup-sum at any corpus size."""
+    from data_ingestion_bra_spark.operators.ngram_lm import perplexity_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_scores(d, "doc_id", "text", spark=spark)
+
+
 @register(
     "text_langid_nb",
     _langid_nb_oracle(),

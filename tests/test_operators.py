@@ -758,3 +758,32 @@ def test_semdedup_prune_keeps_low_centroid_sim(spark):
     # cell 1: {1, 4} identical -> tie on cent_sim, lower vec_id survives.
     assert out[1] == (1, 1)
     assert out[4] == (1, 0)
+
+
+def test_perplexity_lm_separates_prose_from_noise(spark):
+    """The committed bigram LM must score in-domain prose (sentences drawn
+    from its own training distribution) far below OOV gibberish, and the
+    keep gate must split them; sub-2-token docs are dropped as unjudgeable."""
+    from data_ingestion_bra_spark.operators import ngram_lm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "all human beings are born free and equal in dignity and rights"),
+            (1, "xqzv glorp wibble zonkt frubs plimt quage dribnax"),
+            (2, "one"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_lm.perplexity_scores(docs, "doc_id", "text", spark=spark).collect()
+    }
+    assert out[0]["avg_nll_milli"] < out[1]["avg_nll_milli"]
+    assert out[0]["keep"] == 1  # training-domain prose passes
+    assert out[1]["keep"] == 0  # pure-OOV noise is cut
+    assert out[1]["avg_nll_milli"] == -__import__("json").load(
+        open(ngram_lm.DEFAULT_WEIGHTS_PATH)
+    )["oov_lp"]  # every bigram OOV -> avg is exactly the OOV weight
+    assert out[2] == (2, 0, 0, 0, 0) or tuple(out[2]) == (2, 0, 0, 0, 0)
+    assert tuple(out[3]) == (3, 0, 0, 0, 0)
