@@ -1,0 +1,93 @@
+"""Incremental-ingestion operators: MERGE-style upsert and SCD2 history.
+
+The reference's bronze pipeline rewrites a full daily snapshot per partition
+(app/ingestao_api.py:124-127 — one ``anomesdia=YYYYMMDD`` directory per run);
+the Spark-native engine adds the incremental surface a lakehouse actually
+runs on top of that layout:
+
+- ``merge_upsert``: Delta-``MERGE``-shaped upsert without a table format —
+  changeset rows replace matching base rows by key, unmatched changeset rows
+  insert. The base side NEVER shuffles: the anti-join probes a broadcast of
+  just the changeset KEYS (a CDC batch is small relative to the table — the
+  100 TB regime), so the plan is scan → broadcast-anti → union. With
+  partitioned bases, replaced keys prune to their partitions (dynamic
+  partition overwrite is the write-side twin in ``sinks/``).
+- ``scd2_intervals``: slowly-changing-dimension type 2 — collapse an
+  append-only change log into validity intervals per entity
+  (valid_from/valid_to, is_current) via one window pass: lag to find change
+  points, a running sum to number versions, one aggregation per (entity,
+  version), lead to close intervals. Everything partitions by entity, so
+  the whole history build is a single shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Upsert ``changes`` into ``base`` on ``keys``: matched base rows are
+    replaced, unmatched changeset rows are inserted. Schemas must union by
+    name. ``broadcast_changes`` keeps the anti-join broadcast (CDC batches
+    are small); disable it for rare full-table restatements, where a
+    shuffled anti-join on a bucketed key column is the right plan."""
+    key_rows = changes.select(*keys).distinct()
+    if broadcast_changes:
+        key_rows = F.broadcast(key_rows)
+    return base.join(key_rows, list(keys), "left_anti").unionByName(changes)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    entity_col: str,
+    attr_col: str,
+    ts_col: str,
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """SCD2 history from an event log: one row per (entity, attribute run),
+    with ``valid_from`` = first event of the run, ``valid_to`` = start of
+    the next run (null while current), ``n_events`` = run length and
+    ``is_current`` on the open interval. ``tiebreak_col`` makes ordering
+    total when timestamps can collide (use the event id)."""
+    order_cols: list[Column] = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order_cols.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("bigint")
+    versioned = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("ts"),
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("version"),
+    )
+    runs = versioned.groupBy("entity", "version").agg(
+        F.first("attr").alias("attr"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    we = Window.partitionBy("entity").orderBy(F.col("version").asc())
+    return runs.select(
+        "entity",
+        F.col("version").cast("bigint").alias("version"),
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(we).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(we).isNull().cast("bigint").alias("is_current"),
+    )

@@ -1214,3 +1214,69 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e4(F.percent_rank().over(w)).alias("price_pct_rank_e4"),
         e4(F.cume_dist().over(w)).alias("price_cume_dist_e4"),
     )
+
+
+def _merge_upsert_oracle() -> str:
+    from data_ingestion_bra_spark.operators.sampling import hex_threshold
+
+    thr = hex_threshold(0.1)
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return f"""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, {cents} AS total_cents,
+                         'base' AS src
+                  FROM orders),
+    samp AS (SELECT * FROM orders
+             WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) < '{thr}'),
+    upd AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                   CAST(FLOOR(({cents} * 105) / 100.0) AS BIGINT) AS total_cents,
+                   'upd' AS src
+            FROM samp),
+    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+                   {cents} AS total_cents, 'ins' AS src
+            FROM samp),
+    chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+    SELECT b.o_orderkey, b.o_orderstatus, b.total_cents, b.src
+    FROM base b ANTI JOIN chg c ON b.o_orderkey = c.o_orderkey
+    UNION ALL
+    SELECT * FROM chg
+    """
+
+
+@register(
+    "incremental_merge_upsert",
+    _merge_upsert_oracle(),
+    tags=("merge", "upsert", "cdc", "incremental"),
+)
+def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO-shaped upsert without a table format (the incremental
+    surface the reference's full-snapshot bronze never had): a CDC batch —
+    derived deterministically from ``orders`` by content-hash sampling 10%
+    of keys as updates (+5% price, status 'U') and re-emitting them as
+    inserts under shifted keys — merges into the base by key. The base side
+    never shuffles: matched keys are removed via an anti-join against a
+    BROADCAST of the changeset keys, then the changeset unions in; at
+    100 TB the only cost is one base scan, and with a partitioned base the
+    replaced keys prune to their partitions (dynamic partition overwrite is
+    the write-side twin in sinks/)."""
+    from data_ingestion_bra_spark.operators.merge import merge_upsert
+    from data_ingestion_bra_spark.operators.sampling import deterministic_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", cents.alias("total_cents"), F.lit("base").alias("src")
+    )
+    samp = deterministic_sample(orders, ["o_orderkey"], 0.1)
+    updates = samp.select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.floor((cents * 105) / F.lit(100.0)).cast("bigint").alias("total_cents"),
+        F.lit("upd").alias("src"),
+    )
+    inserts = samp.select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        cents.alias("total_cents"),
+        F.lit("ins").alias("src"),
+    )
+    return merge_upsert(base, updates.unionByName(inserts), ["o_orderkey"])

@@ -238,3 +238,57 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((d), (d, h))
         """
     )
+
+
+@register(
+    "scd2_event_type_history",
+    f"""
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      CASE WHEN lag(event_type) OVER w IS NULL
+                                OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS chg
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS version
+          FROM o),
+    r AS (SELECT user_id, version, min(event_type) AS event_type,
+                 min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+          FROM v GROUP BY 1, 2),
+    f AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+                 valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                   AS valid_to,
+                 n_events
+          FROM r)
+    SELECT user_id, version, event_type,
+           strftime(valid_from, '{TS_FMT_DUCK}') AS valid_from,
+           strftime(valid_to, '{TS_FMT_DUCK}') AS valid_to,
+           n_events,
+           CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM f
+    """,
+    tags=("scd2", "temporal", "cdc", "incremental"),
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the event log: per user, consecutive
+    runs of the same event_type collapse into validity intervals
+    (valid_from / valid_to, is_current on the open run) — the
+    slowly-changing-dimension build every warehouse layers over CDC
+    streams. One window pass (lag → change flag → running version) and one
+    aggregation, all partitioned by the entity key: a single shuffle
+    regardless of history depth."""
+    from data_ingestion_bra_spark.operators.merge import scd2_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(e, "user_id", "event_type", "ts", tiebreak_col="event_id")
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "version",
+        F.col("attr").alias("event_type"),
+        F.date_format("valid_from", TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", TS_FMT_SPARK).alias("valid_to"),
+        "n_events",
+        "is_current",
+    )

@@ -787,3 +787,49 @@ def test_perplexity_lm_separates_prose_from_noise(spark):
     )["oov_lp"]  # every bigram OOV -> avg is exactly the OOV weight
     assert out[2] == (2, 0, 0, 0, 0) or tuple(out[2]) == (2, 0, 0, 0, 0)
     assert tuple(out[3]) == (3, 0, 0, 0, 0)
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched keys are replaced by the changeset, unmatched changeset rows
+    insert, untouched base rows survive byte-identical."""
+    from data_ingestion_bra_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k bigint, s string, v bigint"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "k bigint, s string, v bigint"
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(base, changes, ["k"]).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_scd2_intervals_runs_and_current_flag(spark):
+    """Runs collapse per entity; valid_to chains to the next run's
+    valid_from; only the last run per entity is current."""
+    from datetime import datetime
+
+    from data_ingestion_bra_spark.operators.merge import scd2_intervals
+
+    t = lambda s: datetime.fromisoformat(s)
+    log = spark.createDataFrame(
+        [
+            (1, 10, "x", t("2024-01-01T00:00:00")),
+            (2, 10, "x", t("2024-01-02T00:00:00")),
+            (3, 10, "y", t("2024-01-03T00:00:00")),
+            (4, 10, "x", t("2024-01-04T00:00:00")),
+            (5, 20, "z", t("2024-01-01T12:00:00")),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    rows = {
+        (r["entity"], r["version"]): r
+        for r in scd2_intervals(log, "user_id", "event_type", "ts", tiebreak_col="event_id").collect()
+    }
+    assert len(rows) == 4  # x-run, y-run, x-run for user 10; z-run for 20
+    assert rows[(10, 1)]["attr"] == "x" and rows[(10, 1)]["n_events"] == 2
+    assert rows[(10, 1)]["valid_to"] == t("2024-01-03T00:00:00")
+    assert rows[(10, 2)]["attr"] == "y" and rows[(10, 2)]["is_current"] == 0
+    assert rows[(10, 3)]["attr"] == "x" and rows[(10, 3)]["is_current"] == 1
+    assert rows[(10, 3)]["valid_to"] is None
+    assert rows[(20, 1)]["is_current"] == 1
