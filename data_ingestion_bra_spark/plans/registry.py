@@ -93,11 +93,27 @@ GATE_ORDER: tuple[str, ...] = (
     #      grouped_map_rank_per_lang (ranking semantics of the gated
     #      window_rank_family; the FlatMapGroupsInPandas surface stays
     #      pytest- and hash-verified below the window).
+    # Round-5b rotation (the session's four NEW capability rows get driver
+    # credit; displaced twins stay hash-verified in ORACLE_FULL_r05.json):
+    # IN:  dedup_semantic_semdedup (SemDeDup cluster-then-prune),
+    #      text_perplexity_lm (CCNet LM quality filter),
+    #      incremental_merge_upsert (MERGE/CDC surface),
+    #      scd2_event_type_history (SCD2 history build).
+    # OUT: dedup_embedding_cosine (its exact-integer-cosine verify tier runs
+    #      inside the gated semdedup + IVF; RP-LSH banding stays verified
+    #      below the window with similarity_rplsh_bucketed),
+    #      text_quality_scores (its metric expressions are the inputs of the
+    #      gated text_quality_model and the gopher/curation pipelines),
+    #      sample_weighted_by_quality (hex-threshold deterministic sampling
+    #      is exercised by the gated merge changeset derivation and the
+    #      gated IVF training sample),
+    #      text_chunks_sliding (chunking composes inside the gated
+    #      curation_pack_pipeline and curation_gopher_pipeline).
     "dedup_exact_groups",
     "dedup_chunk_level",
     "dedup_minhash_lsh",
     "dedup_simhash_full",
-    "dedup_embedding_cosine",
+    "dedup_semantic_semdedup",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "dedup_events_stream_exact",
@@ -106,7 +122,7 @@ GATE_ORDER: tuple[str, ...] = (
     # family twin of text_quality_scores (n_tokens) and moved below the
     # gate window (still hash-verified by tools/check_oracle.py).
     "dedup_duplicate_clusters",
-    "text_quality_scores",
+    "text_perplexity_lm",
     "text_langid_nb",
     "text_term_stats_top3",
     # text_quality_model (trained integer-logreg tier) gates in place of
@@ -123,9 +139,9 @@ GATE_ORDER: tuple[str, ...] = (
     "multimodal_image_png_resize",
     "multimodal_audio_wav_decode",
     "multimodal_video_gif_frames",
-    "text_chunks_sliding",
     "curation_gopher_pipeline",
-    "sample_weighted_by_quality",
+    "incremental_merge_upsert",
+    "scd2_event_type_history",
     "dedup_contamination_bloom",
     "text_pack_sequences",
     "curation_pack_pipeline",
