@@ -489,6 +489,7 @@ def main() -> None:
         "dedup_contamination_bloom",
         "dedup_semantic_semdedup",
         "text_perplexity_lm",
+        "curation_ccnet_pipeline",
         "incremental_merge_upsert",
         "scd2_event_type_history",
     ):

@@ -1548,6 +1548,101 @@ def curation_model_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_ccnet_oracle() -> str:
+    """Curation v4 oracle: the perplexity-LM gate CTEs (same committed
+    weight table as ``text_perplexity_lm``) → exact dedup → sliding
+    chunks — the whole gated pipeline hash-verified end to end."""
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        DEFAULT_KEEP_MAX_AVG_NLL_MILLI,
+        load_lm,
+    )
+
+    m = load_lm()
+    bi_rows = ", ".join("('%s', %d)" % (r["g"], r["lp"]) for r in m["bi"])
+    uni_rows = ", ".join("('%s', %d)" % (r["w"], r["blp"]) for r in m["uni"])
+    oov = int(m["oov_lp"])
+    keep_max = int(DEFAULT_KEEP_MAX_AVG_NLL_MILLI)
+    return f"""
+    WITH bi(g, lp) AS (VALUES {bi_rows}),
+    uni(w, blp) AS (VALUES {uni_rows}),
+    d AS (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'),
+                                     ' +', ' ', 'g')) AS norm
+          FROM documents),
+    t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d WHERE norm <> ''),
+    ge AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i + 1])) AS g,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i + 1])) AS w2
+           FROM t WHERE len(toks) >= 2),
+    s AS (SELECT ge.doc_id, coalesce(bi.lp, uni.blp, {oov}) AS lp
+          FROM ge LEFT JOIN bi ON bi.g = ge.g LEFT JOIN uni ON uni.w = ge.w2),
+    a AS (SELECT doc_id FROM s GROUP BY doc_id
+          HAVING CAST(FLOOR(-CAST(sum(lp) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+                   <= {keep_max}),
+    gated AS (SELECT dd.doc_id, dd.text, length(dd.text) AS L
+              FROM documents dd JOIN a ON a.doc_id = dd.doc_id),
+    ded AS (SELECT doc_id, text, L FROM
+              (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM gated)
+            WHERE rn = 1)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           md5(substr(text, CAST(i * 150 AS BIGINT) + 1, 200)) AS chunk_md5
+    FROM ded, unnest(generate_series(0,
+          CAST(CASE WHEN L <= 200 THEN 0
+                    ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS s(i)
+    """
+
+
+@register(
+    "curation_ccnet_pipeline",
+    _curation_ccnet_oracle(),
+    tags=("text", "curation", "perplexity", "model", "pipeline", "llm-pipeline"),
+)
+def curation_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation v4 — the CCNet recipe composed end-to-end: LM-perplexity
+    gate (documents whose average negative log-likelihood under the
+    committed bigram LM stays below the ceiling) → exact dedup → sliding
+    chunks, one lazy plan. The gate is a semi-join against the per-doc
+    score aggregation (broadcast weight joins + one map-side-partial sum);
+    dedup is the usual md5 hash partition; chunking explodes row-locally —
+    three shuffle boundaries total, none pairs-shaped, at any corpus
+    size."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_bra_spark.operators.ngram_lm import perplexity_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    passing = (
+        perplexity_scores(d, "doc_id", "text", spark=spark)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    gated = d.join(passing, "doc_id").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = ded.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+
+
 @register(
     "curation_gopher_pipeline",
     r"""
