@@ -278,7 +278,10 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     slowly-changing-dimension build every warehouse layers over CDC
     streams. One window pass (lag → change flag → running version) and one
     aggregation, all partitioned by the entity key: a single shuffle
-    regardless of history depth."""
+    regardless of history depth. Generalizes the capped inline
+    ``scd2_customer_status_history`` (plans/relational_ext.py) into a
+    reusable operator (``operators/merge.scd2_intervals``) running over the
+    FULL event log with run lengths and timestamp-precision intervals."""
     from data_ingestion_bra_spark.operators.merge import scd2_intervals
 
     e = load_table(spark, sf_dir, "events")
