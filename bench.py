@@ -138,7 +138,14 @@ def _semdedup_scale_bench(spark, points) -> dict:
         cents = similarity.kmeans_train(
             emb, n_centroids=k, n_iter=1, train_sample_rate=0.5
         )
-        lists = similarity.assign_cells(emb, cents).select("vid", "cell", "v")
+        # Materialize the inverted lists once (the production contract:
+        # load_or_build_ivf_index persists them to parquet; the prune plan
+        # reads the index, it never re-runs assignment per consumer).
+        lists = (
+            similarity.assign_cells(emb, cents)
+            .select("vid", "cell", "v")
+            .localCheckpoint(eager=True)
+        )
         kept = (
             similarity.semdedup_prune(cents, lists, threshold_e4=4500)
             .filter("keep = 1")

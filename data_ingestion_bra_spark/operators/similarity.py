@@ -148,17 +148,28 @@ def assign_cells(
     c = centroids.select(
         F.col("cell"), F.col("cvec").alias("c"), norm_expr(F.col("cvec")).alias("cn")
     )
+    # The argmax window shuffles n_vectors * n_centroids candidate rows;
+    # project them down to (vid, cell, sim) BEFORE that shuffle and re-join
+    # the ~n_probe winners back to the quantized vectors after. Carrying the
+    # vector itself through the window (the pre-round-5b plan) multiplies the
+    # shuffle payload by the embedding width — at k=800 cells over a
+    # 200k-vector replica that is an ~80 GB argmax shuffle vs ~4 GB for the
+    # slim projection. (The dot product stays the higher-order-function
+    # fold: an unrolled 64-term element_at sum was MEASURED 2.7x slower than
+    # the HOF evaluator on Spark 4, even over materialized arrays.)
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid",
-        "v",
         "cell",
         cosine_e4_expr(idot_expr(F.col("v"), F.col("c")), F.col("vn"), F.col("cn")).alias("sim"),
     )
     w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    return (
+    winners = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
-        .select("vid", "cell", "v", F.col("rn").alias("probe_rank"))
+        .select("vid", "cell", F.col("rn").alias("probe_rank"))
+    )
+    return winners.join(v.select("vid", "v"), "vid").select(
+        "vid", "cell", "v", "probe_rank"
     )
 
 
