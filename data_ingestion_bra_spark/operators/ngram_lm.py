@@ -119,3 +119,67 @@ def perplexity_scores(
             .alias("keep"),
         )
     )
+
+
+def _map_literal(pairs: list[tuple[str, int]]):
+    args = []
+    for k, v in pairs:
+        args.append(F.lit(k))
+        args.append(F.lit(v).cast("bigint"))
+    return F.create_map(*args)
+
+
+def avg_nll_milli_expr(text_col, *, model: dict | None = None):
+    """The LM score as ONE Column expression (map-literal lookups inside a
+    row-local transform + fold) — the STATELESS tier of the perplexity
+    filter: no explode, no join, no shuffle, so it rides a streaming
+    micro-batch with no state store and no output-mode constraints.
+
+    Tiering contract: map-literal lookup is a linear scan of the vocabulary
+    per gram, so this tier is for VOCAB-BOUNDED models at ingest (the
+    committed table: ~1k entries); the broadcast-join tier
+    (``perplexity_scores``) is the corpus-scale batch path where the weight
+    table can be millions of rows. Both compute identical integers — the
+    equality is pytest-asserted."""
+    model = model or load_lm()
+    bi = _map_literal([(r["g"], int(r["lp"])) for r in model["bi"]])
+    uni = _map_literal([(r["w"], int(r["blp"])) for r in model["uni"]])
+    oov = int(model["oov_lp"])
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = normalize_expr(c)
+    toks = F.split(norm, " ")
+    count = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.arrays_zip(
+        F.slice(toks, 1, count).alias("w1"), F.slice(toks, 2, count).alias("w2")
+    )
+    scores = F.transform(
+        grams,
+        lambda p: F.coalesce(
+            F.element_at(bi, F.concat_ws(" ", p["w1"], p["w2"])),
+            F.element_at(uni, p["w2"]),
+            F.lit(oov).cast("bigint"),
+        ),
+    )
+    ssum = F.aggregate(scores, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    n = F.size(grams)
+    return F.when(
+        (norm != "") & (n > 0),
+        F.floor(-ssum.cast("double") / n + F.lit(0.5)).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+
+
+def passes_lm_expr(
+    text_col,
+    *,
+    model: dict | None = None,
+    keep_max_avg_nll_milli: int = DEFAULT_KEEP_MAX_AVG_NLL_MILLI,
+):
+    """Boolean keep gate over ``avg_nll_milli_expr`` (docs with <2 tokens
+    fail, mirroring ``perplexity_scores``)."""
+    model = model or load_lm()
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = normalize_expr(c)
+    n = F.greatest(F.size(F.split(norm, " ")) - 1, F.lit(0))
+    avg = avg_nll_milli_expr(c, model=model)
+    return (norm != "") & (n > 0) & (avg <= F.lit(int(keep_max_avg_nll_milli)))

@@ -158,3 +158,15 @@ def pii_scrub_stream(docs: DataFrame) -> DataFrame:
     from data_ingestion_bra_spark.operators.text import pii_scrub
 
     return pii_scrub(docs, "doc_id", "text")
+
+
+def perplexity_gate_stream(docs: DataFrame) -> DataFrame:
+    """Curation-at-ingest, LM tier (the CCNet gate as a stream filter): the
+    committed bigram-LM score evaluated as one Column expression
+    (map-literal lookups, ``operators/ngram_lm.avg_nll_milli_expr``) — no
+    explode, no join, no state store, append mode; surviving docs keep ALL
+    source columns. The streaming twin of ``text_perplexity_lm``'s keep
+    gate; expression-tier == join-tier equality is pytest-asserted."""
+    from data_ingestion_bra_spark.operators.ngram_lm import passes_lm_expr
+
+    return docs.filter(passes_lm_expr(F.col("text")))

@@ -833,3 +833,33 @@ def test_scd2_intervals_runs_and_current_flag(spark):
     assert rows[(10, 3)]["attr"] == "x" and rows[(10, 3)]["is_current"] == 1
     assert rows[(10, 3)]["valid_to"] is None
     assert rows[(20, 1)]["is_current"] == 1
+
+
+def test_lm_expression_tier_matches_join_tier(spark):
+    """The stateless map-literal tier and the broadcast-join tier must
+    compute identical integers for every document in the fixture corpus
+    (plus short/empty edge docs)."""
+    from data_ingestion_bra_spark.operators import ngram_lm
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100000, "one"), (100001, ""), (100002, "all human beings are born free")],
+        "doc_id bigint, text string",
+    )
+    docs = docs.unionByName(extra)
+    join_tier = {
+        r["doc_id"]: (r["avg_nll_milli"], r["keep"])
+        for r in ngram_lm.perplexity_scores(docs, "doc_id", "text", spark=spark).collect()
+    }
+    expr_tier = {
+        r["doc_id"]: (r["avg"], int(r["keep"]))
+        for r in docs.select(
+            "doc_id",
+            ngram_lm.avg_nll_milli_expr("text").alias("avg"),
+            ngram_lm.passes_lm_expr("text").cast("int").alias("keep"),
+        ).collect()
+    }
+    assert join_tier == expr_tier and len(join_tier) > 50

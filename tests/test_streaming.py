@@ -209,3 +209,35 @@ def test_streaming_model_gate_matches_batch(spark, tmp_path):
     assert spark.sql("SELECT * FROM t_mgate").columns == ["doc_id", "text"]
     assert got == want
     assert {r[0] for r in got} == {0, 2}
+
+
+def test_streaming_perplexity_gate_matches_batch(spark, tmp_path):
+    """The CCNet LM gate at ingest: stream output must equal the batch
+    filter with all source columns kept; training-domain prose passes,
+    OOV noise and too-short docs are cut."""
+    good = (
+        "all human beings are born free and equal in dignity and rights "
+        "they are endowed with reason and conscience and should act towards "
+        "one another in a spirit of brotherhood "
+    ) * 2
+    docs = spark.createDataFrame(
+        [(0, good), (1, "xqzv glorp wibble zonkt frubs plimt quage dribnax"),
+         (2, good + " again"), (3, "one")],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(
+        jobs.perplexity_gate_stream(stream), name="t_lmgate", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_lmgate").collect()}
+    from data_ingestion_bra_spark.operators.ngram_lm import passes_lm_expr
+
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(d).filter(passes_lm_expr(F.col("text"))).collect()
+    }
+    assert spark.sql("SELECT * FROM t_lmgate").columns == ["doc_id", "text"]
+    assert got == want
+    assert {r[0] for r in got} == {0, 2}
