@@ -497,6 +497,7 @@ def main() -> None:
         "dedup_semantic_semdedup",
         "text_perplexity_lm",
         "curation_ccnet_pipeline",
+        "corpus_cluster_report",
         "incremental_merge_upsert",
         "scd2_event_type_history",
     ):

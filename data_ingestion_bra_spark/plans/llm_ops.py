@@ -620,6 +620,92 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_prune(cents, lists, threshold_e4=4500)
 
 
+def _cluster_report_oracle(
+    n_iter: int = 1, train_sample_rate: float | None = 0.5
+) -> str:
+    """DuckDB twin of ``corpus_cluster_report``: the shared unrolled-Lloyd
+    centroid CTEs, full-corpus nearest-cell assignment, then one join to the
+    paired documents row (doc_id == vec_id) and per-cell aggregates with a
+    deterministic top-language pick."""
+    cent_sql, final_cent, asg_sim = _kmeans_oracle_ctes(n_iter, train_sample_rate)
+    return (
+        "WITH "
+        + _VEC_CTE
+        + ",\n    "
+        + cent_sql
+        + f""",
+    asgf AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM n nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn = 1
+    ),
+    j AS (SELECT a.cell, d.lang, d.n_chars
+          FROM asgf a JOIN documents d ON d.doc_id = a.vid),
+    per_lang AS (SELECT cell, lang, CAST(count(*) AS BIGINT) AS n
+                 FROM j GROUP BY cell, lang),
+    top_lang AS (SELECT cell, lang, n FROM (
+                   SELECT *, row_number() OVER (PARTITION BY cell
+                                                ORDER BY n DESC, lang) AS rn
+                   FROM per_lang) WHERE rn = 1),
+    tot AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM j GROUP BY cell)
+    SELECT CAST(t.cell AS BIGINT) AS cell, t.n_docs, t.total_chars, t.n_langs,
+           tl.lang AS top_lang, tl.n AS top_lang_docs
+    FROM tot t JOIN top_lang tl ON tl.cell = t.cell
+    """
+    )
+
+
+@register(
+    "corpus_cluster_report",
+    _cluster_report_oracle(n_iter=1, train_sample_rate=0.5),
+    tags=("similarity", "kmeans", "corpus-card", "reporting", "llm-pipeline"),
+)
+def corpus_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level corpus data card (the domain-discovery companion of
+    SemDeDup): semantic k-means cells from the SHARED persisted IVF index
+    joined to the paired documents row (doc_id == vec_id), aggregated into
+    per-cluster composition stats — doc count, character volume, language
+    diversity, dominant language. One join plus two map-side-partial
+    aggregations; cells bound everything exactly as in the dedup path, so
+    the report costs one corpus pass at any scale. This is the reporting
+    surface mixture-weighting (DoReMi-style domain reweighting) consumes."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, lists = similarity.load_or_build_ivf_index(
+        spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    j = lists.select("vid", "cell").join(d, lists["vid"] == d["doc_id"]).select(
+        "cell", "lang", "n_chars"
+    )
+    per_lang = j.groupBy("cell", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("lang").alias("top_lang"), F.col("n").alias("top_lang_docs"))
+    )
+    tot = j.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return tot.join(top, "cell").select(
+        F.col("cell").cast("bigint").alias("cell"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        "top_lang",
+        F.col("top_lang_docs").cast("bigint").alias("top_lang_docs"),
+    )
+
+
 def _embedding_cosine_oracle() -> str:
     """RP-LSH banded candidates (16 bands × 4 planes — ~96% recall at cosine
     0.45) + exact fixed-point cosine verify, mirroring the Spark plan."""
