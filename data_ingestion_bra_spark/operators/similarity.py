@@ -142,8 +142,17 @@ def assign_cells(
     for the query side of an IVF search). Vectors arrive as raw float arrays
     and leave quantized (column ``v``: array<bigint>).
     """
-    v = with_quantized_vec(vectors, vec_col, "v").select(
-        F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn")
+    # Spread the n×k scoring across the cluster BEFORE fanning out against
+    # the broadcast centroids: a compact vector table (the 100×-replica's
+    # 200k × 64-dim corpus is ONE ~100 MB parquet split) otherwise scores
+    # every candidate on a single core — the measured sf10 assignment cost
+    # tracked single-thread HOF throughput exactly. One slim hash shuffle of
+    # the vectors (O(n) rows) buys n×k compute parallelism.
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    v = (
+        with_quantized_vec(vectors, vec_col, "v")
+        .select(F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn"))
+        .repartition(par, F.col("vid"))
     )
     c = centroids.select(
         F.col("cell"), F.col("cvec").alias("c"), norm_expr(F.col("cvec")).alias("cn")
@@ -162,12 +171,25 @@ def assign_cells(
         "cell",
         cosine_e4_expr(idot_expr(F.col("v"), F.col("c")), F.col("vn"), F.col("cn")).alias("sim"),
     )
-    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    winners = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .select("vid", "cell", F.col("rn").alias("probe_rank"))
-    )
+    if n_probe == 1:
+        # Corpus assignment (the n×k hot path): argmax as a MAX_BY
+        # aggregation, not a window — partial aggregation combines map-side,
+        # so the shuffle carries ~n_vectors winner rows instead of sorting
+        # all n×k candidate rows (at k=800 over the 100× replica: 160M-row
+        # sort vs 200k combined rows). Tie-break identical to the window
+        # ordering: max of (sim, -cell) == highest sim, then lowest cell.
+        winners = scored.groupBy("vid").agg(
+            F.max_by(
+                F.col("cell"), F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
+            ).alias("cell")
+        ).withColumn("probe_rank", F.lit(1))
+    else:
+        w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
+        winners = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_probe)
+            .select("vid", "cell", F.col("rn").alias("probe_rank"))
+        )
     return winners.join(v.select("vid", "v"), "vid").select(
         "vid", "cell", "v", "probe_rank"
     )
