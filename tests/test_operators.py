@@ -863,3 +863,40 @@ def test_lm_expression_tier_matches_join_tier(spark):
         ).collect()
     }
     assert join_tier == expr_tier and len(join_tier) > 50
+
+
+def test_ngram_lm_committed_weights_match_trainer():
+    """The committed LM table must be exactly what tools/train_ngram_lm.py
+    produces from the committed corpora — guards silent drift between the
+    trainer, the weights file, and the generated oracle."""
+    import json
+    import math
+    import sys
+    from collections import Counter
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from train_langid_nb import CORPUS, normalize
+
+    from data_ingestion_bra_spark.operators.ngram_lm import load_lm
+
+    words: list[str] = []
+    for lang in sorted(CORPUS):
+        words.extend(normalize(CORPUS[lang]).split(" "))
+    uni = Counter(words)
+    bi = Counter(zip(words[:-1], words[1:]))
+    v, n_total = len(uni), len(words)
+
+    def p_uni(w: str) -> float:
+        return (uni[w] + 1) / (n_total + v + 1)
+
+    m = load_lm()
+    assert m["oov_lp"] == round(1000 * math.log(0.25 / (n_total + v + 1)))
+    assert {r["w"]: r["blp"] for r in m["uni"]} == {
+        w: round(1000 * math.log(0.25 * p_uni(w))) for w in uni
+    }
+    want_bi = {
+        f"{w1} {w2}": round(1000 * math.log(0.75 * c / uni[w1] + 0.25 * p_uni(w2)))
+        for (w1, w2), c in bi.items()
+    }
+    assert {r["g"]: r["lp"] for r in m["bi"]} == want_bi
