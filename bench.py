@@ -98,6 +98,12 @@ SF10_QUERIES = [
     "curation_gopher_pipeline",
     "dedup_contamination_check",
     "dedup_contamination_bloom",
+    # round-5b additions: the new LLM-tier and incremental-surface entries
+    # must carry measured (not argued) 100x evidence too.
+    "text_perplexity_lm",
+    "curation_ccnet_pipeline",
+    "incremental_merge_upsert",
+    "scd2_event_type_history",
 ]
 
 
@@ -530,7 +536,10 @@ def main() -> None:
         # Round-5 measured ~390s for the full section (9 queries × 3 scale
         # points); 420s left no headroom for box variance, and a truncated
         # tail would silently drop the newest entries' sf10 evidence.
-        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "560"))
+        # Round-5b: four new queries x 3 scale points joined the section
+        # (~+150-250s measured); 800s keeps variance headroom without
+        # letting a hang eat the whole bench.
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "800"))
         sec_start = time.perf_counter()
         truncated: list[str] = []
         scale_points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else []) + [("sf10", sf10)]
