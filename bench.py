@@ -5,9 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": "<dir>"}
 
-Each query is timed to full materialization (count of the result — results
-are small aggregates/top-ks, so the timing is dominated by the scan/shuffle
-work, not driver collection).
+Each query is timed to full materialization through Spark's noop sink
+(every output column computed; a count() materializer let Catalyst prune
+computed columns and eliminate cardinality-preserving joins — see
+_materialize).
 """
 
 from __future__ import annotations
@@ -55,6 +56,18 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _materialize(df) -> None:
+    """Time-to-noop-sink: materializes EVERY output column. ``count()`` —
+    the pre-round-5b materializer — let Catalyst prune computed columns on
+    projection-shaped queries and eliminate cardinality-preserving left
+    joins outright (text_perplexity_lm's count() optimized to a bare
+    parquet row count: 0.45 s "cost" for 500k docs of LM scoring), so
+    count-based timings measured the scan, not the operator. Methodology
+    recorded in the payload as materialization=noop-write; round-over-round
+    headline comparisons cross this boundary and must expect a step up."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def _time_queries(
     spark, queries, sf_dir: str, *, passes: int = 3
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -65,7 +78,7 @@ def _time_queries(
     # one-time index builds (IVF centroid training persists its artifact
     # here), so the timed passes measure the serve path.
     for name in HEADLINE:
-        queries[name](spark, sf_dir).count()
+        _materialize(queries[name](spark, sf_dir))
     # Then median of N timed passes per query, with the min/max spread kept
     # alongside: this box shows +/-30-40% run-to-run variance (SCALE.md), so
     # a single sample can't distinguish plan regressions from noise (the
@@ -78,7 +91,7 @@ def _time_queries(
         samples: list[float] = []
         for _ in range(passes):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _materialize(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         timings[name] = round(_median(samples), 3)
         spread[name] = [round(min(samples), 3), round(max(samples), 3)]
@@ -476,6 +489,7 @@ def main() -> None:
         # [min, max] spread recorded in queries_spread. Rounds 3-4 reported
         # min-of-2; rounds 1-2 timed cold-ish first touches.
         "mode": "pre-warmed catalog + median of 3 timed runs per query (spread recorded)",
+        "materialization": "noop-write (all output columns computed)",
         "index_cache": "ivf centroids+lists persisted across runs (.ivf_cache)",
     }
 
@@ -509,7 +523,7 @@ def main() -> None:
     ):
         if name in queries:
             t0 = time.perf_counter()
-            queries[name](spark, sf_dir).count()
+            _materialize(queries[name](spark, sf_dir))
             extended[name] = round(time.perf_counter() - t0, 3)
     if extended:
         payload["queries_extended"] = extended
@@ -552,7 +566,7 @@ def main() -> None:
                     truncated.append(f"{name}@{label}")
                     continue
                 t0 = time.perf_counter()
-                queries[name](spark, d).count()
+                _materialize(queries[name](spark, d))
                 scaling[name][label] = round(time.perf_counter() - t0, 3)
         payload["queries_scaling_full_corpus"] = scaling
         payload["value_sf10"] = round(
