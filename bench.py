@@ -550,10 +550,12 @@ def main() -> None:
         # Round-5 measured ~390s for the full section (9 queries × 3 scale
         # points); 420s left no headroom for box variance, and a truncated
         # tail would silently drop the newest entries' sf10 evidence.
-        # Round-5b: four new queries x 3 scale points joined the section
-        # (~+150-250s measured); 800s keeps variance headroom without
+        # Round-5b: four new queries x 3 scale points joined the section,
+        # and noop-write materialization exposed the LM tier's real sf10
+        # cost (~195s, linear — count() had let Catalyst skip it); measured
+        # section total is ~720s, so 1100s keeps variance headroom without
         # letting a hang eat the whole bench.
-        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "800"))
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "1100"))
         sec_start = time.perf_counter()
         truncated: list[str] = []
         scale_points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else []) + [("sf10", sf10)]
