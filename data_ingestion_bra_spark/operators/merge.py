@@ -64,9 +64,17 @@ def scd2_intervals(
     if tiebreak_col:
         order_cols.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    # Null-safe change detection: plain `lag != attr` yields NULL when the
+    # attribute itself is NULL, which a running SUM silently skips —
+    # corrupting version numbers for any entity whose log carries NULL
+    # attribute values. eqNullSafe keeps a NULL-valued run a run (NULL==NULL
+    # continues it) and still opens a new run on NULL<->value transitions;
+    # the explicit first-row anchor keeps version numbering at 1 even when
+    # an entity's history OPENS with a NULL attribute (lag NULL eqNullSafe
+    # attr NULL would otherwise read as "no change" and emit version 0).
     changed = (
-        F.lag(attr_col).over(w).isNull()
-        | (F.lag(attr_col).over(w) != F.col(attr_col))
+        (F.row_number().over(w) == 1)
+        | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col))
     ).cast("bigint")
     versioned = df.select(
         F.col(entity_col).alias("entity"),

@@ -244,8 +244,8 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_event_type_history",
     f"""
     WITH o AS (SELECT user_id, event_type, ts, event_id,
-                      CASE WHEN lag(event_type) OVER w IS NULL
-                                OR lag(event_type) OVER w <> event_type
+                      CASE WHEN row_number() OVER w = 1
+                                OR lag(event_type) OVER w IS DISTINCT FROM event_type
                            THEN 1 ELSE 0 END AS chg
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -900,3 +900,33 @@ def test_ngram_lm_committed_weights_match_trainer():
         for (w1, w2), c in bi.items()
     }
     assert {r["g"]: r["lp"] for r in m["bi"]} == want_bi
+
+
+def test_scd2_intervals_null_attribute_runs(spark):
+    """NULL attribute values form runs like any other value (null-safe
+    change detection), and an entity whose history OPENS with NULL still
+    numbers versions from 1."""
+    from datetime import datetime
+
+    from data_ingestion_bra_spark.operators.merge import scd2_intervals
+
+    t = lambda s: datetime.fromisoformat(s)
+    log = spark.createDataFrame(
+        [
+            (1, 10, None, t("2024-01-01T00:00:00")),
+            (2, 10, None, t("2024-01-02T00:00:00")),
+            (3, 10, "x", t("2024-01-03T00:00:00")),
+            (4, 10, None, t("2024-01-04T00:00:00")),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    rows = {
+        (r["entity"], r["version"]): r
+        for r in scd2_intervals(
+            log, "user_id", "event_type", "ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert set(rows) == {(10, 1), (10, 2), (10, 3)}
+    assert rows[(10, 1)]["attr"] is None and rows[(10, 1)]["n_events"] == 2
+    assert rows[(10, 2)]["attr"] == "x"
+    assert rows[(10, 3)]["attr"] is None and rows[(10, 3)]["is_current"] == 1
