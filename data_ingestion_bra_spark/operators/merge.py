@@ -35,12 +35,47 @@ def merge_upsert(
     keys: Sequence[str],
     *,
     broadcast_changes: bool = True,
+    on_duplicate_keys: str = "keep_all",
 ) -> DataFrame:
     """Upsert ``changes`` into ``base`` on ``keys``: matched base rows are
     replaced, unmatched changeset rows are inserted. Schemas must union by
     name. ``broadcast_changes`` keeps the anti-join broadcast (CDC batches
     are small); disable it for rare full-table restatements, where a
-    shuffled anti-join on a bucketed key column is the right plan."""
+    shuffled anti-join on a bucketed key column is the right plan.
+
+    Duplicate keys in ``changes`` diverge from Delta ``MERGE`` (which errors
+    on multiple matches): the base row is anti-joined away once but EVERY
+    duplicate changeset row unions in. ``on_duplicate_keys`` makes the
+    choice explicit:
+
+    - ``"keep_all"`` (default): multi-row-per-key changesets pass through —
+      right for append-shaped CDC where the caller pre-deduped or wants
+      every version.
+    - ``"last_wins"``: keep one row per key, the max by ``_seq`` — callers
+      must supply a ``_seq`` column (a CDC sequence number / timestamp);
+      resolution is one map-side-combinable ``max_by`` per key on the
+      (small) changeset only, the base still never shuffles.
+    - ``"error"``: raise on the first duplicate key (Delta parity). Costs
+      one count over the changeset keys — an eager action, so reserve it
+      for pipelines that want the guard.
+    """
+    if on_duplicate_keys == "last_wins":
+        if "_seq" not in changes.columns:
+            raise ValueError("last_wins requires a _seq column in changes")
+        payload = [c for c in changes.columns if c not in keys]
+        changes = (
+            changes.groupBy(*keys)
+            .agg(*[F.max_by(c, "_seq").alias(c) for c in payload])
+            .select(*changes.columns)
+        )
+    elif on_duplicate_keys == "error":
+        dup = (
+            changes.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"merge_upsert: duplicate keys in changes on {list(keys)}")
+    elif on_duplicate_keys != "keep_all":
+        raise ValueError(f"unknown on_duplicate_keys: {on_duplicate_keys!r}")
     key_rows = changes.select(*keys).distinct()
     if broadcast_changes:
         key_rows = F.broadcast(key_rows)

@@ -135,25 +135,33 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """Nearest-centroid (cosine) cell assignment; centroids broadcast.
 
     ``n_probe`` > 1 keeps the n_probe nearest cells per vector (multi-probe
     for the query side of an IVF search). Vectors arrive as raw float arrays
     and leave quantized (column ``v``: array<bigint>).
+
+    ``spread`` repartitions the vector side before scoring — right for the
+    CORPUS assignment path (see below); the query side of an IVF search is
+    a handful of vectors where the shuffle is pure overhead, so ``ivf_topk``
+    passes ``spread=False`` there.
     """
-    # Spread the n×k scoring across the cluster BEFORE fanning out against
-    # the broadcast centroids: a compact vector table (the 100×-replica's
-    # 200k × 64-dim corpus is ONE ~100 MB parquet split) otherwise scores
-    # every candidate on a single core — the measured sf10 assignment cost
-    # tracked single-thread HOF throughput exactly. One slim hash shuffle of
-    # the vectors (O(n) rows) buys n×k compute parallelism.
-    par = vectors.sparkSession.sparkContext.defaultParallelism
-    v = (
-        with_quantized_vec(vectors, vec_col, "v")
-        .select(F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn"))
-        .repartition(par, F.col("vid"))
+    v = with_quantized_vec(vectors, vec_col, "v").select(
+        F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn")
     )
+    if spread:
+        # Spread the n×k scoring across the cluster BEFORE fanning out
+        # against the broadcast centroids: a compact vector table (the
+        # 100×-replica's 200k × 64-dim corpus is ONE ~100 MB parquet split)
+        # otherwise scores every candidate on a single core — the measured
+        # sf10 assignment cost tracked single-thread HOF throughput exactly.
+        # One slim hash shuffle of the vectors (O(n) rows) buys n×k compute
+        # parallelism. Parallelism comes from the SQL conf (not
+        # sparkContext.defaultParallelism, which Spark Connect can't reach).
+        par = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        v = v.repartition(par, F.col("vid"))
     c = centroids.select(
         F.col("cell"), F.col("cvec").alias("c"), norm_expr(F.col("cvec")).alias("cn")
     )
@@ -468,7 +476,9 @@ def ivf_topk(
     else:
         cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
     qsrc = vectors.filter(F.col(id_col).isin(query_ids) if query_ids else F.lit(True))
-    qcells = assign_cells(qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+    qcells = assign_cells(
+        qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, spread=False
+    )
     if assignments is not None:
         ccells = assignments
     else:

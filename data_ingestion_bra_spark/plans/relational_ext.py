@@ -1231,7 +1231,7 @@ def _merge_upsert_oracle() -> str:
                    CAST(FLOOR(({cents} * 105) / 100.0) AS BIGINT) AS total_cents,
                    'upd' AS src
             FROM samp),
-    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+    ins AS (SELECT -o_orderkey AS o_orderkey, 'N' AS o_orderstatus,
                    {cents} AS total_cents, 'ins' AS src
             FROM samp),
     chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
@@ -1252,7 +1252,9 @@ def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface the reference's full-snapshot bronze never had): a CDC batch —
     derived deterministically from ``orders`` by content-hash sampling 10%
     of keys as updates (+5% price, status 'U') and re-emitting them as
-    inserts under shifted keys — merges into the base by key. The base side
+    inserts under NEGATED keys (TPC-H orderkeys are positive at every SF,
+    so negation can never collide with a real base key the way a fixed
+    +10M offset did from ~sf2.5 up) — merges into the base by key. The base side
     never shuffles: matched keys are removed via an anti-join against a
     BROADCAST of the changeset keys, then the changeset unions in; at
     100 TB the only cost is one base scan, and with a partitioned base the
@@ -1274,7 +1276,7 @@ def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("upd").alias("src"),
     )
     inserts = samp.select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         cents.alias("total_cents"),
         F.lit("ins").alias("src"),

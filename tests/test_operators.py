@@ -804,6 +804,31 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
 
 
+def test_merge_upsert_duplicate_key_modes(spark):
+    """keep_all passes every changeset row through; last_wins keeps the
+    max-_seq row per key; error raises (Delta-MERGE parity)."""
+    import pytest
+
+    from data_ingestion_bra_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a", 0)], "k bigint, s string, _seq bigint")
+    changes = spark.createDataFrame(
+        [(1, "v1", 1), (1, "v2", 2), (2, "w", 1)], "k bigint, s string, _seq bigint"
+    )
+    keep_all = merge_upsert(base, changes, ["k"]).collect()
+    assert sorted((r["k"], r["s"]) for r in keep_all) == [(1, "v1"), (1, "v2"), (2, "w")]
+
+    last = merge_upsert(base, changes, ["k"], on_duplicate_keys="last_wins").collect()
+    assert sorted((r["k"], r["s"]) for r in last) == [(1, "v2"), (2, "w")]
+
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(base, changes, ["k"], on_duplicate_keys="error")
+    # unique changesets sail through the guard
+    uniq = spark.createDataFrame([(2, "w", 1)], "k bigint, s string, _seq bigint")
+    ok = merge_upsert(base, uniq, ["k"], on_duplicate_keys="error").collect()
+    assert sorted((r["k"], r["s"]) for r in ok) == [(1, "a"), (2, "w")]
+
+
 def test_scd2_intervals_runs_and_current_flag(spark):
     """Runs collapse per entity; valid_to chains to the next run's
     valid_from; only the last run per entity is current."""
@@ -880,12 +905,15 @@ def test_ngram_lm_committed_weights_match_trainer():
 
     from data_ingestion_bra_spark.operators.ngram_lm import load_lm
 
-    words: list[str] = []
+    # Per-corpus bigram counting, matching the trainer: no spurious
+    # cross-language bigrams from the corpus concatenation seams.
+    uni: Counter = Counter()
+    bi: Counter = Counter()
     for lang in sorted(CORPUS):
-        words.extend(normalize(CORPUS[lang]).split(" "))
-    uni = Counter(words)
-    bi = Counter(zip(words[:-1], words[1:]))
-    v, n_total = len(uni), len(words)
+        toks = normalize(CORPUS[lang]).split(" ")
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    v, n_total = len(uni), sum(uni.values())
 
     def p_uni(w: str) -> float:
         return (uni[w] + 1) / (n_total + v + 1)

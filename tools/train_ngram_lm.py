@@ -46,13 +46,18 @@ LAMBDA = 0.75  # bigram weight; (1 - LAMBDA) backs off to the unigram
 
 
 def main() -> None:
-    words: list[str] = []
+    # Count bigrams PER corpus and sum the Counters: zipping across the
+    # concatenation boundary would bake one spurious cross-language bigram
+    # per corpus seam (last word of one corpus + first word of the next)
+    # into the committed table.
+    uni: Counter[str] = Counter()
+    bi: Counter[tuple[str, str]] = Counter()
     for lang in sorted(CORPUS):
-        words.extend(normalize(CORPUS[lang]).split(" "))
-    uni = Counter(words)
-    bi = Counter(zip(words[:-1], words[1:]))
+        toks = normalize(CORPUS[lang]).split(" ")
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
     v = len(uni)
-    n_total = len(words)
+    n_total = sum(uni.values())
 
     def p_uni(w: str) -> float:
         return (uni[w] + 1) / (n_total + v + 1)
