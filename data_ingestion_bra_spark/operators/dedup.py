@@ -206,7 +206,14 @@ def minhash_jaccard_estimate(
     )
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, *, nibbles: int = 8) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    nibbles: int = 8,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
     """SimHash (``nibbles`` md5 nibbles × 4 bits, up to 60 bits) per doc.
 
     Per distinct token: h = md5(token); nibble i's bit b contributes
@@ -220,6 +227,16 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, *, nibbles: 
     exploded rows. The earlier (doc, bit)-exploded formulation shuffled
     60× the corpus token count at 60-bit width — a 4.5-billion-row shuffle
     at the 100× replica; this one moves three orders of magnitude less.
+
+    ``broadcast_vocab=True`` broadcasts the packed weight table instead of
+    shuffling the (doc, tok) relation against it — the right plan whenever
+    the DISTINCT vocabulary fits in executor memory (a web corpus's
+    vocabulary is millions of tokens × (tok + nbits longs) ≈ low GBs, vs a
+    (doc, tok) relation that is orders of magnitude larger AND Zipf-skewed
+    on the token key). The default stays the shuffled join, which never
+    assumes the vocabulary fits anywhere; AQE skew-split covers the hot
+    tokens there. Fingerprints are bit-identical either way (asserted in
+    tests/test_operators.py) — the knob only picks the join strategy.
     """
     nbits = nibbles * 4
     doc_toks = df.select(
@@ -243,6 +260,8 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, *, nibbles: 
         )
     )
     tok_contrib = doc_toks.select("tok").distinct().select("tok", ws.alias("ws"))
+    if broadcast_vocab:
+        tok_contrib = F.broadcast(tok_contrib)
     sums = (
         doc_toks.join(tok_contrib, "tok")
         .groupBy("doc")

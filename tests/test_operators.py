@@ -93,6 +93,22 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert (0, 3) not in pairs  # unrelated doc pruned by band bucketing
 
 
+def test_simhash_broadcast_vocab_identical_fingerprints(spark):
+    """broadcast_vocab only changes the JOIN STRATEGY (broadcast the packed
+    weight table instead of shuffling (doc, tok) against it) — fingerprints
+    must be bit-identical, and the broadcast plan must actually drop the
+    sort-merge/shuffled-hash exchange on the token key."""
+    d = _docs(spark)
+    shuffled = {(r["doc"], r["simhash"]) for r in
+                dedup.simhash_fingerprints(d, "doc_id", "text", nibbles=15).collect()}
+    bcast_df = dedup.simhash_fingerprints(
+        d, "doc_id", "text", nibbles=15, broadcast_vocab=True
+    )
+    assert {(r["doc"], r["simhash"]) for r in bcast_df.collect()} == shuffled
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_simhash_banding_matches_all_pairs(spark):
     """Pigeonhole guarantee: band-bucketed candidates find EVERY pair within
     the hamming budget (compare against a brute-force crossJoin)."""
