@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_ingestion_bra_spark.operators import dedup, graph, similarity, text
+from data_ingestion_bra_spark.operators import bpe, dedup, graph, similarity, text
 from data_ingestion_bra_spark.plans.registry import register
 from data_ingestion_bra_spark.sources.tables import load_table
 
@@ -2039,6 +2039,109 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_chunk_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+# Trained BPE merges (tools/train_bpe.py → config/bpe_merges.json), loaded
+# once at registration: both the Spark expressions and the generated oracle
+# SQL replay the SAME committed table, so token counts are bit-identical.
+_BPE_MERGES = bpe.load_merges()
+
+
+@register(
+    "text_token_counts_subword",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens_ws,
+           {bpe.doc_token_count_sql("text", _BPE_MERGES)} AS n_tokens_subword
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe", "llm-pipeline"),
+)
+def text_token_counts_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-subword token counts per document: the committed BPE merges
+    table (Sennrich et al. 2016; tools/train_bpe.py) applied as nested
+    literal replaces over separator-wrapped symbols — real greedy BPE, zero
+    UDFs, scan-resident. This is the token meter a trainer actually budgets
+    by; the whitespace count rides along as the legacy proxy (the
+    ``text_token_counts`` twin keeps the regex-split tier). At 100 TB the
+    projection runs inside the scan stage — no shuffle, no explode."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens_ws"),
+        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_tokens_subword"),
+    )
+
+
+@register(
+    "text_pack_sequences_bpe",
+    rf"""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             {bpe.doc_token_count_sql("substr(text, CAST(i * 150 AS BIGINT) + 1, 200)", _BPE_MERGES)}
+               AS n_chunk_tokens
+      FROM d, unnest(generate_series(
+            0,
+            CAST(CASE WHEN L <= 200 THEN 0
+                      ELSE ceil((L - 200) / 150.0) END AS BIGINT))) AS t(i)
+    ),
+    packed AS (
+      SELECT doc_id, chunk_idx, n_chunk_tokens,
+             CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                    PARTITION BY doc_id ORDER BY chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 128
+                  AS BIGINT) AS pack_id
+      FROM chunks
+    )
+    SELECT doc_id, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY doc_id, pack_id
+    """,
+    tags=("text", "packing", "bpe", "llm-pipeline"),
+)
+def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget sequence packing: the ``text_pack_sequences`` shape with
+    the budget measured in trained-BPE subword tokens (128 per pack) instead
+    of chars — what a trainer actually consumes; the char budget is only a
+    proxy and the two demonstrably disagree (tests/test_operators.py packs
+    a many-short-words doc and a few-long-words doc of EQUAL char length
+    into different pack counts). Same scale shape: chunk token counts are
+    row-local expressions, the running offset is one integer window per
+    doc, packing stays embarrassingly parallel by document."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    chunks = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        bpe.doc_token_count_expr(piece, _BPE_MERGES).alias("n_chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        chunks.withColumn("pack_id", F.floor(cum_before / F.lit(128)).cast("bigint"))
+        .groupBy("doc_id", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
         )
     )
 

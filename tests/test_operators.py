@@ -974,3 +974,118 @@ def test_scd2_intervals_null_attribute_runs(spark):
     assert rows[(10, 1)]["attr"] is None and rows[(10, 1)]["n_events"] == 2
     assert rows[(10, 2)]["attr"] == "x"
     assert rows[(10, 3)]["attr"] is None and rows[(10, 3)]["is_current"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE subword tier
+# ---------------------------------------------------------------------------
+def test_bpe_committed_merges_match_trainer():
+    """The committed merges table must be exactly what tools/train_bpe.py
+    produces from the committed corpora — guards drift between the trainer,
+    the JSON artifact, and the generated Spark/DuckDB expressions."""
+    import sys
+    from collections import Counter
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from train_bpe import N_MERGES, train
+    from train_langid_nb import CORPUS, normalize
+
+    from data_ingestion_bra_spark.operators import bpe
+
+    vocab: Counter = Counter()
+    for lang in sorted(CORPUS):
+        vocab.update(normalize(CORPUS[lang]).split(" "))
+    assert train(vocab, N_MERGES) == bpe.load_merges()
+
+
+def test_bpe_expressions_match_reference_encoder(spark):
+    """The nested-replace Spark expression must reproduce the pure-Python
+    reference encoder (greedy left-to-right merge application) token-for-
+    token — including the adversarial shapes the separator trick exists
+    for: repeated-symbol runs, merge-output adjacency, multi-byte chars,
+    empties, and words containing the separator byte itself."""
+    from data_ingestion_bra_spark.operators import bpe
+
+    merges = bpe.load_merges()
+    words = [
+        "the", "that", "then", "these", "aaaa", "aaa", "thth", "ententen",
+        "", "a", "particionado", "dignity.", "zqxjkv", "中文字符串",
+        "w\x01ith",  # separator byte stripped before symbolization
+        "antidisestablishmentarianism",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (r["n"], list(r["toks"]))
+        for r in df.select(
+            "w",
+            bpe.word_token_count_expr(F.col("w"), merges).alias("n"),
+            bpe.word_tokens_expr(F.col("w"), merges).alias("toks"),
+        ).collect()
+    }
+    for w in words:
+        exp = bpe.encode_word(w, merges)
+        assert got[w] == (len(exp), exp), (w, got[w], exp)
+
+
+def test_bpe_doc_count_matches_fixture_vocabulary(spark, tmp_path):
+    """Doc-level BPE counts over the REAL fixture corpus: Spark expression
+    vs the Python reference summed per whitespace word, for every sf0.001
+    document."""
+    from data_ingestion_bra_spark.operators import bpe
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    merges = bpe.load_merges()
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = d.select(
+        "doc_id", "text", bpe.doc_token_count_expr(F.col("text"), merges).alias("n")
+    ).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n"] == sum(len(bpe.encode_word(w, merges)) for w in r["text"].split())
+
+
+def test_char_and_token_packing_disagree(spark):
+    """The reason the BPE tier exists: two docs with IDENTICAL char lengths
+    pack into the SAME number of 512-char packs but DIFFERENT numbers of
+    128-token packs, because chars/token differs ('the'*k merges to one
+    token per word; consonant noise stays ~1 token per char)."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_bra_spark.operators import bpe
+
+    merges = bpe.load_merges()
+    dense = ("the " * 200)[:799]  # high-merge prose: few tokens per char
+    noise = ("zqx " * 200)[:799]  # no merges apply: many tokens per char
+    assert len(dense) == len(noise)
+    d = spark.createDataFrame([(0, dense), (1, noise)], "doc_id bigint, text string")
+
+    n_last = F.when(F.length("text") <= 200, F.lit(0)).otherwise(
+        F.ceil((F.length("text") - 200) / 150.0)
+    )
+    chunks = d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
+    )
+    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
+    chunks = chunks.select(
+        "doc_id", "chunk_idx",
+        F.length(piece).alias("n_chars"),
+        bpe.doc_token_count_expr(piece, merges).alias("n_tokens"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packs = chunks.select(
+        "doc_id",
+        F.floor(F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / 512).alias("char_pack"),
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 128).alias("tok_pack"),
+    ).groupBy("doc_id").agg(
+        F.countDistinct("char_pack").alias("n_char_packs"),
+        F.countDistinct("tok_pack").alias("n_tok_packs"),
+    )
+    got = {r["doc_id"]: (r["n_char_packs"], r["n_tok_packs"]) for r in packs.collect()}
+    # identical char budgeting...
+    assert got[0][0] == got[1][0]
+    # ...but token budgeting tells them apart
+    assert got[0][1] != got[1][1]
