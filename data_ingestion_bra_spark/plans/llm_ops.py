@@ -2550,3 +2550,132 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor((F.length("text") + 511) / 512)).cast("bigint").alias("est_sequences"),
         F.sum(F.when(F.length("text") >= 150, 1).otherwise(0)).cast("bigint").alias("n_quality_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-aware curation (CCNet buckets by source domain; DoReMi reweights
+# domain mixtures — arXiv:1911.00359, arXiv:2305.10429). The fixture's
+# ``source`` column is the domain key.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_domain_mixture",
+    rf"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM({bpe.doc_token_count_sql("text", _BPE_MERGES)}) AS BIGINT) AS n_tokens_subword,
+           CAST(SUM(CASE WHEN length(text) >= 150 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_len
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("text", "reporting", "domain", "llm-pipeline"),
+)
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN dataset card: the ``corpus_mixture_report`` twin keyed by
+    source domain instead of language — the grouping CCNet buckets by and
+    DoReMi reweights. Token counts come from the TRAINED BPE tier (the
+    budget a trainer actually consumes), computed scan-resident per row and
+    partial-aggregated — one shuffle on the low-cardinality domain key at
+    any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens_ws"),
+        F.sum(bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES))
+        .cast("bigint")
+        .alias("n_tokens_subword"),
+        F.sum(F.when(F.length("text") >= 150, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_len"),
+    )
+
+
+@register(
+    "sample_weighted_by_domain",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             {bpe.doc_token_count_sql("text", _BPE_MERGES)} AS n_tok
+      FROM documents
+    ),
+    tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS dom_tok FROM tok GROUP BY source),
+    m AS (SELECT CAST(MIN(dom_tok) AS BIGINT) AS min_tok FROM tot)
+    SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok
+    FROM tok t JOIN tot USING (source), m
+    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT * tot.dom_tok
+          < m.min_tok * 16777216
+    """,
+    tags=("sampling", "domain", "doremi", "llm-pipeline"),
+)
+def sample_weighted_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain reweighting: each domain gets a keep probability
+    p_d = min_domain_tokens / domain_tokens, equalizing the EXPECTED subword
+    -token contribution of every domain (the uniform-target special case of
+    DoReMi's learned weights — a learned weight vector plugs into the same
+    threshold arithmetic). Per-doc keep stays the deterministic hash-
+    threshold primitive (``sample_weighted_by_quality``), made exact across
+    engines by pure-integer cross-multiplication: keep iff
+    h * domain_tokens < min_tokens * 2^24 (no float division anywhere).
+    Scale shape: one partial-agg for the ~|domains|-row totals table,
+    broadcast back, then a scan-resident filter — the corpus never
+    shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_tok"),
+    )
+    tot = tok.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("dom_tok"))
+    m = tot.agg(F.min("dom_tok").cast("bigint").alias("min_tok"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    return (
+        tok.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(h * F.col("dom_tok") < F.col("min_tok") * F.lit(16777216))
+        .select("doc_id", "source", F.col("n_tok").cast("bigint").alias("n_tok"))
+    )
+
+
+@register(
+    "dedup_exact_per_domain",
+    """
+    WITH g AS (
+      SELECT source, md5(text) AS fp, COUNT(*) AS n
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           CAST(MAX(n) AS BIGINT) AS max_group
+    FROM g GROUP BY source
+    """,
+    tags=("dedup", "domain", "llm-pipeline"),
+)
+def dedup_exact_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-SCOPED exact dedup summary: fingerprint groups keyed by
+    (source, fp) — the CCNet-style policy where boilerplate repeated across
+    different sites is legitimate but repeats within one site are dups —
+    rolled up to a per-domain dedup card (docs / distinct / dup count /
+    largest group). Two map-side-combinable aggs: the first shuffles on
+    (source, fp) exactly like ``dedup_exact_groups`` (domain scoping rides
+    in the same partitioning columns for free), the second collapses to
+    |domains| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select("source", F.md5(F.col("text")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        (F.sum("n") - F.count("*")).cast("bigint").alias("n_dup_docs"),
+        F.max("n").cast("bigint").alias("max_group"),
+    )

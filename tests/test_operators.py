@@ -1089,3 +1089,48 @@ def test_char_and_token_packing_disagree(spark):
     assert got[0][0] == got[1][0]
     # ...but token budgeting tells them apart
     assert got[0][1] != got[1][1]
+
+
+def test_domain_reweighting_threshold_semantics(spark):
+    """sample_weighted_by_domain's integer cross-multiplication: the
+    minimum-token domain keeps EVERYTHING (p = 1), a heavier domain keeps
+    exactly the docs whose 24-bit md5 prefix clears min_tok/dom_tok — pinned
+    against a Python replay of the same arithmetic on a constructed skewed
+    corpus."""
+    import hashlib
+
+    from data_ingestion_bra_spark.operators import bpe
+
+    merges = bpe.load_merges()
+    rows = [(i, "small", "the cat") for i in range(5)] + [
+        (100 + i, "big", "the quick brown fox jumps over the lazy dog " * 3)
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    tok = d.select(
+        "doc_id", "source", bpe.doc_token_count_expr(F.col("text"), merges).alias("n_tok")
+    )
+    tot = tok.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("dom_tok"))
+    m = tot.agg(F.min("dom_tok").cast("bigint").alias("min_tok"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("bigint")
+    kept = {
+        r["doc_id"]
+        for r in tok.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(m))
+        .filter(h * F.col("dom_tok") < F.col("min_tok") * F.lit(16777216))
+        .collect()
+    }
+    # python replay
+    ntok = {i: sum(len(bpe.encode_word(w, merges)) for w in t.split()) for i, _, t in rows}
+    dom_tok = {"small": sum(ntok[i] for i in range(5)),
+               "big": sum(ntok[100 + i] for i in range(40))}
+    min_tok = min(dom_tok.values())
+    exp = {
+        i
+        for i, s, _ in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) * dom_tok[s]
+        < min_tok * 16777216
+    }
+    assert kept == exp
+    assert set(range(5)) <= kept  # min domain keeps everything
+    assert len([i for i in kept if i >= 100]) < 40  # heavy domain downsampled
