@@ -136,12 +136,17 @@ def assign_cells(
     vec_col: str = "embedding",
     n_probe: int = 1,
     spread: bool = True,
+    include_sim: bool = False,
 ) -> DataFrame:
     """Nearest-centroid (cosine) cell assignment; centroids broadcast.
 
     ``n_probe`` > 1 keeps the n_probe nearest cells per vector (multi-probe
     for the query side of an IVF search). Vectors arrive as raw float arrays
     and leave quantized (column ``v``: array<bigint>).
+
+    ``include_sim`` appends the winner's centroid cosine (``sim``, e4 fixed
+    point) to the output — the drift signal streaming IVF maintenance
+    monitors; off by default so existing consumers keep their schema.
 
     ``spread`` repartitions the vector side before scoring — right for the
     CORPUS assignment path (see below); the query side of an IVF search is
@@ -189,18 +194,20 @@ def assign_cells(
         winners = scored.groupBy("vid").agg(
             F.max_by(
                 F.col("cell"), F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
-            ).alias("cell")
+            ).alias("cell"),
+            # the winner's sim is simply max(sim) — tie-break only picks the
+            # cell, never changes the winning similarity
+            F.max("sim").alias("sim"),
         ).withColumn("probe_rank", F.lit(1))
     else:
         w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell").asc())
         winners = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= n_probe)
-            .select("vid", "cell", F.col("rn").alias("probe_rank"))
+            .select("vid", "cell", "sim", F.col("rn").alias("probe_rank"))
         )
-    return winners.join(v.select("vid", "v"), "vid").select(
-        "vid", "cell", "v", "probe_rank"
-    )
+    cols = ["vid", "cell", "v"] + (["sim"] if include_sim else []) + ["probe_rank"]
+    return winners.join(v.select("vid", "v"), "vid").select(*cols)
 
 
 def seed_centroids(
