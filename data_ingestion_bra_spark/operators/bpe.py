@@ -24,11 +24,12 @@ construction, so counting is two ``length`` calls. At 100 TB this is a
 scan-resident projection — no shuffle, no explode, no Python.
 
 Scale note: a production merges table (30-50k merges) would make the
-nested-replace chain too deep; the same contract then compiles to a
-broadcast vocabulary join (word → token count) for the frequent-word tier
-with the replace chain as the OOV fallback — the committed 128-merge table
-keeps the single-expression formulation, which is the honest shape at this
-table size.
+nested-replace chain too deep for a single expression; the same contract
+then runs through ``doc_token_counts_vocab_join`` below — chain per
+DISTINCT word plus a (broadcastable) vocabulary join, the Zipfian-corpus
+shape where chain cost stops growing with corpus size. The committed
+96-merge table keeps the zero-shuffle single-expression formulation as the
+default, which is the honest shape at this table size.
 """
 
 from __future__ import annotations
@@ -102,13 +103,40 @@ def word_tokens_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     return F.filter(F.split(encode_expr(word, merges), SEP), lambda t: t != F.lit(""))
 
 
+#: Whitespace class shared VERBATIM by both engines (Java's ``\s`` and
+#: RE2's ``\s`` disagree on ``\x0b``; an explicit class can't drift).
+_WS_CLASS = "[ \\t\\n\\r\\f]"
+
+
 def doc_token_count_expr(text: Column, merges: list[tuple[str, str]]) -> Column:
-    """#BPE tokens of a whitespace-tokenized document — one row-local
-    aggregate over the word array; empty/blank text counts 0."""
-    per_word = F.transform(
-        F.split(F.trim(text), r"\s+"), lambda w: word_token_count_expr(w, merges)
+    """#BPE tokens of a whitespace-tokenized document.
+
+    The merge chain runs over the WHOLE symbolized text once, not per word:
+    whitespace chars become ordinary (never-merged) symbols that interrupt
+    pair adjacency, so merges provably cannot cross word boundaries and the
+    whole-text apply is token-identical to per-word application — while
+    building one expression tree per document instead of a per-word lambda
+    (measured cost-neutral on the fixture — replace scans over the same
+    total char volume dominate either way — but structurally simpler and
+    free of per-element array materialization). Token count is then
+    #symbols − #whitespace-symbols, with #symbols read off the double
+    separators between wrapped symbols. ``(?s)`` keeps the symbolizer total
+    over newlines in both engines."""
+    stripped = F.replace(text, F.lit(SEP), F.lit(""))
+    sym = F.regexp_replace(stripped, "(?s)(.)", f"{SEP}$1{SEP}")
+    enc = reduce(
+        lambda acc, m: F.replace(
+            acc, F.lit(f"{SEP}{m[0]}{SEP}{SEP}{m[1]}{SEP}"), F.lit(f"{SEP}{m[0]}{m[1]}{SEP}")
+        ),
+        merges,
+        sym,
     )
-    return F.aggregate(per_word, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    n_ws = F.length(stripped) - F.length(F.regexp_replace(stripped, _WS_CLASS, ""))
+    return (
+        F.when(F.length(stripped) == 0, F.lit(0))
+        .otherwise(F.size(F.split(enc, SEP + SEP)) - n_ws)
+        .cast("bigint")
+    )
 
 
 # ---------------------------------------------------------------- oracle side
@@ -130,8 +158,67 @@ def word_token_count_sql(word_sql: str, merges: list[tuple[str, str]]) -> str:
 
 
 def doc_token_count_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
+    # Whole-text twin of doc_token_count_expr (same equivalence argument);
+    # the stripped text is inlined (cheap) but the merge-depth-deep chain
+    # appears exactly once.
+    stripped = f"replace({text_sql}, '{SEP}', '')"
+    enc = f"regexp_replace({stripped}, '(?s)(.)', '{SEP}\\1{SEP}', 'g')"
+    for x, y in merges:
+        enc = f"replace({enc}, '{SEP}{x}{SEP}{SEP}{y}{SEP}', '{SEP}{x}{y}{SEP}')"
+    n_ws = f"(length({stripped}) - length(regexp_replace({stripped}, '{_WS_CLASS}', '', 'g')))"
     return (
-        "CAST(COALESCE(list_sum(list_transform("
-        f"regexp_split_to_array(trim({text_sql}), '\\s+'), "
-        f"w -> {word_token_count_sql('w', merges)})), 0) AS BIGINT)"
+        f"CAST(CASE WHEN length({stripped}) = 0 THEN 0 "
+        f"ELSE len(string_split({enc}, '{SEP}{SEP}')) - {n_ws} END AS BIGINT)"
+    )
+
+
+# ------------------------------------------------------------- scale variant
+def doc_token_counts_vocab_join(
+    df,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    broadcast_vocab: bool = True,
+):
+    """Per-doc BPE token counts via a VOCABULARY join — the heavy-corpus
+    twin of the scan-resident ``doc_token_count_expr``.
+
+    The scan-resident expression evaluates the merge chain once per
+    document; fine while documents are short, but the chain cost is
+    O(|corpus text|). Real corpora are Zipfian: |vocabulary| ≪ |corpus|,
+    so evaluating the chain once per DISTINCT word and joining the counts
+    back (exactly the packed-weight vocabulary join the simhash operator
+    uses, ``dedup.py:simhash_fingerprints``) trades two map-side-combined
+    shuffles for a merge-chain cost that no longer grows with corpus size.
+    ``broadcast_vocab`` mirrors the simhash knob: broadcast the (word,
+    token-count) table when the vocabulary fits, else shuffle-join with
+    AQE skew-split covering hot words.
+
+    Output: (id_col, n_tokens_subword) — documents with NO words (empty /
+    blank text) do not appear (their count is zero); aggregate consumers
+    are unaffected, per-doc consumers left-join if they need explicit
+    zeros. Equality with the scan-resident expression is pytest-pinned.
+    """
+    from pyspark.sql import functions as FF
+
+    words = (
+        df.select(
+            FF.col(id_col), FF.explode(FF.split(FF.trim(FF.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(FF.length("w") > 0)
+        .groupBy(id_col, "w")
+        .agg(FF.count(FF.lit(1)).alias("c"))
+    )
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select("w", word_token_count_expr(FF.col("w"), merges).alias("t"))
+    )
+    if broadcast_vocab:
+        vocab = FF.broadcast(vocab)
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(FF.sum(FF.col("c") * FF.col("t")).cast("bigint").alias("n_tokens_subword"))
     )

@@ -109,6 +109,20 @@ GATE_ORDER: tuple[str, ...] = (
     #      gated IVF training sample),
     #      text_chunks_sliding (chunking composes inside the gated
     #      curation_pack_pipeline and curation_gopher_pipeline).
+    # Round-6 rotation (trained-BPE + domain tiers get driver credit):
+    # IN:  text_pack_sequences_bpe (token-budget packing over the committed
+    #      BPE merges — the trainer-fidelity capability),
+    #      corpus_domain_mixture (per-domain data card with subword-token
+    #      totals), sample_weighted_by_domain (DoReMi-shaped domain
+    #      reweighting).
+    # OUT: text_pack_sequences (char-budget twin of the gated BPE packing —
+    #      identical window/group shape, proxy budget),
+    #      corpus_mixture_report (per-lang twin of the gated domain card),
+    #      dedup_events_stream_exact (its exact-dedup semantics are the
+    #      gated dedup_exact_groups; the streaming surface stays gated via
+    #      the three events_* entries and pytest-verified stream twins).
+    # All three displaced entries remain registered + hash-verified in the
+    # committed full-catalog report.
     "dedup_exact_groups",
     "dedup_chunk_level",
     "dedup_minhash_lsh",
@@ -116,7 +130,7 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_semantic_semdedup",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "dedup_events_stream_exact",
+    "sample_weighted_by_domain",
     # duplicate-CLUSTER collapse (connected components) is its own
     # capability row, so it gets driver credit; text_token_counts is a
     # family twin of text_quality_scores (n_tokens) and moved below the
@@ -143,9 +157,9 @@ GATE_ORDER: tuple[str, ...] = (
     "incremental_merge_upsert",
     "scd2_event_type_history",
     "dedup_contamination_bloom",
-    "text_pack_sequences",
+    "text_pack_sequences_bpe",
     "curation_pack_pipeline",
-    "corpus_mixture_report",
+    "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",

@@ -1134,3 +1134,28 @@ def test_domain_reweighting_threshold_semantics(spark):
     assert kept == exp
     assert set(range(5)) <= kept  # min domain keeps everything
     assert len([i for i in kept if i >= 100]) < 40  # heavy domain downsampled
+
+
+def test_bpe_vocab_join_equals_scan_resident(spark):
+    """The vocabulary-join token counter (chain per DISTINCT word) must
+    equal the scan-resident expression (chain per document) on the fixture
+    corpus — the same result from both shuffle shapes."""
+    from data_ingestion_bra_spark.operators import bpe
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    merges = bpe.load_merges()
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scan = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", bpe.doc_token_count_expr(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    via_vocab = {
+        r["doc_id"]: r["n_tokens_subword"]
+        for r in bpe.doc_token_counts_vocab_join(d, "doc_id", "text", merges).collect()
+    }
+    # vocab join omits zero-word docs; every doc it reports must match, and
+    # every doc it omits must be zero in the scan-resident count
+    for k, v in scan.items():
+        assert via_vocab.get(k, 0) == v, k
