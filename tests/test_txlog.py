@@ -1,0 +1,140 @@
+"""Transaction-log table format: snapshot isolation, time travel, atomic
+partition overwrite, optimistic concurrency, crash invisibility, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from data_ingestion_bra_spark.sinks import txlog
+
+
+def _rows(spark, table_dir, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in txlog.read_snapshot(spark, table_dir, version).collect()
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_append_time_travel_and_snapshot_isolation(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = txlog.commit_append(_df(spark, [(1, "a")]), t)
+    v1 = txlog.commit_append(_df(spark, [(2, "b")]), t)
+    assert (v0, v1) == (0, 1)
+    assert _rows(spark, t) == {(1, "a"), (2, "b")}
+    # time travel: version 0 still reads exactly the first commit
+    assert _rows(spark, t, version=0) == {(1, "a")}
+    # snapshot isolation: a resolved snapshot is immune to later commits
+    snap = txlog.snapshot(t)
+    txlog.commit_append(_df(spark, [(3, "c")]), t)
+    assert _rows(spark, t, version=snap.version) == {(1, "a"), (2, "b")}
+    assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_overwrite_partition_replaces_only_its_partition(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_overwrite_partition(
+        _df(spark, [(1, "day1")]), t, partition_key="d", partition_value="20240101"
+    )
+    txlog.commit_overwrite_partition(
+        _df(spark, [(2, "day2")]), t, partition_key="d", partition_value="20240102"
+    )
+    # restate day1: its old file is removed, day2 untouched
+    txlog.commit_overwrite_partition(
+        _df(spark, [(3, "day1-restated")]), t, partition_key="d", partition_value="20240101"
+    )
+    assert _rows(spark, t) == {(2, "day2"), (3, "day1-restated")}
+    # the pre-restatement state remains time-travelable
+    assert _rows(spark, t, version=1) == {(1, "day1"), (2, "day2")}
+
+
+def test_uncommitted_files_are_invisible_and_vacuumable(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    # simulate a crashed writer: data files staged but no log record
+    orphan = txlog._write_data_files(_df(spark, [(99, "ghost")]), t)
+    assert _rows(spark, t) == {(1, "a")}  # invisible to readers
+    deleted = txlog.vacuum(t)
+    assert set(deleted) == set(orphan)
+    assert _rows(spark, t) == {(1, "a")}  # vacuum never touches live files
+
+
+def test_concurrent_append_retries_to_next_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    # another writer lands version 1 between our snapshot and publish:
+    # pre-create the version file the next commit will try first
+    os.makedirs(os.path.join(t, txlog.LOG_DIR), exist_ok=True)
+    with open(txlog._log_path(t, 1), "w") as f:
+        json.dump({"add": [], "remove": [], "meta": {"op": "append"}}, f)
+    v = txlog.commit_append(_df(spark, [(2, "b")]), t)
+    assert v == 2  # lost the race at v1, retried, landed at v2
+    assert _rows(spark, t) == {(1, "a"), (2, "b")}
+
+
+def _interpose(t, version, partition):
+    """Land a competing commit record at ``version`` — used to simulate a
+    writer winning the race BETWEEN our snapshot resolution and publish."""
+    os.makedirs(os.path.join(t, txlog.LOG_DIR), exist_ok=True)
+    with open(txlog._log_path(t, version), "w") as f:
+        json.dump(
+            {"add": [], "remove": [],
+             "meta": {"op": "overwrite_partition", "partition": partition}},
+            f,
+        )
+
+
+def test_mid_flight_same_partition_overwrite_conflicts(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "tbl")
+    txlog.commit_overwrite_partition(
+        _df(spark, [(1, "x")]), t, partition_key="d", partition_value="20240101"
+    )
+    # race simulation: the moment our writer tries to publish, a competing
+    # SAME-partition commit has already taken that version slot
+    real_publish = txlog._try_publish
+
+    def racing_publish(table_dir, version, record):
+        if not os.path.exists(txlog._log_path(table_dir, version)):
+            _interpose(table_dir, version, "d=20240101")
+        return real_publish(table_dir, version, record)
+
+    monkeypatch.setattr(txlog, "_try_publish", racing_publish)
+    with pytest.raises(txlog.CommitConflict):
+        txlog.commit_overwrite_partition(
+            _df(spark, [(2, "y")]), t, partition_key="d", partition_value="20240101"
+        )
+    monkeypatch.undo()
+    # the losing writer changed nothing: day1 still reads the winner's state
+    assert _rows(spark, t) == {(1, "x")}
+
+
+def test_mid_flight_other_partition_overwrite_retries_through(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "tbl")
+    txlog.commit_overwrite_partition(
+        _df(spark, [(1, "x")]), t, partition_key="d", partition_value="20240101"
+    )
+    # the racing commit touches a DIFFERENT partition → our writer must
+    # retry and land at the next version, not raise
+    real_publish = txlog._try_publish
+    raced = {"done": False}
+
+    def racing_publish(table_dir, version, record):
+        if not raced["done"]:
+            raced["done"] = True
+            _interpose(table_dir, version, "d=20991231")
+        return real_publish(table_dir, version, record)
+
+    monkeypatch.setattr(txlog, "_try_publish", racing_publish)
+    v = txlog.commit_overwrite_partition(
+        _df(spark, [(2, "y")]), t, partition_key="d", partition_value="20240101"
+    )
+    assert v == 2  # slot 1 was taken mid-flight; retried cleanly
+    assert _rows(spark, t) == {(2, "y")}
