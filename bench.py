@@ -643,6 +643,8 @@ def main() -> None:
         "multimodal_video_gif_meta",
         "multimodal_video_gif_frames",
         "multimodal_video_gif_thumbs",
+        "multimodal_image_jpeg_roundtrip",
+        "multimodal_image_jpeg_meta",
         "text_langid_nb",
         "text_quality_model",
         "curation_model_pipeline",

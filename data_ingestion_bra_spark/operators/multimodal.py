@@ -842,3 +842,202 @@ def gif_frame_thumbnails(
     return df.mapInPandas(
         gif_thumbs_batch_fn(width, height, every_n), schema=GIF_FRAME_SCHEMA
     )
+
+
+# --------------------------------------------------------------------------
+# REAL lossy images: genuine baseline JPEG containers encoded AND decoded
+# with the vendored codec (operators/jpeg.py) — the first LOSSY tier.
+# Constant-color fixtures make the full lossy chain (color transform →
+# FDCT → quantize → Huffman → dequantize → IDCT → color transform) reduce
+# to a per-doc SCALAR function a SQL oracle replays exactly; gradient
+# fixtures (bounded-error, pytest-pinned) exercise the general path.
+# --------------------------------------------------------------------------
+
+
+def _synth_const_rgb(doc_id: int) -> tuple[int, int, int, int, int]:
+    """(w, h, r, g, b): constant-color image params, pure modular
+    arithmetic of doc_id so a SQL oracle regenerates them. Dims are
+    8-multiples (16/24/32) — though edge replication keeps constancy (and
+    thus flat-table exactness) for any geometry, tested separately."""
+    w = 16 + 8 * (doc_id % 3)
+    h = 16 + 8 * ((doc_id // 3) % 3)
+    r = (doc_id * 37) % 256
+    g = (doc_id * 59 + 11) % 256
+    b = (doc_id * 83 + 29) % 256
+    return w, h, r, g, b
+
+
+def _synth_jpeg_bytes(doc_id: int) -> bytes:
+    """Real baseline-JPEG bytes (flat quant tables, 4:4:4) for a doc's
+    constant-color image — the configuration where lossy roundtrip is
+    bit-exact and therefore oracle-checkable pixel-for-pixel."""
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    w, h, r, g, b = _synth_const_rgb(doc_id)
+    return _jpeg.encode_jpeg(w, h, bytes([r, g, b]) * (w * h), quant="flat")
+
+
+def synth_jpeg_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id) in, (doc_id, real JPEG payload) out."""
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_synth_jpeg_bytes(int(d)) for d in ids]}
+        )
+
+
+def synthesize_jpeg(df: DataFrame) -> DataFrame:
+    """Attach a real baseline-JPEG payload per doc_id."""
+    return df.select("doc_id").mapInPandas(synth_jpeg_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        # number of DISTINCT (r,g,b) tuples in the DECODED image: proves
+        # whole-image constancy survived the lossy chain, not just pixel 0
+        T.StructField("distinct_rgb", T.LongType()),
+        T.StructField("r_decoded", T.LongType()),
+        T.StructField("g_decoded", T.LongType()),
+        T.StructField("b_decoded", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload=JPEG bytes) in, decoded-image
+    features out — full container parse (marker walk, Huffman entropy
+    decode, dequantize, IDCT, YCbCr→RGB) per row."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, data = _jpeg.decode_jpeg(bytes(payload))
+            arr = np.frombuffer(data, dtype=np.uint8).reshape(h * w, ch)
+            distinct = len(np.unique(arr, axis=0))
+            px = arr[0]
+            out.append(
+                (
+                    int(doc_id),
+                    len(data),
+                    w,
+                    h,
+                    ch,
+                    distinct,
+                    int(px[0]),
+                    int(px[1]),
+                    int(px[2]),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "n_pixel_bytes",
+                "width",
+                "height",
+                "channels",
+                "distinct_rgb",
+                "r_decoded",
+                "g_decoded",
+                "b_decoded",
+            ],
+        )
+
+
+def jpeg_roundtrip_features(df: DataFrame) -> DataFrame:
+    """REAL lossy-image decode over a JPEG payload column via mapInPandas
+    using the vendored codec; constancy + decoded channel values are
+    integer-exact and oracle-replayed through the scalar color chain."""
+    return df.mapInPandas(jpeg_roundtrip_batch_fn, schema=JPEG_ROUNDTRIP_SCHEMA)
+
+
+def _synth_jpeg420_bytes(doc_id: int) -> bytes:
+    """Real-world-shaped JPEG: Annex K typical quant tables + 4:2:0 chroma
+    subsampling over the modular gradient pixels — the header-metadata
+    fixture (decode of this stream is lossy, pytest-bounded, not
+    oracle-matched)."""
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    w, h, pix = _synth_pixels(doc_id)
+    return _jpeg.encode_jpeg(w, h, pix, quant="annexk", subsampling="420")
+
+
+def synth_jpeg420_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids = pdf["doc_id"].astype("int64")
+        yield pd.DataFrame(
+            {"doc_id": ids, "payload": [_synth_jpeg420_bytes(int(d)) for d in ids]}
+        )
+
+
+def synthesize_jpeg420(df: DataFrame) -> DataFrame:
+    """Attach a production-shaped (Annex K, 4:2:0) JPEG payload per doc."""
+    return df.select("doc_id").mapInPandas(
+        synth_jpeg420_batch_fn, schema=WAV_PAYLOAD_SCHEMA
+    )
+
+
+JPEG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("luma_h", T.IntegerType()),
+        T.StructField("luma_v", T.IntegerType()),
+        T.StructField("n_quant_tables", T.IntegerType()),
+        T.StructField("n_huffman_tables", T.IntegerType()),
+    ]
+)
+
+
+def jpeg_meta_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: marker-level header parse ONLY — no entropy
+    decode, no IDCT. The metadata fast path over a lossy container."""
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = _jpeg.parse_header(bytes(payload))
+            lh, lv = m["sampling"][0]
+            out.append(
+                (
+                    int(doc_id),
+                    m["width"],
+                    m["height"],
+                    m["channels"],
+                    lh,
+                    lv,
+                    m["n_quant_tables"],
+                    m["n_huffman_tables"],
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "channels",
+                "luma_h",
+                "luma_v",
+                "n_quant_tables",
+                "n_huffman_tables",
+            ],
+        )
+
+
+def jpeg_header_meta(df: DataFrame) -> DataFrame:
+    """JPEG metadata-without-decode via mapInPandas (SOF geometry, sampling
+    factors, table counts) — route/filter on header facts at 100 TB and
+    decode only the sampled subset."""
+    return df.mapInPandas(jpeg_meta_batch_fn, schema=JPEG_META_SCHEMA)

@@ -2429,6 +2429,85 @@ def multimodal_video_gif_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_jpeg_roundtrip",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(16 + 8 * (doc_id % 3) AS INT) AS w,
+                      CAST(16 + 8 * ((doc_id // 3) % 3) AS INT) AS h,
+                      CAST((doc_id * 37) % 256 AS DOUBLE) AS r,
+                      CAST((doc_id * 59 + 11) % 256 AS DOUBLE) AS g,
+                      CAST((doc_id * 83 + 29) % 256 AS DOUBLE) AS b
+               FROM documents),
+    ycc AS (SELECT doc_id, w, h,
+                   GREATEST(0, LEAST(255, FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+                   GREATEST(0, LEAST(255, FLOOR(-0.168736*r - 0.331264*g + 0.5*b + 128 + 0.5))) AS cb,
+                   GREATEST(0, LEAST(255, FLOOR(0.5*r - 0.418688*g - 0.081312*b + 128 + 0.5))) AS cr
+            FROM d)
+    SELECT doc_id,
+           CAST(w AS BIGINT) * h * 3 AS n_pixel_bytes,
+           w AS width,
+           h AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(1 AS BIGINT) AS distinct_rgb,
+           CAST(GREATEST(0, LEAST(255, FLOOR(y + 1.402*(cr - 128) + 0.5))) AS BIGINT) AS r_decoded,
+           CAST(GREATEST(0, LEAST(255, FLOOR(y - 0.344136*(cb - 128) - 0.714136*(cr - 128) + 0.5))) AS BIGINT) AS g_decoded,
+           CAST(GREATEST(0, LEAST(255, FLOOR(y + 1.772*(cb - 128) + 0.5))) AS BIGINT) AS b_decoded
+    FROM ycc
+    """,
+    tags=("multimodal", "image", "jpeg", "lossy", "real-decode", "mapInPandas"),
+)
+def multimodal_image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image decode — the first LOSSY container tier (baseline
+    JPEG per ITU-T T.81, vendored codec operators/jpeg.py): each doc gets a
+    genuine JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS markers, Huffman
+    entropy coding, 8x8 DCT), and the decode stage parses it back inside
+    the same Arrow-batched mapInPandas contract as the PNG/GIF/WAV tiers.
+    Constant-color fixtures + all-ones quantization make the whole lossy
+    chain collapse to a per-doc SCALAR color-transform roundtrip (a
+    constant block's FDCT is DC-only and quantize-by-1 is exact), so the
+    SQL oracle replays RGB -> YCbCr -> RGB with the same floor(x + 0.5)
+    roundings and verifies every decoded pixel: ``distinct_rgb = 1``
+    proves whole-image constancy survived Huffman+DCT, and the decoded
+    channel values match the scalar chain bit-for-bit. Gradient images
+    (bounded coefficient-rounding error) are pytest-pinned instead —
+    tests/test_jpeg.py. libjpeg-turbo slots into the same callable."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.jpeg_roundtrip_features(multimodal.synthesize_jpeg(d))
+
+
+@register(
+    "multimodal_image_jpeg_meta",
+    """
+    SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(8 + (doc_id // 8) % 8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(2 AS INT) AS luma_h,
+           CAST(2 AS INT) AS luma_v,
+           CAST(2 AS INT) AS n_quant_tables,
+           CAST(4 AS INT) AS n_huffman_tables
+    FROM documents
+    """,
+    tags=("multimodal", "image", "jpeg", "metadata", "mapInPandas"),
+)
+def multimodal_image_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata-WITHOUT-decode over production-shaped streams (Annex K
+    typical quantization tables + 4:2:0 chroma subsampling over the shared
+    modular gradient pixels): a marker-level walk extracts SOF0 geometry,
+    sampling factors, and DQT/DHT table counts with ZERO entropy decode or
+    IDCT — the routing/filtering fast path that, at 100 TB, decides which
+    payloads are worth decoding. The oracle replays the deterministic
+    synthesis parameters (geometry from the shared _synth_pixels formula;
+    table counts fixed by the encoder's baseline layout)."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.jpeg_header_meta(multimodal.synthesize_jpeg420(d))
+
+
+@register(
     "curation_pack_pipeline",
     r"""
     WITH t AS (SELECT doc_id, text, length(text) AS L,

@@ -123,6 +123,14 @@ GATE_ORDER: tuple[str, ...] = (
     #      the three events_* entries and pytest-verified stream twins).
     # All three displaced entries remain registered + hash-verified in the
     # committed full-catalog report.
+    # Round-6b rotation (the lossy image tier gets driver credit):
+    # IN:  multimodal_image_jpeg_roundtrip (baseline JPEG per ITU-T T.81 —
+    #      vendored Huffman+DCT codec, constant-image bit-exact oracle via
+    #      the scalar color chain; the first LOSSY container).
+    # OUT: multimodal_image_png_resize (the lossless image tier stays
+    #      covered: its decode/resample/re-encode semantics remain pytest-
+    #      verified (test_png_codec.py) and hash-verified below the window
+    #      alongside multimodal_image_png_decode).
     "dedup_exact_groups",
     "dedup_chunk_level",
     "dedup_minhash_lsh",
@@ -150,7 +158,7 @@ GATE_ORDER: tuple[str, ...] = (
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_image_png_resize",
+    "multimodal_image_jpeg_roundtrip",
     "multimodal_audio_wav_decode",
     "multimodal_video_gif_frames",
     "curation_gopher_pipeline",

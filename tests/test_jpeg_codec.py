@@ -1,0 +1,207 @@
+"""Vendored baseline-JPEG codec (ITU-T T.81): constant-image bit-exactness
+(the oracle contract), bounded lossy roundtrip, subsampling/grayscale
+paths, header-only metadata parse, marker conformance, and the Spark
+mapInPandas integration."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_ingestion_bra_spark.operators import jpeg, multimodal
+
+
+def _scalar_chain(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """The decoded RGB of a constant (r,g,b) image under flat tables — the
+    exact per-doc scalar function the SQL oracle replays."""
+    ycc = jpeg.rgb_to_ycbcr(np.array([[[r, g, b]]], dtype=np.uint8))
+    out = jpeg.ycbcr_to_rgb(ycc)[0, 0]
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    r=st.integers(0, 255),
+    g=st.integers(0, 255),
+    b=st.integers(0, 255),
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+)
+def test_constant_image_roundtrips_exactly(r, g, b, w, h):
+    """Flat quantization + constant color ⇒ the WHOLE lossy chain (FDCT,
+    quantize, Huffman, IDCT) is bit-exact: a constant block's DCT is
+    DC-only with an exactly-representable integer DC. This holds for ANY
+    geometry (edge replication pads with the same constant)."""
+    pix = bytes([r, g, b]) * (w * h)
+    ww, hh, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix, quant="flat"))
+    assert (ww, hh, ch) == (w, h, 3)
+    arr = np.frombuffer(out, dtype=np.uint8).reshape(h * w, 3)
+    assert len(np.unique(arr, axis=0)) == 1  # constancy survived
+    assert tuple(int(v) for v in arr[0]) == _scalar_chain(r, g, b)
+
+
+def test_gradient_roundtrip_error_bounded_flat():
+    """With all-ones tables the only loss is FDCT coefficient rounding;
+    the worst-case spatial error for that is small — pinned at ≤ 4."""
+    w, h = 40, 24
+    pix = bytes(
+        ((x * 7 + y * 13 + c * 29) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    ww, hh, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix, quant="flat"))
+    a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    d = np.frombuffer(out, dtype=np.uint8).astype(int)
+    assert np.abs(a - d).max() <= 4
+
+
+def test_smooth_image_annexk_quality():
+    """Annex K tables on a SMOOTH image (no 256-wrap discontinuities):
+    lossy but close — mean abs error stays under 2 gray levels."""
+    w, h = 32, 32
+    pix = bytes(
+        min(255, (x * 3 + y * 2)) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    _, _, _, out = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix, quant="annexk"))
+    a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    d = np.frombuffer(out, dtype=np.uint8).astype(int)
+    assert np.abs(a - d).mean() < 2.0
+
+
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
+def test_subsampling_modes_decode(subsampling):
+    w, h = 20, 12  # deliberately not MCU-aligned for 420/422
+    pix = bytes(
+        ((x * 11 + y * 5 + c * 3) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    ww, hh, ch, out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(w, h, pix, quant="flat", subsampling=subsampling)
+    )
+    assert (ww, hh, ch) == (w, h, 3)
+    assert len(out) == w * h * 3
+    # luma is full-resolution in every mode: with flat tables a GRAY ramp
+    # constant in chroma survives subsampling exactly
+    gray = bytes(v for y in range(h) for x in range(w) for v in ((x + y) % 200,) * 3)
+    _, _, _, out2 = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(w, h, gray, quant="flat", subsampling=subsampling)
+    )
+    a = np.frombuffer(gray, dtype=np.uint8).astype(int)
+    d = np.frombuffer(out2, dtype=np.uint8).astype(int)
+    assert np.abs(a - d).max() <= 4
+
+
+def test_grayscale_single_component():
+    w, h = 24, 16
+    pix = bytes(((x * 3 + y * 5) % 256) for y in range(h) for x in range(w))
+    ww, hh, ch, out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(w, h, pix, channels=1, quant="flat")
+    )
+    assert (ww, hh, ch) == (w, h, 1)
+    a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+    d = np.frombuffer(out, dtype=np.uint8).astype(int)
+    assert np.abs(a - d).max() <= 4  # no color transform, rounding only
+
+
+def test_marker_layout_is_spec_shaped():
+    """Container-level conformance: expected marker sequence, DQT stored in
+    zigzag order, SOF0 geometry big-endian, Huffman BITS sum = value
+    count."""
+    data = jpeg.encode_jpeg(16, 8, bytes(16 * 8 * 3), quant="annexk")
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    # first DQT payload: table 0 (luma) in zigzag order
+    i = data.index(b"\xff\xdb")
+    zz_luma = list(data[i + 5 : i + 69])
+    assert zz_luma == [jpeg.QUANT_LUMA_K1[j] for j in jpeg.ZIGZAG]
+    # SOF0: 8-bit precision, height=8, width=16, 3 components
+    i = data.index(b"\xff\xc0")
+    precision, height, width, ncomp = struct.unpack(">BHHB", data[i + 4 : i + 10])
+    assert (precision, height, width, ncomp) == (8, 8, 16, 3)
+    # every DHT: sum(BITS) == len(HUFFVAL)
+    pos = 2
+    n_dht = 0
+    while pos < len(data) - 1:
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        if marker == 0xC4:
+            seg = data[pos + 2 : pos + seglen]
+            assert sum(seg[1:17]) == len(seg) - 17
+            n_dht += 1
+        if marker == 0xDA:
+            break
+        pos += seglen
+    assert n_dht == 4  # DC/AC x luma/chroma
+
+
+def test_parse_header_without_decode():
+    data = jpeg.encode_jpeg(
+        24, 16, bytes(range(256)) * 4 + bytes(128), quant="annexk", subsampling="420"
+    )
+    m = jpeg.parse_header(data)
+    assert (m["width"], m["height"], m["channels"]) == (24, 16, 3)
+    assert m["sampling"] == [(2, 2), (1, 1), (1, 1)]
+    assert m["n_quant_tables"] == 2 and m["n_huffman_tables"] == 4
+
+
+def test_decode_rejects_out_of_scope():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive SOF2 must be rejected, not mis-decoded
+    data = bytearray(jpeg.encode_jpeg(8, 8, bytes(8 * 8 * 3)))
+    i = bytes(data).index(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(bytes(data))
+
+
+def test_byte_stuffing_roundtrip():
+    """An entropy stream that produces 0xFF bytes must be stuffed/unstuffed
+    transparently; white images generate long 1-runs that hit this path."""
+    w, h = 16, 16
+    pix = bytes([255]) * (w * h * 3)
+    enc = jpeg.encode_jpeg(w, h, pix, quant="flat")
+    _, _, _, out = jpeg.decode_jpeg(enc)
+    assert out == bytes([255]) * (w * h * 3)
+
+
+def test_spark_jpeg_roundtrip_features(spark):
+    """The mapInPandas integration end-to-end on a small doc set, against
+    the same scalar chain the SQL oracle uses."""
+    df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.jpeg_roundtrip_features(
+            multimodal.synthesize_jpeg(df)
+        ).collect()
+    }
+    assert len(rows) == 12
+    for doc_id, r in rows.items():
+        w, h, rr, gg, bb = multimodal._synth_const_rgb(doc_id)
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["n_pixel_bytes"] == w * h * 3
+        assert r["distinct_rgb"] == 1
+        assert (r["r_decoded"], r["g_decoded"], r["b_decoded"]) == _scalar_chain(
+            rr, gg, bb
+        )
+
+
+def test_spark_jpeg_header_meta(spark):
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    rows = multimodal.jpeg_header_meta(multimodal.synthesize_jpeg420(df)).collect()
+    assert len(rows) == 8
+    for r in rows:
+        w, h, _pix = multimodal._synth_pixels(r["doc_id"])
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["luma_h"], r["luma_v"]) == (2, 2)
+        assert (r["n_quant_tables"], r["n_huffman_tables"]) == (2, 4)

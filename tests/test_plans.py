@@ -70,6 +70,10 @@ PYTHON_ALLOWED = {
     "multimodal_video_gif_meta",
     "multimodal_video_gif_frames",
     "multimodal_video_gif_thumbs",
+    # real lossy images: genuine baseline-JPEG streams (Huffman + DCT),
+    # full roundtrip decode and header-only metadata in the same contract
+    "multimodal_image_jpeg_roundtrip",
+    "multimodal_image_jpeg_meta",
     "grouped_map_rank_per_lang",
 }
 
