@@ -106,3 +106,71 @@ def change_history(
     the CDC sequence; ties broken by the entity key for totality)."""
     log = spark.read.parquet(os.path.join(base_dir, f"{table}__changelog"))
     return scd2_intervals(log, entity_col, attr_col, "_seq", tiebreak_col=entity_col)
+
+
+def run_cdc_batch_acid(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    changes: DataFrame,
+    *,
+    keys: list[str],
+    batch_id: str,
+) -> dict:
+    """ACID twin of ``run_cdc_batch``: the snapshot is a ``sinks/txlog``
+    table whose VERSION LINEAGE is the batch history.
+
+    Each batch atomically replaces the whole snapshot (one
+    ``commit_overwrite_partition`` of the single logical partition
+    ``snapshot=current``) and ACID-appends the raw changes to a txlog
+    change log. What the directory pipeline gets from daily partition
+    values — per-batch lineage — this twin gets from time travel:
+    ``txlog.read_snapshot(dir, version=k)`` is the table as of batch k,
+    readers are snapshot-isolated against in-flight commits, and a crashed
+    writer leaves only unreferenced files (vacuumable), never a torn
+    snapshot. Concurrent same-table committers resolve through the
+    put-if-absent version race: appends retry through, competing snapshot
+    replacements raise ``CommitConflict`` instead of silently losing a
+    batch — the guarantee the staged-rename writer cannot make.
+
+    Note the write ordering: the merged DataFrame SCANS the files of the
+    current snapshot while its output is staged under a fresh uuid
+    directory — data files are immutable, so the read-what-you-replace
+    cycle needs no locking.
+    """
+    from data_ingestion_bra_spark.sinks import txlog
+
+    snap_dir = os.path.join(base_dir, f"{table}__acid")
+    log_dir = os.path.join(base_dir, f"{table}__changelog_acid")
+    try:
+        current = txlog.read_snapshot(spark, snap_dir)
+    except FileNotFoundError:
+        current = None
+    base = changes.limit(0) if current is None else current
+    merged = merge_upsert(
+        base, changes, keys, on_duplicate_keys="last_wins"
+    ).sortWithinPartitions(*keys)
+    version = txlog.commit_overwrite_partition(
+        merged,
+        snap_dir,
+        partition_key="snapshot",
+        partition_value="current",
+        meta={"batch": batch_id, "table": table},
+    )
+    txlog.commit_append(changes, log_dir, meta={"batch": batch_id, "table": table})
+    return {"snapshot_dir": snap_dir, "changelog_dir": log_dir, "version": version}
+
+
+def change_history_acid(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    *,
+    entity_col: str,
+    attr_col: str,
+) -> DataFrame:
+    """SCD2 intervals over the ACID change log (txlog snapshot read)."""
+    from data_ingestion_bra_spark.sinks import txlog
+
+    log = txlog.read_snapshot(spark, os.path.join(base_dir, f"{table}__changelog_acid"))
+    return scd2_intervals(log, entity_col, attr_col, "_seq", tiebreak_col=entity_col)

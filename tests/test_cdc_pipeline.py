@@ -142,3 +142,92 @@ def test_cdc_two_batches_end_to_end(spark, tmp_path):
     # the one attribute change in the log: key 2, BR -> PT... country US->PT
     assert hist[(2, 1)][0] == "US" and hist[(2, 2)][0] == "PT"
     assert hist[(2, 2)][3] == 1  # current
+
+
+def test_cdc_acid_twin_time_travel_and_parity(spark, tmp_path):
+    """The txlog-backed CDC twin: version lineage == batch history, final
+    snapshot matches the directory pipeline's, SCD2 parity from the ACID
+    change log, and a competing snapshot replacement raises instead of
+    silently losing a batch."""
+    import pytest
+
+    from data_ingestion_bra_spark.sinks import txlog
+
+    base = str(tmp_path / "lake")
+    r1 = cdc.run_cdc_batch_acid(
+        spark, base, "tb_users", spark.createDataFrame(B1, SCHEMA),
+        keys=["id"], batch_id="b1",
+    )
+    r2 = cdc.run_cdc_batch_acid(
+        spark, base, "tb_users", spark.createDataFrame(B2, SCHEMA),
+        keys=["id"], batch_id="b2",
+    )
+    snap = r1["snapshot_dir"]
+    # batch-1 commit is version 0; batch-2's replacement is version 1
+    assert (r1["version"], r2["version"]) == (0, 1)
+
+    def rows(version=None):
+        return {
+            (r["id"], r["name"], r["country"])
+            for r in txlog.read_snapshot(spark, snap, version).collect()
+        }
+
+    # time travel: version 0 IS the batch-1 snapshot
+    assert rows(version=0) == {(1, "alice", "BR"), (2, "bob", "US"), (3, "carol", "BR")}
+    # latest: update applied, in-batch duplicate resolved last-wins
+    latest = rows()
+    assert latest == {
+        (1, "alice", "BR"),
+        (2, "bob", "PT"),
+        (3, "carol", "BR"),
+        (4, "david", "US"),
+    }
+    # parity with the directory pipeline's final snapshot
+    _run(spark, base)
+    dir_rows = {
+        (r["id"], r["name"], r["country"])
+        for r in cdc.read_snapshot(spark, base, "tb_users").collect()
+    }
+    assert latest == dir_rows
+
+    # SCD2 from the ACID change log: key 2's country run US closes when PT
+    # opens at seq 4
+    hist = {
+        (r["entity"], r["attr"], r["valid_from"], r["valid_to"])
+        for r in cdc.change_history_acid(
+            spark, base, "tb_users", entity_col="id", attr_col="country"
+        ).collect()
+        if r["entity"] == 2
+    }
+    assert hist == {(2, "US", 2, 4), (2, "PT", 4, None)}
+
+    # a competing wholesale snapshot replacement must CONFLICT, not lose
+    import json as _json
+    import os as _os
+
+    real_publish = txlog._try_publish
+
+    def racing_publish(table_dir, version, record):
+        if not _os.path.exists(txlog._log_path(table_dir, version)):
+            _os.makedirs(_os.path.join(table_dir, txlog.LOG_DIR), exist_ok=True)
+            with open(txlog._log_path(table_dir, version), "w") as f:
+                _json.dump(
+                    {"add": [], "remove": [],
+                     "meta": {"op": "overwrite_partition",
+                              "partition": "snapshot=current"}},
+                    f,
+                )
+        return real_publish(table_dir, version, record)
+
+    txlog._try_publish = racing_publish
+    try:
+        with pytest.raises(txlog.CommitConflict):
+            cdc.run_cdc_batch_acid(
+                spark, base, "tb_users",
+                spark.createDataFrame([(9, "eve", "FR", 9)], SCHEMA),
+                keys=["id"], batch_id="b3",
+            )
+    finally:
+        txlog._try_publish = real_publish
+    # the losing writer changed nothing visible
+    assert rows(version=1) == latest
