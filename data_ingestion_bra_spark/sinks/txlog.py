@@ -161,17 +161,60 @@ def _commit(
     raise CommitConflict(f"gave up after {max_retries} commit attempts")
 
 
-def commit_append(df: DataFrame, table_dir: str, *, meta: dict | None = None) -> int:
-    """ACID append: new files only; never conflicts with anything."""
+def committed_version(table_dir: str, idempotency_key: str) -> int | None:
+    """Version of the commit that carried ``idempotency_key``, or None."""
+    for version, rec in enumerate(_read_log(table_dir)):
+        if rec.get("meta", {}).get("txn") == idempotency_key:
+            return version
+    return None
+
+
+def commit_append(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> int:
+    """ACID append: new files only; never conflicts with anything.
+
+    ``idempotency_key`` is the exactly-once handle (the published formats'
+    transactional-writer pattern — Delta's txn appId/version): if any log
+    record already carries the key, the append is a no-op returning that
+    record's version. A replayed streaming epoch or a retried job commits
+    once no matter how many times the writer runs; the duplicate attempt's
+    staged files are unreferenced debris that ``vacuum`` removes. The
+    check re-runs after losing a publish race, so two racing writers with
+    the same key also collapse to one commit."""
     os.makedirs(table_dir, exist_ok=True)
+    if idempotency_key is not None:
+        prior = committed_version(table_dir, idempotency_key)
+        if prior is not None:
+            return prior
     add = _write_data_files(df, table_dir)
-    return _commit(
-        table_dir,
-        add=add,
-        remove_fn=lambda snap: [],
-        conflict_fn=lambda rec: False,
-        meta={"op": "append", **(meta or {})},
-    )
+    key_meta = {} if idempotency_key is None else {"txn": idempotency_key}
+
+    def conflict_fn(rec: dict) -> bool:
+        # a concurrently-landed commit with OUR key means the work is done;
+        # _commit raises on conflict, which we translate to the no-op path
+        return (
+            idempotency_key is not None
+            and rec.get("meta", {}).get("txn") == idempotency_key
+        )
+
+    try:
+        return _commit(
+            table_dir,
+            add=add,
+            remove_fn=lambda snap: [],
+            conflict_fn=conflict_fn,
+            meta={"op": "append", **key_meta, **(meta or {})},
+        )
+    except CommitConflict:
+        prior = committed_version(table_dir, idempotency_key)  # type: ignore[arg-type]
+        if prior is not None:
+            return prior
+        raise
 
 
 def commit_overwrite_partition(

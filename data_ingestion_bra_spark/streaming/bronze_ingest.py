@@ -102,3 +102,29 @@ def read_latest(spark, base_dir: str, table: str, *, partition_key: str = "anome
         .parquet(os.path.join(base_dir, table))
         .filter(F.col(partition_key) == pv)
     )
+
+
+def acid_batch_writer(
+    table_dir: str, *, query_id: str = "bronze"
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer that lands each micro-batch as ONE ACID txlog
+    commit, exactly-once across epoch replays: the idempotency key
+    ``<query_id>:<epoch>`` makes a replayed epoch a no-op (the Delta
+    transactional-writer pattern), so restarts re-running the last epoch
+    cannot duplicate rows — a guarantee the directory sink gets from
+    deterministic overwrite paths and the txlog sink gets from the log
+    itself. Readers see each batch atomically (snapshot isolation) and the
+    commit's meta records the epoch for lineage."""
+    from data_ingestion_bra_spark.sinks import txlog
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        txlog.commit_append(
+            batch_df,
+            table_dir,
+            meta={"epoch": int(epoch_id)},
+            idempotency_key=f"{query_id}:{epoch_id}",
+        )
+
+    return write_batch

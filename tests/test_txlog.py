@@ -138,3 +138,60 @@ def test_mid_flight_other_partition_overwrite_retries_through(
     )
     assert v == 2  # slot 1 was taken mid-flight; retried cleanly
     assert _rows(spark, t) == {(2, "y")}
+
+
+def test_idempotent_append_exactly_once(spark, tmp_path):
+    """Same idempotency key twice -> one commit, no duplicate rows; the
+    duplicate attempt's staged files are vacuumable debris."""
+    t = str(tmp_path / "tbl")
+    v1 = txlog.commit_append(_df(spark, [(1, "a")]), t, idempotency_key="job:7")
+    v2 = txlog.commit_append(_df(spark, [(1, "a")]), t, idempotency_key="job:7")
+    assert v1 == v2 == 0
+    assert _rows(spark, t) == {(1, "a")}
+    assert txlog.committed_version(t, "job:7") == 0
+    # different key appends normally
+    v3 = txlog.commit_append(_df(spark, [(2, "b")]), t, idempotency_key="job:8")
+    assert v3 == 1 and _rows(spark, t) == {(1, "a"), (2, "b")}
+
+
+def test_idempotent_append_race_collapses_to_one(spark, tmp_path, monkeypatch):
+    """A same-key commit landing BETWEEN our key check and publish must
+    resolve to the winner's version, not a duplicate or an error."""
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    real_publish = txlog._try_publish
+
+    def racing_publish(table_dir, version, record):
+        if not os.path.exists(txlog._log_path(table_dir, version)):
+            os.makedirs(os.path.join(table_dir, txlog.LOG_DIR), exist_ok=True)
+            with open(txlog._log_path(table_dir, version), "w") as f:
+                json.dump(
+                    {"add": [], "remove": [],
+                     "meta": {"op": "append", "txn": "job:9"}},
+                    f,
+                )
+        return real_publish(table_dir, version, record)
+
+    monkeypatch.setattr(txlog, "_try_publish", racing_publish)
+    v = txlog.commit_append(_df(spark, [(2, "b")]), t, idempotency_key="job:9")
+    monkeypatch.undo()
+    assert v == 1  # the interposed winner's version, OUR record never landed
+    assert _rows(spark, t) == {(1, "a")}  # winner's (empty) add-set governs
+
+
+def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
+    """The foreachBatch ACID writer: re-running an epoch (Spark's restart
+    semantics) commits nothing new."""
+    from data_ingestion_bra_spark.streaming.bronze_ingest import acid_batch_writer
+
+    t = str(tmp_path / "bronze")
+    write_batch = acid_batch_writer(t, query_id="q1")
+    write_batch(_df(spark, [(1, "a"), (2, "b")]), 0)
+    write_batch(_df(spark, [(3, "c")]), 1)
+    write_batch(_df(spark, [(3, "c")]), 1)  # epoch replay after restart
+    assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
+    assert txlog.snapshot(t).version == 1  # exactly two commits
+    # the replay no-ops BEFORE staging data files (key check first), so it
+    # leaves zero debris — nothing for vacuum to remove
+    assert txlog.vacuum(t) == []
+    assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
