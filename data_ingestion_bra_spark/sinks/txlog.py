@@ -67,10 +67,20 @@ def _read_log(table_dir: str) -> list[dict]:
     return records
 
 
+def _entry_path(entry) -> str:
+    """Add-set entries are dicts ``{"path", "stats"?}``; bare-string
+    entries (pre-stats log records) stay readable."""
+    return entry["path"] if isinstance(entry, dict) else entry
+
+
 @dataclass
 class Snapshot:
     version: int  # -1 == empty table
-    files: list[str] = field(default_factory=list)  # table-relative paths
+    entries: list = field(default_factory=list)  # add-set entries (dicts)
+
+    @property
+    def files(self) -> list[str]:
+        return [_entry_path(e) for e in self.entries]
 
 
 def snapshot(table_dir: str, version: int | None = None) -> Snapshot:
@@ -81,33 +91,96 @@ def snapshot(table_dir: str, version: int | None = None) -> Snapshot:
         if version >= len(records):
             raise ValueError(f"version {version} > latest {len(records) - 1}")
         records = records[: version + 1]
-    live: list[str] = []
+    live: list = []
     for rec in records:
         removed = set(rec.get("remove", []))
-        live = [f for f in live if f not in removed]
+        live = [e for e in live if _entry_path(e) not in removed]
         live.extend(rec.get("add", []))
-    return Snapshot(version=len(records) - 1, files=live)
+    return Snapshot(version=len(records) - 1, entries=live)
+
+
+def _stats_overlap(entry, col: str, lo, hi) -> bool:
+    """True iff the file MAY contain rows with ``col`` in [lo, hi] — files
+    without stats for the column are kept (pruning is an optimization,
+    never a correctness filter)."""
+    stats = entry.get("stats") if isinstance(entry, dict) else None
+    if not stats or col not in stats:
+        return True
+    cmin, cmax = stats[col]
+    if cmin is None or cmax is None:
+        return True
+    return not (cmax < lo or cmin > hi)
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    prune: tuple[str, object, object] | None = None,
 ) -> DataFrame:
-    """Snapshot-isolated (optionally time-traveled) read."""
+    """Snapshot-isolated (optionally time-traveled) read.
+
+    ``prune=(col, lo, hi)`` performs LOG-SIDE data skipping: files whose
+    committed min/max stats can't contain the range are dropped before
+    Spark ever sees them (the Delta/Iceberg pattern — at 100 TB the file
+    listing AND the skipping decisions come from KBs of log, zero footer
+    reads, zero object-store LISTs). The caller still applies the actual
+    row filter; pruning only shrinks the scan set."""
     snap = snapshot(table_dir, version)
-    if not snap.files:
+    entries = snap.entries
+    if prune is not None:
+        entries = [e for e in entries if _stats_overlap(e, *prune)]
+    if not snap.entries:
         raise FileNotFoundError(f"txlog table {table_dir} is empty")
-    return spark.read.parquet(*[os.path.join(table_dir, f) for f in snap.files])
+    if not entries:  # every file pruned: empty frame with the table schema
+        full = spark.read.parquet(
+            *[os.path.join(table_dir, f) for f in snap.files]
+        )
+        return full.limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, _entry_path(e)) for e in entries]
+    )
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> list[str]:
+def _file_stats(path: str) -> dict:
+    """Per-file min/max column stats from the parquet footer, computed
+    ONCE at commit time (writer-side, where the footer is page-cache-hot)
+    and stored in the log record — readers never touch footers again.
+    Only JSON-portable scalar types are recorded."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                continue
+            name = col.path_in_schema
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {name: [mins[name], maxs[name]] for name in mins}
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
     """Stage the DataFrame as immutable parquet under ``data/<uuid>/``;
-    returns table-relative file paths. Invisible to readers until a log
-    record references them."""
+    returns add-set entries (path + footer min/max stats). Invisible to
+    readers until a log record references them."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(table_dir, rel_dir)
     df.write.parquet(out)
     return [
-        os.path.join(rel_dir, name)
+        {
+            "path": os.path.join(rel_dir, name),
+            "stats": _file_stats(os.path.join(out, name)),
+        }
         for name in sorted(os.listdir(out))
         if name.endswith(".parquet")
     ]
@@ -240,7 +313,7 @@ def commit_overwrite_partition(
         for rec in _read_log(table_dir):
             p = rec.get("meta", {}).get("partition")
             for f in rec.get("add", []):
-                owner[f] = p
+                owner[_entry_path(f)] = p
         return [f for f in snap.files if owner.get(f) == tag]
 
     def conflict_fn(rec: dict) -> bool:
@@ -264,7 +337,7 @@ def vacuum(table_dir: str) -> list[str]:
     files removed before a cutoff version."""
     known: set[str] = set()
     for rec in _read_log(table_dir):
-        known.update(rec.get("add", []))
+        known.update(_entry_path(e) for e in rec.get("add", []))
     deleted = []
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):

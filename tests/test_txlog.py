@@ -61,7 +61,7 @@ def test_uncommitted_files_are_invisible_and_vacuumable(spark, tmp_path):
     orphan = txlog._write_data_files(_df(spark, [(99, "ghost")]), t)
     assert _rows(spark, t) == {(1, "a")}  # invisible to readers
     deleted = txlog.vacuum(t)
-    assert set(deleted) == set(orphan)
+    assert set(deleted) == {e["path"] for e in orphan}
     assert _rows(spark, t) == {(1, "a")}  # vacuum never touches live files
 
 
@@ -195,3 +195,46 @@ def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
     # leaves zero debris — nothing for vacuum to remove
     assert txlog.vacuum(t) == []
     assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_log_side_data_skipping(spark, tmp_path):
+    """Commit records carry per-file min/max footer stats; a pruned read
+    resolves its file set from the LOG (no footer reads, no listings) and
+    returns the same rows as filtering the full table."""
+    t = str(tmp_path / "tbl")
+    # three commits with disjoint key ranges -> three skippable file sets
+    txlog.commit_append(_df(spark, [(1, "a"), (5, "b")]).coalesce(1), t)
+    txlog.commit_append(_df(spark, [(100, "c"), (150, "d")]).coalesce(1), t)
+    txlog.commit_append(_df(spark, [(900, "e")]).coalesce(1), t)
+    snap = txlog.snapshot(t)
+    assert all(isinstance(e, dict) and "stats" in e for e in snap.entries)
+    assert snap.entries[0]["stats"]["k"] == [1, 5]
+
+    # prune to the middle range: exactly one file survives
+    survivors = [
+        e for e in snap.entries if txlog._stats_overlap(e, "k", 90, 200)
+    ]
+    assert len(survivors) == 1
+    pruned = txlog.read_snapshot(spark, t, prune=("k", 90, 200))
+    assert {r["k"] for r in pruned.collect()} == {100, 150}
+    # prune that matches nothing: empty frame, schema preserved
+    empty = txlog.read_snapshot(spark, t, prune=("k", 10_000, 20_000))
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # pruning is an optimization, not the filter: full read still has all
+    assert _rows(spark, t) == {(1, "a"), (5, "b"), (100, "c"), (150, "d"), (900, "e")}
+
+
+def test_bare_string_log_records_stay_readable(spark, tmp_path):
+    """Pre-stats log records (add = plain path strings) resolve, read, and
+    never prune — forward-compat for logs written before stats landed."""
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    # rewrite record 0's add-set to the legacy bare-string form
+    path0 = txlog._log_path(t, 0)
+    rec = json.load(open(path0))
+    rec["add"] = [txlog._entry_path(e) for e in rec["add"]]
+    json.dump(rec, open(path0, "w"))
+    assert _rows(spark, t) == {(1, "a")}
+    # stats-free entries survive any prune (conservative keep)
+    assert {r["k"] for r in txlog.read_snapshot(spark, t, prune=("k", 500, 600)).collect()} == {1}
+    assert txlog.vacuum(t) == []
