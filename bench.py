@@ -645,6 +645,7 @@ def main() -> None:
         "multimodal_video_gif_thumbs",
         "multimodal_image_jpeg_roundtrip",
         "multimodal_image_jpeg_meta",
+        "dedup_repeated_passages",
         "text_langid_nb",
         "text_quality_model",
         "curation_model_pipeline",

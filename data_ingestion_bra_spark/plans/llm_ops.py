@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_ingestion_bra_spark.operators import bpe, dedup, graph, similarity, text
 from data_ingestion_bra_spark.plans.registry import register
@@ -1534,6 +1535,103 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "dedup_repeated_passages",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(substr(text, CAST(i AS BIGINT) + 1, 40)) AS h
+      FROM d, unnest(generate_series(0, CAST(L - 40 AS BIGINT))) AS s(i)
+      WHERE L >= 40
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(max(pos + 40) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+    tags=("dedup", "substring", "exactsubstr", "llm-pipeline"),
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-PASSAGE detection — the ExactSubstr tier of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499): find every maximal region of a document that
+    appears verbatim in some OTHER document, as (doc, span) intervals a
+    train-time filter can cut (the paper's remove-the-substring policy,
+    vs the chunk tier's fixed-boundary hashes).
+
+    Stride-1 40-char gram hashing is recall-COMPLETE for repeats >= 40
+    chars (every such repeat contains an aligned 40-gram in both copies —
+    no modular-alignment blind spot, which any stride > 1 would have);
+    overlapping hits then merge into maximal spans with one gaps-and-
+    islands window per doc. The suffix-array construction the paper uses
+    is also O(corpus) state; here the per-byte unit is a (doc, pos,
+    32-byte md5) triple, Spark-shaped:
+
+    Scale shape: gram explode is row-local at the scan (bodies never
+    shuffle); ONE hash-partition shuffle with map-side partial distinct
+    counts finds cross-doc hashes; the hit semi-join reshuffles only
+    (hash, doc, pos) triples; span merge is ONE window shuffle on doc_id
+    over hit positions (|hits| << |grams| whenever duplication is sparse).
+    At 100 TB the gram stream is ~50x corpus bytes — the same order as
+    the paper's suffix array, and every stage is partial-aggregable or
+    bounded by the duplicated subset."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    grams = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (F.length("text") - 40).cast("bigint"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.expr("substring(text, CAST(pos AS INT) + 1, 40)")).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + 40).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + 40).alias("span_end"),
+        (F.max("pos") + 40 - F.min("pos")).alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "span_len", "n_grams")
 
 
 def _curation_model_oracle() -> str:

@@ -1159,3 +1159,36 @@ def test_bpe_vocab_join_equals_scan_resident(spark):
     # every doc it omits must be zero in the scan-resident count
     for k, v in scan.items():
         assert via_vocab.get(k, 0) == v, k
+
+
+def test_repeated_passages_semantics(spark, tmp_path):
+    """ExactSubstr-tier span detection on constructed docs: a cross-doc
+    shared passage is found with exact maximal boundaries, overlapping
+    gram hits merge to ONE island, and a repeat that exists only WITHIN a
+    single doc is not flagged."""
+    from data_ingestion_bra_spark.plans.registry import get_queries
+
+    shared = "S" * 25 + "hello world, this is the shared paragraph" + "E" * 25  # 91 chars
+    docs = [
+        (1, "A" * 30 + shared + "B" * 30),          # passage at [30, 121)
+        (2, shared + "C" * 50),                     # passage at [0, 91)
+        # doc 3: an internal repeat (twice the same 45-char run) that no
+        # other doc contains -> must NOT be reported
+        (3, ("x" * 45 + "-" * 20) * 2 + "zq9"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_grams"])
+        for r in get_queries()["dedup_repeated_passages"](spark, sf).collect()
+    }
+    # maximal span = every pos whose 40-gram lies inside the shared region:
+    # doc 1: first aligned gram at 30, last at 30+91-40=81 -> span [30, 121)
+    assert out[1] == (30, 121, 52)
+    assert out[2] == (0, 91, 52)
+    assert 3 not in out
