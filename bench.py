@@ -646,6 +646,7 @@ def main() -> None:
         "multimodal_image_jpeg_roundtrip",
         "multimodal_image_jpeg_meta",
         "dedup_repeated_passages",
+        "text_cut_repeated_passages",
         "text_langid_nb",
         "text_quality_model",
         "curation_model_pipeline",

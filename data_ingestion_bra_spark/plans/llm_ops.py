@@ -1634,6 +1634,159 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "span_start", "span_end", "span_len", "n_grams")
 
 
+@register(
+    "text_cut_repeated_passages",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(substr(text, CAST(i AS BIGINT) + 1, 40)) AS h
+      FROM d, unnest(generate_series(0, CAST(L - 40 AS BIGINT))) AS s(i)
+      WHERE L >= 40
+    ),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(max(pos + 40) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 40 AS e
+      FROM islands GROUP BY doc_id, island),
+    segs AS (
+      SELECT sp.doc_id,
+             substr(d.text,
+                    CAST(COALESCE(lag(sp.e) OVER w, 0) AS BIGINT) + 1,
+                    CAST(sp.s - COALESCE(lag(sp.e) OVER w, 0) AS BIGINT)) AS seg,
+             sp.s AS ord
+      FROM spans sp JOIN d USING (doc_id)
+      WINDOW w AS (PARTITION BY sp.doc_id ORDER BY sp.s)
+      UNION ALL
+      SELECT sp.doc_id,
+             substr(d.text, CAST(MAX(sp.e) AS BIGINT) + 1) AS seg,
+             CAST(1e15 AS BIGINT) AS ord
+      FROM spans sp JOIN d USING (doc_id)
+      GROUP BY sp.doc_id, d.text),
+    cut AS (
+      SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS cleaned
+      FROM segs GROUP BY doc_id),
+    st AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut_spans,
+             CAST(SUM(e - s) AS BIGINT) AS n_cut_chars
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(st.n_cut_spans, 0) AS n_cut_spans,
+           COALESCE(st.n_cut_chars, 0) AS n_cut_chars,
+           CAST(length(COALESCE(cut.cleaned, d.text)) AS BIGINT) AS cleaned_len,
+           md5(COALESCE(cut.cleaned, d.text)) AS cleaned_md5
+    FROM d LEFT JOIN cut USING (doc_id) LEFT JOIN st USING (doc_id)
+    """,
+    tags=("dedup", "substring", "exactsubstr", "curation", "llm-pipeline"),
+)
+def text_cut_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVE policy (Lee et al. arXiv:2107.06499 §4.1
+    "deduplicating by removing the duplicated substring"): splice every
+    cross-doc repeated span OUT of each document, keeping the unique
+    remainder. Composes the span detector with a row-local splice:
+
+    - spans per doc collapse to ONE sorted array (groupBy doc — spans are
+      few and 16 bytes each, document BODIES join them, never the grams);
+    - the splice is a single higher-order ``aggregate`` over that array —
+      the lambda only touches its own span struct plus the row's raw
+      ``text`` attribute (an attribute reference, NOT a re-evaluated
+      expression — the round-4 HOF tax documented in SCALE.md applies to
+      computed closures, not column reads), accumulating (prev_end,
+      acc_text) and finishing with the tail segment;
+    - docs with no repeated spans pass through untouched via the left
+      join's null arm.
+
+    Output is (doc, span stats, cleaned length, cleaned md5) — the hash
+    keeps the oracle comparison exact without shipping full bodies twice.
+    At 100 TB: grams shuffle once (32-byte hashes), spans are bounded by
+    the duplicated subset, and the splice is scan-resident per row."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # grams only exist for docs long enough to hold one (a <40-char doc
+    # still flows to the output untouched through the left join)
+    grams = d.filter(F.length("text") >= 40).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), (F.length("text") - 40).cast("bigint"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.expr("substring(text, CAST(pos AS INT) + 1, 40)")).alias("h"),
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + 40).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + 40).alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.count(F.lit(1)).alias("n_cut_spans"),
+            F.sum(F.col("e") - F.col("s")).alias("n_cut_chars"),
+        )
+    )
+    j = d.join(spans, "doc_id", "left")
+    spliced = F.aggregate(
+        "spans",
+        F.struct(
+            F.lit(0).cast("bigint").alias("prev"), F.lit("").alias("acc")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].cast("bigint").alias("prev"),
+            F.concat(
+                acc["acc"],
+                F.col("text").substr(
+                    (acc["prev"] + 1).cast("int"), (sp["s"] - acc["prev"]).cast("int")
+                ),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col("text").substr(
+                (acc["prev"] + 1).cast("int"),
+                (F.length("text") - acc["prev"]).cast("int"),
+            ),
+        ),
+    )
+    cleaned = F.when(F.col("spans").isNull(), F.col("text")).otherwise(spliced)
+    return j.select(
+        "doc_id",
+        F.coalesce(F.col("n_cut_spans"), F.lit(0)).alias("n_cut_spans"),
+        F.coalesce(F.col("n_cut_chars"), F.lit(0)).alias("n_cut_chars"),
+        F.length(cleaned).cast("bigint").alias("cleaned_len"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
 def _curation_model_oracle() -> str:
     """Generate the curation-v3 oracle: model gate (integer dot product
     from the committed weight table) + repetition gate (config threshold)

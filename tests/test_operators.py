@@ -1192,3 +1192,34 @@ def test_repeated_passages_semantics(spark, tmp_path):
     assert out[1] == (30, 121, 52)
     assert out[2] == (0, 91, 52)
     assert 3 not in out
+
+
+def test_cut_repeated_passages_semantics(spark, tmp_path):
+    """The ExactSubstr REMOVE policy: spans spliced out exactly, docs with
+    no cross-doc repeats (including ones too short to hold a gram) pass
+    through untouched."""
+    import hashlib
+    import os
+
+    from data_ingestion_bra_spark.plans.registry import get_queries
+
+    shared = "S" * 25 + "hello world, this is the shared paragraph" + "E" * 25
+    docs = [
+        (1, "A" * 30 + shared + "B" * 30),
+        (2, shared + "C" * 50),
+        (3, "tiny"),  # < 40 chars: no grams, must still appear unchanged
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in get_queries()["text_cut_repeated_passages"](spark, sf).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_cut_spans"] == 1 and out[1]["n_cut_chars"] == 91
+    assert out[1]["cleaned_md5"] == md5("A" * 30 + "B" * 30)
+    assert out[2]["cleaned_md5"] == md5("C" * 50)
+    assert out[3]["n_cut_spans"] == 0 and out[3]["cleaned_md5"] == md5("tiny")
