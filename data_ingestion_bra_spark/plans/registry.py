@@ -131,8 +131,18 @@ GATE_ORDER: tuple[str, ...] = (
     #      covered: its decode/resample/re-encode semantics remain pytest-
     #      verified (test_png_codec.py) and hash-verified below the window
     #      alongside multimodal_image_png_decode).
+    # Round-6c rotation (the ExactSubstr tier gets driver credit):
+    # IN:  dedup_repeated_passages (Lee et al. 2022 cross-doc repeated-
+    #      passage spans — stride-1 gram recall-complete detection + span
+    #      merge; its REMOVE-policy twin text_cut_repeated_passages stays
+    #      hash-verified below the window).
+    # OUT: dedup_chunk_level (fixed-boundary chunk-hash grouping: the
+    #      hash-group semantics stay gated via dedup_exact_groups, the
+    #      chunk explode+hash stages run inside the gated curation
+    #      pipelines, and the entry remains hash-verified in the committed
+    #      full-catalog report).
     "dedup_exact_groups",
-    "dedup_chunk_level",
+    "dedup_repeated_passages",
     "dedup_minhash_lsh",
     "dedup_simhash_full",
     "dedup_semantic_semdedup",
