@@ -555,6 +555,95 @@ def _ivf_build_bench(spark, sf_dirs: list[tuple[str, str]]) -> dict:
     return out
 
 
+def _synthetic_merges(depth: int, base: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Deterministically extend the committed 96-merge table to ``depth``
+    entries for the chain-depth stress bench. Chains of ≤48 growing symbols
+    seeded from rare letter pairs: every entry is a structurally valid merge
+    (left symbol produced by a prior entry), patterns stay short, and the
+    per-merge literal-replace SCAN cost — the quantity under measurement —
+    is paid whether or not the pattern occurs in prose."""
+    ms = list(base)
+    seen = set(ms)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    si = 0
+    while len(ms) < depth:
+        seed = (alpha[(si * 5 + 25) % 26], alpha[(si * 11 + 16) % 26])
+        si += 1
+        if seed in seen:
+            continue
+        seen.add(seed)
+        ms.append(seed)
+        sym = seed[0] + seed[1]
+        for j in range(48):
+            if len(ms) >= depth:
+                break
+            nxt = alpha[(si + j) % 26]
+            ms.append((sym, nxt))
+            sym += nxt
+    return ms[:depth]
+
+
+def _bpe_strategy_bench(spark, sf1: str) -> dict:
+    """Nested-replace (scan-resident) vs vocabulary-join BPE token counting,
+    at the committed 96-merge table AND synthetic 1k/5k-merge depths
+    (round-6 verdict item 6: the vocab join is the DOCUMENTED 30-50k-merge
+    scale path, but only the 96-merge default was ever benched, so the
+    chain-depth crossover was argued, not measured).
+
+    Depth >96 runs on a deterministic 10% doc subset (``doc_id % 10 = 0``)
+    so a 5000-deep chain over the full 10x corpus can't eat the bench
+    budget; n_docs is recorded per point so nothing reads as a full-corpus
+    number. Each point is independently guarded — a Catalyst depth failure
+    at 5k is itself a measured result."""
+    from pyspark.sql import functions as FF
+
+    from data_ingestion_bra_spark.operators import bpe
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    budget = float(os.environ.get("SPARK_GRAFT_BPE_BUDGET_SEC", "900"))
+    start = time.perf_counter()
+    base = bpe.load_merges()
+    docs_full = load_table(spark, sf1, "documents").select("doc_id", "text")
+    docs_sub = docs_full.filter("doc_id % 10 = 0")
+    n_full = docs_full.count()
+    n_sub = docs_sub.count()
+
+    def scan_resident(docs, merges):
+        return docs.select(
+            "doc_id", bpe.doc_token_count_expr(FF.col("text"), merges).alias("n")
+        )
+
+    def vocab_join(docs, merges):
+        return bpe.doc_token_counts_vocab_join(docs, "doc_id", "text", merges)
+
+    points: list[dict] = []
+    for depth, docs, n_docs, passes in (
+        (96, docs_full, n_full, 3),
+        (1024, docs_sub, n_sub, 1),
+        (5000, docs_sub, n_sub, 1),
+    ):
+        merges = _synthetic_merges(depth, base) if depth > len(base) else base
+        for variant, builder in (("scan_resident", scan_resident), ("vocab_join", vocab_join)):
+            point: dict = {"depth": depth, "variant": variant, "n_docs": n_docs}
+            if time.perf_counter() - start > budget:
+                point["skipped"] = "budget"
+                points.append(point)
+                continue
+            try:
+                samples = []
+                for _ in range(passes):
+                    t0 = time.perf_counter()
+                    _materialize(builder(docs, merges))
+                    samples.append(time.perf_counter() - t0)
+                point["sec"] = round(_median(samples), 3)
+                if passes > 1:
+                    point["sec_spread"] = [round(min(samples), 3), round(max(samples), 3)]
+            except Exception as exc:  # noqa: BLE001 - a depth failure is a result
+                point["error"] = f"{type(exc).__name__}: {exc}"[:300]
+            points.append(point)
+    return {"corpus": sf1, "n_docs_full": n_full, "n_docs_subset": n_sub, "points": points}
+
+
 def _sf1_dir() -> str | None:
     """10x replica of sf0.1 built inside the repo (testdata is read-only).
 
@@ -585,12 +674,17 @@ def build_compact_line(payload: dict, *, limit: int = 1900) -> str:
     string, then keep only the 15 slowest queries (flagged)."""
     compact = {
         "metric": payload["metric"],
-        "value": payload["value"],
+        "value": payload.get("value"),
         "unit": "sec",
-        "queries": payload["queries"],
-        "sf": payload["sf"],
+        "queries": payload.get("queries", {}),
+        "sf": payload.get("sf"),
         "mode": "median-of-3 warm; spreads + sf1/sf10/skew/streaming in BENCH_FULL.json",
     }
+    # Emit-on-partial: a section failure must be VISIBLE in the official
+    # artifact, not just in BENCH_FULL.json — keep only the section names so
+    # the compact line stays under the tail window.
+    if payload.get("errors"):
+        compact["errors"] = sorted({e.split(":", 1)[0] for e in payload["errors"]})
     line = json.dumps(compact)
     if len(line) > limit:
         compact.pop("mode", None)
@@ -599,7 +693,7 @@ def build_compact_line(payload: dict, *, limit: int = 1900) -> str:
         compact["queries"] = {
             k: v
             for k, v in sorted(
-                payload["queries"].items(), key=lambda kv: -kv[1]
+                compact["queries"].items(), key=lambda kv: -kv[1]
             )[:15]
         }
         compact["queries_truncated"] = True
@@ -607,119 +701,171 @@ def build_compact_line(payload: dict, *, limit: int = 1900) -> str:
     return line
 
 
+def _run_section(payload: dict, name: str, fn) -> None:
+    """Run one bench section; a failure records an error instead of killing
+    the run. Round 6's official artifact died ``parsed: null`` because the
+    sf10 scaling loop and the headline ``_time_queries`` calls were the only
+    sections NOT guarded — one executor OOM zeroed the whole round's bench
+    record. Every section now goes through this guard, and ``main`` emits
+    whatever completed from a ``finally`` block (emit-on-partial).
+
+    ``SPARK_GRAFT_FAIL_SECTION=<name>`` injects a deterministic failure at
+    the top of the named section — the pytest fault-injection hook that
+    proves the compact line still emits when a section dies.
+    """
+    if os.environ.get("SPARK_GRAFT_FAIL_SECTION") == name:
+        payload.setdefault("errors", []).append(
+            f"{name}: RuntimeError: injected failure (SPARK_GRAFT_FAIL_SECTION)"
+        )
+        print(f"bench section {name}: injected failure", file=sys.stderr)
+        return
+    try:
+        fn()
+    except Exception as exc:  # noqa: BLE001 - bench must still emit
+        msg = f"{name}: {type(exc).__name__}: {exc}"
+        payload.setdefault("errors", []).append(msg[:500])
+        print(f"bench section failed ({msg[:2000]})", file=sys.stderr)
+
+
+def _section_hygiene(spark) -> None:
+    """Drop cached relations between sections so one section's persists
+    cannot push a later section over the heap (the round-6 OOM rode an
+    8.2M-row persisted shingle set left over from the crossover section)."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # pragma: no cover - hygiene must never kill the run
+        pass
+
+
+#: Newer LLM-pipeline ops, timed but kept OUT of the headline total so the
+#: round-over-round trend line stays comparable.
+EXTENDED_QUERIES = [
+    "dedup_duplicate_clusters",
+    "dedup_canonical_selection",
+    "text_pii_redaction",
+    "dedup_contamination_check",
+    "text_pack_sequences",
+    "text_repetition_scores",
+    "text_gopher_quality",
+    "curation_gopher_pipeline",
+    "multimodal_image_png_decode",
+    "multimodal_audio_wav_decode",
+    "multimodal_video_gif_meta",
+    "multimodal_video_gif_frames",
+    "multimodal_video_gif_thumbs",
+    "multimodal_image_jpeg_roundtrip",
+    "multimodal_image_jpeg_meta",
+    "multimodal_video_mp4_meta",
+    "dedup_repeated_passages",
+    "text_cut_repeated_passages",
+    "text_langid_nb",
+    "text_quality_model",
+    "curation_model_pipeline",
+    "dedup_contamination_bloom",
+    "dedup_contamination_auto",
+    "dedup_semantic_semdedup",
+    "text_perplexity_lm",
+    "curation_ccnet_pipeline",
+    "corpus_cluster_report",
+    "incremental_merge_upsert",
+    "scd2_event_type_history",
+    "text_token_counts_subword",
+    "text_pack_sequences_bpe",
+    "corpus_domain_mixture",
+    "sample_weighted_by_domain",
+    "dedup_exact_per_domain",
+    "txlog_time_travel",
+]
+
+
 def main() -> None:
+    """Emit-on-partial entry: the compact stdout line and BENCH_FULL.json are
+    written from a ``finally`` — a death anywhere (session startup, a
+    section the guards somehow missed, SIGTERM-as-exception) still yields a
+    parseable artifact with whatever sections completed plus an ``errors``
+    field. Round 4 (stdout overflow) and round 6 (executor OOM in the
+    unguarded sf10 loop) both recorded ``parsed: null`` for the whole round;
+    this structure makes that class of loss impossible."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
-    tune_session(spark)
-    queries = get_queries()
-
-    # Warm the JVM/codegen and the Parquet reader path once so query timings
-    # measure the plans, not session startup.
-    spark.range(1).count()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-
-    timings, spread = _time_queries(spark, queries, sf_dir)
-    total = round(sum(timings.values()), 3)
-    payload = {
+    payload: dict = {
         "metric": "headline_queries_total_runtime_warm",
-        "value": total,
+        "value": None,
         "unit": "sec",
-        "queries": timings,
-        "queries_spread": spread,
+        "queries": {},
         "sf": sf_dir,
-        # Methodology (round 5): one full UNTIMED pass over the headline set
-        # first (absorbs JVM/codegen warmup AND one-time index builds — the
-        # IVF centroids+inverted lists persist to .ivf_cache and survive
-        # across processes), then MEDIAN of 3 timed runs per query with the
-        # [min, max] spread recorded in queries_spread. Rounds 3-4 reported
-        # min-of-2; rounds 1-2 timed cold-ish first touches.
         "mode": "pre-warmed catalog + median of 3 timed runs per query (spread recorded)",
         "materialization": "noop-write (all output columns computed)",
         "index_cache": "ivf centroids+lists persisted across runs (.ivf_cache)",
     }
+    try:
+        _run_all_sections(payload, sf_dir)
+    except BaseException as exc:  # noqa: BLE001 - record, emit (finally), re-raise
+        payload.setdefault("errors", []).append(
+            f"fatal: {type(exc).__name__}: {exc}"[:500]
+        )
+        raise
+    finally:
+        _emit(payload)
 
-    # Newer LLM-pipeline ops, timed but kept OUT of the headline total so the
-    # round-over-round trend line stays comparable.
-    extended = {}
-    for name in (
-        "dedup_duplicate_clusters",
-        "dedup_canonical_selection",
-        "text_pii_redaction",
-        "dedup_contamination_check",
-        "text_pack_sequences",
-        "text_repetition_scores",
-        "text_gopher_quality",
-        "curation_gopher_pipeline",
-        "multimodal_image_png_decode",
-        "multimodal_audio_wav_decode",
-        "multimodal_video_gif_meta",
-        "multimodal_video_gif_frames",
-        "multimodal_video_gif_thumbs",
-        "multimodal_image_jpeg_roundtrip",
-        "multimodal_image_jpeg_meta",
-        "dedup_repeated_passages",
-        "text_cut_repeated_passages",
-        "text_langid_nb",
-        "text_quality_model",
-        "curation_model_pipeline",
-        "dedup_contamination_bloom",
-        "dedup_semantic_semdedup",
-        "text_perplexity_lm",
-        "curation_ccnet_pipeline",
-        "corpus_cluster_report",
-        "incremental_merge_upsert",
-        "scd2_event_type_history",
-        "text_token_counts_subword",
-        "text_pack_sequences_bpe",
-        "corpus_domain_mixture",
-        "sample_weighted_by_domain",
-        "dedup_exact_per_domain",
-    ):
-        if name in queries:
-            t0 = time.perf_counter()
-            _materialize(queries[name](spark, sf_dir))
-            extended[name] = round(time.perf_counter() - t0, 3)
-    if extended:
-        payload["queries_extended"] = extended
+
+def _run_all_sections(payload: dict, sf_dir: str) -> None:
+    spark = get_spark("bench")
+    tune_session(spark)
+    queries = get_queries()
+
+    def headline() -> None:
+        # Warm the JVM/codegen and the Parquet reader path once so query
+        # timings measure the plans, not session startup.
+        spark.range(1).count()
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+        timings, spread = _time_queries(spark, queries, sf_dir)
+        payload["queries"] = timings
+        payload["queries_spread"] = spread
+        payload["value"] = round(sum(timings.values()), 3)
+
+    def extended() -> None:
+        ext: dict[str, float] = {}
+        for name in EXTENDED_QUERIES:
+            if name in queries:
+                t0 = time.perf_counter()
+                _materialize(queries[name](spark, sf_dir))
+                ext[name] = round(time.perf_counter() - t0, 3)
+        if ext:
+            payload["queries_extended"] = ext
+
+    _run_section(payload, "headline", headline)
+    if not os.environ.get("SPARK_GRAFT_SKIP_EXTENDED"):
+        _run_section(payload, "extended", extended)
+    _section_hygiene(spark)
 
     # Second scale point (judge-requested headroom evidence): same queries at
     # a 10x replica so per-query scaling factors are visible alongside sf0.1.
     sf1 = _sf1_dir()
-    if sf1:
+
+    def sf1_section() -> None:
         t1, t1_spread = _time_queries(spark, queries, sf1)
         payload["queries_sf1"] = t1
         payload["queries_sf1_spread"] = t1_spread
         payload["value_sf1"] = round(sum(t1.values()), 3)
         payload["sf1"] = sf1
 
+    if sf1:
+        _run_section(payload, "sf1", sf1_section)
+        _section_hygiene(spark)
+
     # Third scale point: FULL-corpus banded LLM-tier paths (no doc_id caps)
     # timed at sf0.1 / 10x / 100x so per-query scaling factors are measured,
-    # not argued. Timed once per scale — these are long-haul runs; the warm
-    # pass above already absorbed codegen warmup for the shared operators.
+    # not argued. Budgeted + round-robin (all queries get sample 1 before any
+    # gets sample 2) so an overrun degrades SAMPLE COUNT, not coverage; and
+    # per-POINT guarded (round 6: one OOM'd materialization in this loop was
+    # enough to kill the whole official artifact).
     sf10 = _sf10_dir()
-    if sf10:
-        # Budgeted: the sf10 runs are minutes-long; if an external timeout
-        # looms, truncating the section (and SAYING so) beats emitting
-        # nothing. Round-4 validation measured ~200s for the full set.
-        # Round-5 measured ~390s for the full section (9 queries × 3 scale
-        # points); 420s left no headroom for box variance, and a truncated
-        # tail would silently drop the newest entries' sf10 evidence.
-        # Round-5b: four new queries x 3 scale points joined the section,
-        # and noop-write materialization exposed the LM tier's real sf10
-        # cost (~195s, linear — count() had let Catalyst skip it); measured
-        # section total is ~720s, so 1100s keeps variance headroom without
-        # letting a hang eat the whole bench.
-        # Round-6 (verdict item 1): the scaling section gets the SAME
-        # median-of-3 + spread treatment as the headline set — single-shot
-        # points made the r5 simhash-full 99.8->120.7s move unattributable.
-        # Pass-order is round-robin (all queries get sample 1 before any
-        # gets sample 2), so a budget overrun degrades SAMPLE COUNT (n
-        # recorded per point) instead of silently dropping the newest
-        # queries' sf10 evidence. Budget raised 1100->2600s for the 3x
-        # passes; the r5 single-shot section measured ~720s.
+
+    def sf10_section() -> None:
         budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_SEC", "2600"))
         sec_start = time.perf_counter()
         truncated: list[str] = []
+        failed: set[str] = set()
         scale_points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else []) + [("sf10", sf10)]
         raw: dict[str, dict[str, list[float]]] = {
             n: {} for n in SF10_QUERIES if n in queries
@@ -727,12 +873,22 @@ def main() -> None:
         for pass_i in range(3):
             for label, d in scale_points:
                 for name in raw:
+                    key = f"{name}@{label}"
+                    if key in failed:
+                        continue
                     if time.perf_counter() - sec_start > budget:
                         if pass_i == 0:
-                            truncated.append(f"{name}@{label}")
+                            truncated.append(key)
                         continue
                     t0 = time.perf_counter()
-                    _materialize(queries[name](spark, d))
+                    try:
+                        _materialize(queries[name](spark, d))
+                    except Exception as exc:  # noqa: BLE001 - keep the section alive
+                        failed.add(key)
+                        payload.setdefault("errors", []).append(
+                            f"sf10:{key}: {type(exc).__name__}: {exc}"[:500]
+                        )
+                        continue
                     raw[name].setdefault(label, []).append(
                         time.perf_counter() - t0
                     )
@@ -755,84 +911,121 @@ def main() -> None:
         if truncated:
             payload["sf10_truncated"] = truncated
 
+    if sf10:
+        _run_section(payload, "sf10_scaling", sf10_section)
+        _section_hygiene(spark)
+
     # Adversarial-skew stress: salted join/agg vs plain under a 90%-hot key
     # (uniform driver fixtures never NEED the skew ops; this replica does).
-    # Bloom-vs-exact contamination at a LARGE benchmark side — the regime
-    # where the bitmap's O(1) broadcast pays (the catalog-split entries tie
-    # by construction at fixture scale).
     if sf10 and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_STRESS"):
-        try:
-            payload["contamination_stress"] = _contamination_stress(spark, sf10)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"contamination stress unavailable: {exc}", file=sys.stderr)
+        _run_section(
+            payload,
+            "contamination_stress",
+            lambda: payload.__setitem__(
+                "contamination_stress", _contamination_stress(spark, sf10)
+            ),
+        )
+        _section_hygiene(spark)
 
     # The bloom-vs-exact CROSSOVER point (round-6): benchmark side inflated
     # to 8M+ distinct shingles, where the exact variant's string broadcast
     # becomes the binding cost and the fixed-size bitmap pays off.
     if sf10 and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_CROSSOVER"):
-        try:
-            payload["contamination_crossover"] = _contamination_crossover(spark, sf10)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"contamination crossover unavailable: {exc}", file=sys.stderr)
+        _run_section(
+            payload,
+            "contamination_crossover",
+            lambda: payload.__setitem__(
+                "contamination_crossover", _contamination_crossover(spark, sf10)
+            ),
+        )
+        _section_hygiene(spark)
 
     # Shuffled vs broadcast-vocabulary simhash fingerprints (round-5 nit 3):
     # median-of-3 at sf1, single-shot at sf10 (read against the sf1 spread).
     if not os.environ.get("SPARK_GRAFT_SKIP_SIMHASH_VOCAB"):
-        try:
+
+        def simhash_vocab() -> None:
             points = ([("sf1", sf1, 3)] if sf1 else []) + (
                 [("sf10", sf10, 1)] if sf10 else []
             )
             if points:
                 payload["simhash_vocab_bench"] = _simhash_vocab_bench(spark, points)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"simhash vocab bench unavailable: {exc}", file=sys.stderr)
+
+        _run_section(payload, "simhash_vocab", simhash_vocab)
+        _section_hygiene(spark)
+
+    # BPE encoding strategy crossover (round-6 verdict item 6): the 96-merge
+    # nested-replace default vs the vocabulary-join scale path, at the
+    # committed vocabulary AND a synthetic 5k-merge depth, so the
+    # chain-depth crossover is measured rather than argued.
+    if not os.environ.get("SPARK_GRAFT_SKIP_BPE_BENCH"):
+
+        def bpe_bench() -> None:
+            if sf1:
+                payload["bpe_strategy_bench"] = _bpe_strategy_bench(spark, sf1)
+
+        _run_section(payload, "bpe_strategy", bpe_bench)
+        _section_hygiene(spark)
 
     # IVF build-cost evidence: train time vs sample rate, with recall — at
     # the replica scale points where build cost is visible (verdict item 8).
     if not os.environ.get("SPARK_GRAFT_SKIP_IVF_BUILD"):
-        try:
+
+        def ivf_build() -> None:
             points = ([("sf1", sf1)] if sf1 else []) + ([("sf10", sf10)] if sf10 else [])
             if points:
                 payload["ivf_build_bench"] = _ivf_build_bench(spark, points)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"ivf build bench unavailable: {exc}", file=sys.stderr)
+
+        _run_section(payload, "ivf_build", ivf_build)
+        _section_hygiene(spark)
 
     if not os.environ.get("SPARK_GRAFT_SKIP_SKEW"):
-        try:
-            payload["skew_bench"] = _skew_bench(spark)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"skew bench unavailable: {exc}", file=sys.stderr)
+        _run_section(
+            payload, "skew", lambda: payload.__setitem__("skew_bench", _skew_bench(spark))
+        )
+        _section_hygiene(spark)
 
     # SemDeDup at scale: the catalog entry fixes k=8 for the oracle, but the
     # paper's regime is k ∝ N (constant expected cell size), so the scale
     # evidence trains corpus-proportional centroids and proves the
     # cell-local pairwise step stays bounded while the corpus grows 100x.
     if not os.environ.get("SPARK_GRAFT_SKIP_SEMDEDUP"):
-        try:
+
+        def semdedup() -> None:
             points = ([("sf1", sf1)] if sf1 else []) + ([("sf10", sf10)] if sf10 else [])
             if points:
                 payload["semdedup_scale_bench"] = _semdedup_scale_bench(spark, points)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"semdedup scale bench unavailable: {exc}", file=sys.stderr)
+
+        _run_section(payload, "semdedup_scale", semdedup)
+        _section_hygiene(spark)
 
     # Streaming throughput: file-replayed events through tumbling +
     # stateful sessionization (rows/sec + end-to-end seconds).
     if not os.environ.get("SPARK_GRAFT_SKIP_STREAMING"):
-        try:
-            payload["streaming_bench"] = _streaming_bench(spark)
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"streaming bench unavailable: {exc}", file=sys.stderr)
+        _run_section(
+            payload,
+            "streaming",
+            lambda: payload.__setitem__("streaming_bench", _streaming_bench(spark)),
+        )
 
+
+def _emit(payload: dict) -> None:
+    """Write the full payload + print the compact line. Reached from
+    ``main``'s ``finally`` so the compact stdout line — previously the LAST
+    statement of the happy path — survives any mid-run death."""
     # The FULL multi-section payload (sf1/sf10 scaling, skew, streaming,
     # spreads) goes to a committed file: round 4's single-line dump outgrew
     # the driver's 2000-char stdout tail window and the official artifact
     # recorded `parsed: null`. The FINAL stdout line is a compact
     # sf0.1-headline-only JSON guaranteed to fit that window.
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
-    full_path.write_text(json.dumps(payload, indent=2) + "\n")
-    print(f"full payload written to {full_path}", file=sys.stderr)
-
+    try:
+        full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+        full_path.write_text(json.dumps(payload, indent=2) + "\n")
+        print(f"full payload written to {full_path}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - compact line must still print
+        print(f"BENCH_FULL.json write failed: {exc}", file=sys.stderr)
     print(build_compact_line(payload))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

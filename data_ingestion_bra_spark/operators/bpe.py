@@ -202,9 +202,14 @@ def doc_token_counts_vocab_join(
     """
     from pyspark.sql import functions as FF
 
+    # Split on the SHARED explicit whitespace class, not Java's \s+: Java \s
+    # includes \x0b, which _WS_CLASS (and doc_token_count_expr's subtraction)
+    # deliberately excludes — splitting on \s+ made the two variants' counts
+    # diverge on text containing a vertical tab.
     words = (
         df.select(
-            FF.col(id_col), FF.explode(FF.split(FF.trim(FF.col(text_col)), r"\s+")).alias("w")
+            FF.col(id_col),
+            FF.explode(FF.split(FF.col(text_col), _WS_CLASS + "+")).alias("w"),
         )
         .filter(FF.length("w") > 0)
         .groupBy(id_col, "w")

@@ -2936,8 +2936,8 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT CAST(MIN(dom_tok) AS BIGINT) AS min_tok FROM tot)
     SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok
     FROM tok t JOIN tot USING (source), m
-    WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT * tot.dom_tok
-          < m.min_tok * 16777216
+    WHERE (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT)::HUGEINT
+          * tot.dom_tok < m.min_tok::HUGEINT * 16777216
     """,
     tags=("sampling", "domain", "doremi", "llm-pipeline"),
 )
@@ -2950,6 +2950,10 @@ def sample_weighted_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold primitive (``sample_weighted_by_quality``), made exact across
     engines by pure-integer cross-multiplication: keep iff
     h * domain_tokens < min_tokens * 2^24 (no float division anywhere).
+    Both products are computed in decimal(38,0) (HUGEINT in the oracle):
+    h < 2^24, so an int64 product would silently wrap under non-ANSI Spark
+    once a domain exceeds ~5.5e11 subword tokens — exactly the corpus size
+    this operator exists for.
     Scale shape: one partial-agg for the ~|domains|-row totals table,
     broadcast back, then a scan-resident filter — the corpus never
     shuffles."""
@@ -2975,9 +2979,13 @@ def sample_weighted_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
         "bigint"
     )
+    dec = "decimal(38,0)"
     return (
         tok.join(F.broadcast(tot), "source")
-        .filter(h * F.col("dom_tok") < F.col("min_tok") * F.lit(16777216))
+        .filter(
+            h.cast(dec) * F.col("dom_tok").cast(dec)
+            < F.col("min_tok").cast(dec) * F.lit(16777216).cast(dec)
+        )
         .select("doc_id", "source", F.col("n_tok").cast("bigint").alias("n_tok"))
     )
 

@@ -38,7 +38,13 @@ def get_spark(
         # table root first — a second daily ingest run would delete every
         # prior anomesdia partition.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] means the driver JVM IS the whole cluster: executor heap,
+        # broadcast relations, shuffle buffers, and cached partitions all
+        # live here. 8g OOM'd the round-6 official bench (sf10 60M-row
+        # replica + 8.2M-row persisted shingle set + 289 MB broadcast on a
+        # 128 GiB box). 32g is still conservative for the host; the env var
+        # keeps it overridable for small boxes/CI.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -234,8 +235,12 @@ def _commit(
     raise CommitConflict(f"gave up after {max_retries} commit attempts")
 
 
-def committed_version(table_dir: str, idempotency_key: str) -> int | None:
-    """Version of the commit that carried ``idempotency_key``, or None."""
+def committed_version(table_dir: str, idempotency_key: str | None) -> int | None:
+    """Version of the commit that carried ``idempotency_key``, or None.
+    A None key matches nothing (records without a 'txn' field must not
+    alias a keyless lookup)."""
+    if idempotency_key is None:
+        return None
     for version, rec in enumerate(_read_log(table_dir)):
         if rec.get("meta", {}).get("txn") == idempotency_key:
             return version
@@ -284,9 +289,14 @@ def commit_append(
             meta={"op": "append", **key_meta, **(meta or {})},
         )
     except CommitConflict:
-        prior = committed_version(table_dir, idempotency_key)  # type: ignore[arg-type]
-        if prior is not None:
-            return prior
+        # Only an idempotent append may translate the conflict into success —
+        # and only when a commit carrying OUR key actually exists. A keyless
+        # lookup would match any record without a 'txn' field (None == None)
+        # and report an unrelated version as this append's commit.
+        if idempotency_key is not None:
+            prior = committed_version(table_dir, idempotency_key)
+            if prior is not None:
+                return prior
         raise
 
 
@@ -328,17 +338,25 @@ def commit_overwrite_partition(
     )
 
 
-def vacuum(table_dir: str) -> list[str]:
+def vacuum(table_dir: str, *, min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data files no snapshot we retain references — here: files not
     live in the LATEST snapshot AND not referenced by any log record's add
     set minus removes... conservative variant: remove only files on disk
     that NO log record ever added (crashed-writer debris). Historical
     versions stay readable; a retention-bounded vacuum would also drop
-    files removed before a cutoff version."""
+    files removed before a cutoff version.
+
+    ``min_age_seconds`` is the in-flight-writer guard (Delta's vacuum has
+    the same retention cutoff for the same reason): a writer stages files
+    in ``_write_data_files`` BEFORE its log record exists, so an unreferenced
+    subdir younger than the cutoff may belong to a commit about to publish —
+    deleting it would leave that snapshot referencing dead files. Pass 0
+    only when no writer can be concurrent (tests do)."""
     known: set[str] = set()
     for rec in _read_log(table_dir):
         known.update(_entry_path(e) for e in rec.get("add", []))
     deleted = []
+    now = time.time()
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for sub in os.listdir(data_root):
@@ -348,6 +366,12 @@ def vacuum(table_dir: str) -> list[str]:
                 for n in os.listdir(subdir)
                 if n.endswith(".parquet")
             ]
+            try:
+                age = now - os.path.getmtime(subdir)
+            except OSError:
+                continue  # raced with a concurrent vacuum/publish; skip
+            if age < min_age_seconds:
+                continue
             if rel_files and not any(f in known for f in rel_files):
                 import shutil
 

@@ -9,10 +9,14 @@ both inside ``foreachBatch``:
 - **append**: each micro-batch is assigned to the FROZEN persisted
   centroids with ``assign_cells`` (the exact batch operator — broadcast
   centroids, max_by argmax, no shuffle of anything but the batch) and the
-  (vid, cell, v) rows append to the inverted-lists parquet. Appending is
-  idempotent-enough for availableNow replays at the file level (parquet
-  append with per-task files); exactly-once epochs come from the stream
-  checkpoint, same as ``bronze_ingest``.
+  (vid, cell, v) rows land as ONE ACID txlog commit keyed
+  ``<query_id>:<epoch>`` (``sinks/txlog.py``, the same transactional-writer
+  pattern as ``bronze_ingest.acid_batch_writer``). foreachBatch is
+  at-least-once — a replayed epoch after restart would otherwise append the
+  same vectors again, and duplicated vids become perfect cosine-1.0
+  duplicates that flip ``semdedup_prune`` keep decisions — so the handler
+  no-ops on an already-committed key before doing ANY work. Read the lists
+  back with ``read_lists`` (snapshot-isolated), not a raw parquet scan.
 - **drift flag**: the batch's mean winner-centroid cosine (``sim`` e4) is
   compared against the index's own baseline (the mean assignment sim of
   the EXISTING lists, computed once at maintenance start). A batch whose
@@ -23,9 +27,13 @@ both inside ``foreachBatch``:
 
 The maintenance log is JSON-lines (one record per epoch: counts, mean sim,
 drift flag) — control-plane metadata like the manifest sidecars, never
-data-plane state. At 100 TB the same handler runs unchanged: the batch is
-the only thing scored, the index directory is object-store parquet, and
-retraining remains an offline decision driven by the drift flags.
+data-plane state. It is written AFTER the commit publishes, so an epoch
+whose writer dies between commit and log line is skipped on replay (data
+exactly-once; metadata at-most-once per epoch — acceptable for a retrain
+trigger, documented here). At 100 TB the same handler runs unchanged: the
+batch is the only thing scored, the index directory is object-store
+parquet under a KB-scale commit log, and retraining remains an offline
+decision driven by the drift flags.
 """
 
 from __future__ import annotations
@@ -81,12 +89,22 @@ def ivf_maintenance_writer(
     drift_threshold_e4: int = 500,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id: str = "ivf-maintenance",
 ):
     """Returns the ``foreachBatch`` handler. ``centroids`` must be the
     PERSISTED index centroids (``load_or_train_centroids``) — maintenance
-    never retrains, it only measures how badly a retrain is needed."""
+    never retrains, it only measures how badly a retrain is needed.
+
+    Exactly-once: the lists append is a txlog commit keyed
+    ``<query_id>:<epoch>``; a replayed epoch no-ops before computing
+    anything. ``assigned`` is persisted so the stats action and the commit
+    write share one assignment computation."""
+    from data_ingestion_bra_spark.sinks import txlog
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        key = f"{query_id}:{int(epoch_id)}"
+        if txlog.committed_version(lists_dir, key) is not None:
+            return  # replayed epoch: this batch's lists already committed
         if batch_df.isEmpty():
             return
         assigned = assign_cells(
@@ -100,12 +118,20 @@ def ivf_maintenance_writer(
             # the explicit streaming case)
             spread=False,
             include_sim=True,
-        )
-        stats = assigned.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.floor(F.avg("sim")).cast("bigint").alias("mean_sim_e4"),
-        ).first()
-        assigned.select("vid", "cell", "v").write.mode("append").parquet(lists_dir)
+        ).persist()
+        try:
+            stats = assigned.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.floor(F.avg("sim")).cast("bigint").alias("mean_sim_e4"),
+            ).first()
+            txlog.commit_append(
+                assigned.select("vid", "cell", "v"),
+                lists_dir,
+                meta={"epoch": int(epoch_id)},
+                idempotency_key=key,
+            )
+        finally:
+            assigned.unpersist()
         mean_sim = int(stats["mean_sim_e4"])
         rec = {
             "epoch": int(epoch_id),
@@ -118,6 +144,16 @@ def ivf_maintenance_writer(
             f.write(json.dumps(rec) + "\n")
 
     return handle
+
+
+def read_lists(spark, lists_dir: str) -> DataFrame:
+    """Snapshot-isolated read of the maintained inverted lists. The lists
+    directory is a txlog table, not a bare parquet dir — a raw
+    ``spark.read.parquet`` would also pick up any crashed writer's staged
+    (uncommitted) files."""
+    from data_ingestion_bra_spark.sinks import txlog
+
+    return txlog.read_snapshot(spark, lists_dir)
 
 
 def start_ivf_maintenance(

@@ -9,6 +9,7 @@ from data_ingestion_bra_spark.operators import similarity
 from data_ingestion_bra_spark.sources.tables import load_table
 from data_ingestion_bra_spark.streaming.ivf_maintenance import (
     index_mean_sim_e4,
+    read_lists,
     read_maintenance_log,
     start_ivf_maintenance,
 )
@@ -53,7 +54,7 @@ def test_stream_assignment_equals_batch(spark, tmp_path):
 
     streamed = {
         (r["vid"], r["cell"])
-        for r in spark.read.parquet(str(lists_dir)).select("vid", "cell").collect()
+        for r in read_lists(spark, str(lists_dir)).select("vid", "cell").collect()
     }
     assert streamed == batch
     recs = read_maintenance_log(str(log))
@@ -78,7 +79,7 @@ def test_appended_lists_serve_semdedup(spark, tmp_path):
         baseline_sim_e4=0,
     )
     q.awaitTermination()
-    stream_lists = spark.read.parquet(str(lists_dir))
+    stream_lists = read_lists(spark, str(lists_dir))
     batch_lists = similarity.assign_cells(emb, cents).select("vid", "cell", "v")
 
     def result(lists):
@@ -125,3 +126,37 @@ def test_drift_flag_fires_on_shifted_vectors(spark, tmp_path):
     # both outcomes observed: the in-distribution epoch passed, the
     # shifted epoch flagged
     assert by_drift == {False, True}, recs
+
+
+def test_epoch_replay_does_not_duplicate_lists(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed epoch must NOT append its
+    vectors again (duplicated vids are perfect cosine-1.0 duplicates that
+    flip semdedup keep decisions). The txlog idempotency key makes the
+    replay a no-op — same handler invoked twice, same list contents."""
+    from data_ingestion_bra_spark.streaming.ivf_maintenance import (
+        ivf_maintenance_writer,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.kmeans_train(emb, n_centroids=8, n_iter=1)
+    lists_dir = tmp_path / "lists"
+    log = tmp_path / "log.jsonl"
+    handle = ivf_maintenance_writer(
+        cents, str(lists_dir), str(log), baseline_sim_e4=0
+    )
+    batch = emb.limit(50)
+    handle(batch, 7)
+    once = sorted(
+        (r["vid"], r["cell"]) for r in read_lists(spark, str(lists_dir)).collect()
+    )
+    handle(batch, 7)  # restart replays the last epoch
+    twice = sorted(
+        (r["vid"], r["cell"]) for r in read_lists(spark, str(lists_dir)).collect()
+    )
+    assert twice == once and len(once) == 50
+    # the replay no-ops before staging anything: zero vacuum debris
+    from data_ingestion_bra_spark.sinks import txlog
+
+    assert txlog.vacuum(str(lists_dir), min_age_seconds=0) == []
+    # metadata log: one record for the epoch (at-most-once, documented)
+    assert [r["epoch"] for r in read_maintenance_log(str(log))] == [7]

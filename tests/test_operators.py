@@ -1160,6 +1160,27 @@ def test_bpe_vocab_join_equals_scan_resident(spark):
     for k, v in scan.items():
         assert via_vocab.get(k, 0) == v, k
 
+    # whitespace-class edge: \x0b (vertical tab) is in Java's \s but NOT in
+    # the shared _WS_CLASS — both variants must treat it as an ordinary
+    # character (round-6 advice: splitting on \s+ made the counts diverge)
+    tricky = spark.createDataFrame(
+        [(1, "the\x0bcat sat"), (2, "a\x0b\x0bb"), (3, " the  end ")],
+        "doc_id bigint, text string",
+    )
+    scan2 = {
+        r["doc_id"]: r["n"]
+        for r in tricky.select(
+            "doc_id", bpe.doc_token_count_expr(F.col("text"), merges).alias("n")
+        ).collect()
+    }
+    vocab2 = {
+        r["doc_id"]: r["n_tokens_subword"]
+        for r in bpe.doc_token_counts_vocab_join(
+            tricky, "doc_id", "text", merges
+        ).collect()
+    }
+    assert scan2 == vocab2
+
 
 def test_repeated_passages_semantics(spark, tmp_path):
     """ExactSubstr-tier span detection on constructed docs: a cross-doc

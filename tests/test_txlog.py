@@ -60,7 +60,11 @@ def test_uncommitted_files_are_invisible_and_vacuumable(spark, tmp_path):
     # simulate a crashed writer: data files staged but no log record
     orphan = txlog._write_data_files(_df(spark, [(99, "ghost")]), t)
     assert _rows(spark, t) == {(1, "a")}  # invisible to readers
-    deleted = txlog.vacuum(t)
+    # retention guard: a freshly-staged subdir may belong to an in-flight
+    # writer about to publish — default vacuum must NOT touch it
+    assert txlog.vacuum(t) == []
+    assert _rows(spark, t) == {(1, "a"), }
+    deleted = txlog.vacuum(t, min_age_seconds=0)
     assert set(deleted) == {e["path"] for e in orphan}
     assert _rows(spark, t) == {(1, "a")}  # vacuum never touches live files
 
@@ -193,7 +197,7 @@ def test_streaming_epoch_replay_is_exactly_once(spark, tmp_path):
     assert txlog.snapshot(t).version == 1  # exactly two commits
     # the replay no-ops BEFORE staging data files (key check first), so it
     # leaves zero debris — nothing for vacuum to remove
-    assert txlog.vacuum(t) == []
+    assert txlog.vacuum(t, min_age_seconds=0) == []
     assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
 
 
@@ -237,4 +241,4 @@ def test_bare_string_log_records_stay_readable(spark, tmp_path):
     assert _rows(spark, t) == {(1, "a")}
     # stats-free entries survive any prune (conservative keep)
     assert {r["k"] for r in txlog.read_snapshot(spark, t, prune=("k", 500, 600)).collect()} == {1}
-    assert txlog.vacuum(t) == []
+    assert txlog.vacuum(t, min_age_seconds=0) == []
