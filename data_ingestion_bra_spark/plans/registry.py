@@ -57,6 +57,7 @@ def register(name: str, oracle: str | None, *, tags: tuple[str, ...] = (), doc: 
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from data_ingestion_bra_spark.plans import (  # noqa: F401
+        acid,
         llm_ops,
         relational,
         relational_ext,
