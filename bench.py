@@ -276,16 +276,22 @@ def _skew_bench(spark) -> dict:
     fact, dim = _skew_fixture(spark)
     timings: dict = {}
 
-    def run(name: str, fn, *, skew_join: bool) -> None:
+    def run(name: str, fn, *, skew_join: bool, noop: bool = False) -> None:
         # Median of 3 timed trials (after one warm run): the round-4 AQE
         # number flapped 9.68<->5.98s on identical plans, so single-sample
         # skew claims aren't attributable. Spread recorded alongside.
+        # noop=True for the holistic-agg rows: count() over an aggregate
+        # lets Catalyst PRUNE the aggregate expressions (the distinct trio
+        # measured a flat 0.3s under count() — it was counting groups, not
+        # merging sets); join/sum rows keep count() for round-over-round
+        # comparability.
+        mat = _materialize if noop else (lambda df: df.count())
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_join).lower())
-        fn().count()  # warm
+        mat(fn())  # warm
         samples: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn().count()
+            mat(fn())
             samples.append(time.perf_counter() - t0)
         timings[name] = round(_median(samples), 3)
         timings[f"{name}_spread"] = [round(min(samples), 3), round(max(samples), 3)]
@@ -307,6 +313,29 @@ def _skew_bench(spark) -> dict:
         )
         run("agg_plain", agg_plain, skew_join=True)
         run("agg_salted", agg_salted, skew_join=True)
+
+        # HOLISTIC skew (round-6 verdict item 7): exact distinct-per-key
+        # where the hot key holds ~2M distinct values. The naive
+        # collect_set plan merges every partial set of the hot key in ONE
+        # task — that task is the runtime; the value-hash-salted operator
+        # splits the distinct classes disjointly so the merge is an
+        # algebraic sum. Spark's builtin count_distinct rewrite (expand
+        # over (k, v)) is reported alongside for honesty.
+        from data_ingestion_bra_spark.operators.skew import salted_count_distinct
+
+        fact_v2 = fact.withColumn("v2", F.pmod(F.col("rid"), F.lit(2_000_000)))
+        distinct_naive = lambda: fact_v2.groupBy("k").agg(  # noqa: E731
+            F.size(F.collect_set("v2")).alias("n_distinct")
+        )
+        distinct_builtin = lambda: fact_v2.groupBy("k").agg(  # noqa: E731
+            F.count_distinct("v2").alias("n_distinct")
+        )
+        distinct_salted = lambda: salted_count_distinct(  # noqa: E731
+            fact_v2, "k", F.col("v2"), n_salts=32
+        )
+        run("distinct_plain_collect_set", distinct_naive, skew_join=True, noop=True)
+        run("distinct_builtin_count_distinct", distinct_builtin, skew_join=True, noop=True)
+        run("distinct_salted", distinct_salted, skew_join=True, noop=True)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

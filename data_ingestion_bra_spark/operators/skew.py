@@ -40,6 +40,41 @@ def salted_join(
     return lt.join(rt, [key, "__salt"]).drop("__salt")
 
 
+def salted_count_distinct(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    *,
+    n_salts: int = 8,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT value), de-skewed by VALUE-hash salting
+    — the HOLISTIC shape the salted aggs exist for (round-6 verdict item 7:
+    for algebraic sums, map-side partials already absorb skew and
+    ``salted_agg_sum`` deliberately ties plain).
+
+    The naive holistic plan — ``groupBy(k).agg(collect_set(v))`` — funnels
+    every partial set of a hot key into ONE final-merge task; with millions
+    of distinct values under the hot key, that single task IS the runtime
+    (and the memory risk). Salting by ``pmod(xxhash64(v), n)`` makes the
+    salt a function of the VALUE, so the per-(key, salt) distinct classes
+    are provably DISJOINT — the merge step becomes an algebraic SUM of
+    per-salt distinct counts, and no task anywhere ever holds the hot
+    key's full value set. (A rowid salt could not do this: the same value
+    would land in several salts and the counts would double-count.)
+
+    Results are identical to ``countDistinct`` — the oracle/test contract.
+    Spark's own count-distinct rewrite de-skews similarly by expanding over
+    (k, v); this operator is the pattern for holistic aggregates the
+    rewrite does NOT cover (exact sets, exact medians via per-salt count
+    maps) and keeps the whole plan in two map-side-combinable hash aggs."""
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(value), F.lit(n_salts)))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count_distinct(value).alias("__d")
+    )
+    return partial.groupBy(key).agg(F.sum("__d").cast("bigint").alias(alias))
+
+
 def salted_agg_sum(
     df: DataFrame,
     key: str,

@@ -569,6 +569,34 @@ def salted_agg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_distinct_parts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("skew", "agg", "salted", "holistic", "distinct"),
+)
+def salted_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLISTIC salted aggregation (operators/skew.py
+    salted_count_distinct): exact COUNT(DISTINCT l_partkey) per
+    l_returnflag (3 keys over the whole table — maximal skew) computed as
+    VALUE-hash-salted partials + an algebraic sum merge. Unlike the
+    algebraic ``salted_agg_quantity`` (which ties plain by design), this
+    is the shape where salting is the only thing standing between a hot
+    key and a single multi-million-element set-merge task — the skew bench
+    carries the measured number. The oracle IS the plain count-distinct:
+    value-hash salts partition the distinct classes disjointly, so the
+    result is identical by construction."""
+    from data_ingestion_bra_spark.operators.skew import salted_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        li, "l_returnflag", F.col("l_partkey"), n_salts=8, alias="n_distinct"
+    )
+
+
+@register(
     "sample_stratified_orders",
     """
     SELECT o_orderstatus,

@@ -1244,3 +1244,57 @@ def test_cut_repeated_passages_semantics(spark, tmp_path):
     assert out[1]["cleaned_md5"] == md5("A" * 30 + "B" * 30)
     assert out[2]["cleaned_md5"] == md5("C" * 50)
     assert out[3]["n_cut_spans"] == 0 and out[3]["cleaned_md5"] == md5("tiny")
+
+
+def test_contamination_auto_routing_decision():
+    """The routing boundary is the MEASURED one (SCALE.md crossover):
+    fixture-scale benchmark sets broadcast; the 289 MB / 8.2M-shingle
+    regime routes to the bloom bitmap; the band between shuffles exact."""
+    from data_ingestion_bra_spark.operators.contamination import decide_strategy
+
+    assert decide_strategy(10_500_000) == "exact_broadcast"   # r5 fixture point
+    assert decide_strategy(64 << 20) == "exact_broadcast"     # boundary inclusive
+    assert decide_strategy((64 << 20) + 1) == "exact_shuffled"
+    assert decide_strategy(150 << 20) == "exact_shuffled"
+    assert decide_strategy(289_000_000) == "bloom"            # r6 crossover point
+
+
+def test_contamination_all_strategies_agree(spark):
+    """Every route ends in the same exact confirm: identical output rows
+    from exact_broadcast, exact_shuffled, bloom, and auto on the fixture."""
+    from data_ingestion_bra_spark.operators import dedup
+    from data_ingestion_bra_spark.operators.contamination import contamination_check
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
+    cand = dedup.doc_shingles(
+        d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8, distinct=False
+    )
+    results = {}
+    for s in ("exact_broadcast", "exact_shuffled", "bloom", "auto"):
+        out, used = contamination_check(cand, bench, strategy=s)
+        results[s] = sorted(map(tuple, out.collect()))
+        if s == "auto":
+            assert used == "exact_broadcast"  # fixture set is ~KBs
+        else:
+            assert used == s
+    assert len({tuple(v) for v in results.values()}) == 1
+    assert results["auto"], "fixture must produce at least one overlap row"
+
+
+def test_salted_count_distinct_equals_builtin(spark):
+    """Value-hash salting partitions the distinct classes disjointly, so
+    the salted exact distinct must equal countDistinct on every key —
+    including values colliding across keys and null-free hot keys."""
+    from data_ingestion_bra_spark.operators.skew import salted_count_distinct
+
+    rows = [(i % 3, (i * 7) % 50) for i in range(2000)] + [(9, 1)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()}
+    for n_salts in (1, 8, 32):
+        salted = {
+            r["k"]: r["n_distinct"]
+            for r in salted_count_distinct(df, "k", F.col("v"), n_salts=n_salts).collect()
+        }
+        assert salted == plain, n_salts

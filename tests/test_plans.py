@@ -74,6 +74,9 @@ PYTHON_ALLOWED = {
     # full roundtrip decode and header-only metadata in the same contract
     "multimodal_image_jpeg_roundtrip",
     "multimodal_image_jpeg_meta",
+    # real video containers: ISO-BMFF (MP4) box walk, header-only — same
+    # zero-decode contract as the JPEG metadata tier
+    "multimodal_video_mp4_meta",
     "grouped_map_rank_per_lang",
 }
 
