@@ -594,10 +594,15 @@ def _synthetic_merges(depth: int, base: list[tuple[str, str]]) -> list[tuple[str
     ms = list(base)
     seen = set(ms)
     alpha = "abcdefghijklmnopqrstuvwxyz"
-    si = 0
-    while len(ms) < depth:
-        seed = (alpha[(si * 5 + 25) % 26], alpha[(si * 11 + 16) % 26])
-        si += 1
+    # seeds walk ALL 676 letter pairs (a 26-cycle walk here once looped
+    # forever past depth ~1274 — every later seed was already seen);
+    # 676 seeds x 49 entries bounds the generator at ~33k merges.
+    if depth > 33_000:
+        raise ValueError(f"synthetic merge generator bounded at ~33k, got {depth}")
+    for si in range(676):
+        if len(ms) >= depth:
+            break
+        seed = (alpha[si % 26], alpha[(si // 26 + si) % 26])
         if seed in seen:
             continue
         seen.add(seed)

@@ -173,6 +173,46 @@ def doc_token_count_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
 
 
 # ------------------------------------------------------------- scale variant
+#: Measured driver limit for ONE nested-replace expression tree: depth 192
+#: analyzes fine, depth 384 StackOverflows the driver during column->
+#: expression conversion (Spark 4.1, default JVM thread stack). Batches stay
+#: well under it.
+MAX_EXPR_MERGES = 128
+
+
+def _apply_merges_batched(df, in_col: str, merges: list[tuple[str, str]], out_col: str):
+    """Apply a merge chain of ANY depth over an (already small) relation:
+    symbolize once, then fold the merges in ``MAX_EXPR_MERGES``-sized
+    projection batches with a ``localCheckpoint`` barrier between them.
+
+    Why batched: the single-expression chain is structurally bounded — a
+    ~200-merge nested replace StackOverflows the DRIVER (recursive
+    expression-tree conversion), measured on this build between depth 192
+    and 384. The barrier cuts the lineage so Catalyst can't collapse the
+    projections back into one over-deep tree; each checkpoint materializes
+    only the vocabulary-sized relation (words, not corpus), so a 30-50k
+    production merge table costs |merges|/128 small local jobs."""
+    sym = F.regexp_replace(
+        F.replace(F.col(in_col), F.lit(SEP), F.lit("")), "(?s)(.)", f"{SEP}$1{SEP}"
+    )
+    df = df.withColumn(out_col, sym)
+    for i in range(0, len(merges), MAX_EXPR_MERGES):
+        chunk = merges[i : i + MAX_EXPR_MERGES]
+        enc = reduce(
+            lambda acc, m: F.replace(
+                acc,
+                F.lit(f"{SEP}{m[0]}{SEP}{SEP}{m[1]}{SEP}"),
+                F.lit(f"{SEP}{m[0]}{m[1]}{SEP}"),
+            ),
+            chunk,
+            F.col(out_col),
+        )
+        df = df.withColumn(out_col, enc)
+        if i + MAX_EXPR_MERGES < len(merges):
+            df = df.localCheckpoint(eager=True)
+    return df
+
+
 def doc_token_counts_vocab_join(
     df,
     id_col: str,
@@ -215,11 +255,27 @@ def doc_token_counts_vocab_join(
         .groupBy(id_col, "w")
         .agg(FF.count(FF.lit(1)).alias("c"))
     )
-    vocab = (
-        words.select("w")
-        .distinct()
-        .select("w", word_token_count_expr(FF.col("w"), merges).alias("t"))
-    )
+    if len(merges) <= MAX_EXPR_MERGES:
+        vocab = (
+            words.select("w")
+            .distinct()
+            .select("w", word_token_count_expr(FF.col("w"), merges).alias("t"))
+        )
+    else:
+        # deep merge tables (the 30-50k production regime): batched apply
+        # over the distinct-word relation — the single-expression chain
+        # would StackOverflow the driver (see _apply_merges_batched)
+        enc = _apply_merges_batched(words.select("w").distinct(), "w", merges, "__enc")
+        vocab = enc.select(
+            "w",
+            FF.when(
+                FF.length(FF.replace(FF.col("w"), FF.lit(SEP), FF.lit(""))) == 0,
+                FF.lit(0),
+            )
+            .otherwise(FF.size(FF.split(FF.col("__enc"), SEP + SEP)))
+            .cast("bigint")
+            .alias("t"),
+        )
     if broadcast_vocab:
         vocab = FF.broadcast(vocab)
     return (

@@ -1298,3 +1298,32 @@ def test_salted_count_distinct_equals_builtin(spark):
             for r in salted_count_distinct(df, "k", F.col("v"), n_salts=n_salts).collect()
         }
         assert salted == plain, n_salts
+
+
+def test_vocab_join_deep_merge_table_batched(spark):
+    """Deep merge tables (the 30-50k production regime) must run through the
+    batched apply — the single-expression chain StackOverflows the driver
+    past ~200 merges (measured) — and produce exactly the pure-Python
+    greedy-BPE counts."""
+    import bench
+    from data_ingestion_bra_spark.operators import bpe
+
+    merges = bench._synthetic_merges(400, bpe.load_merges())
+    assert len(merges) > bpe.MAX_EXPR_MERGES
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "zq zqa zqab words that actually hit the synthetic chain zqabc"),
+        (2, "   "),
+        (3, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_tokens_subword"]
+        for r in bpe.doc_token_counts_vocab_join(df, "doc_id", "text", merges).collect()
+    }
+    import re
+
+    for doc_id, text in rows:
+        words = [w for w in re.split(r"[ \t\n\r\f]+", text) if w]
+        expected = sum(len(bpe.encode_word(w, merges)) for w in words)
+        assert got.get(doc_id, 0) == expected, doc_id
