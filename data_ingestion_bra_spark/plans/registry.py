@@ -132,6 +132,26 @@ GATE_ORDER: tuple[str, ...] = (
     #      covered: its decode/resample/re-encode semantics remain pytest-
     #      verified (test_png_codec.py) and hash-verified below the window
     #      alongside multimodal_image_png_decode).
+    # Round-7 rotation (the ACID tier and the operational contamination
+    # entry get driver credit):
+    # IN:  txlog_time_travel (snapshot-isolated time travel through the
+    #      transaction-log table format — the one round-6 tier with no
+    #      driver-visible credit; verdict item 2),
+    #      dedup_contamination_auto (strategy auto-routing over the three
+    #      verified contamination shapes per the measured SCALE.md
+    #      boundary; verdict item 4).
+    # OUT: curation_pack_pipeline (its packing stage is gated via
+    #      text_pack_sequences_bpe and its gate/chunk composition via
+    #      curation_gopher_pipeline; stays hash-verified below the window),
+    #      text_term_stats_top3 (term-stat expressions feed the gated
+    #      text_quality_model and gopher pipelines; its top-k-per-group
+    #      ranking semantics stay gated via window_rank_family; stays
+    #      hash-verified below the window).
+    # dedup_contamination_bloom stays IN-window: at fixture scale auto
+    # routes exact_broadcast, so the bloom build/probe path would lose its
+    # only gated exercise if swapped out. multimodal_video_mp4_meta and
+    # salted_distinct_parts register below the window (hash-verified in
+    # ORACLE_FULL_r07).
     # Round-6c rotation (the ExactSubstr tier gets driver credit):
     # IN:  dedup_repeated_passages (Lee et al. 2022 cross-doc repeated-
     #      passage spans — stride-1 gram recall-complete detection + span
@@ -157,7 +177,6 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_duplicate_clusters",
     "text_perplexity_lm",
     "text_langid_nb",
-    "text_term_stats_top3",
     # text_quality_model (trained integer-logreg tier) gates in place of
     # text_fingerprints: the md5-normalized-text fingerprint expression is
     # exercised by the gated exact-dedup/curation pipelines, and the
@@ -176,8 +195,9 @@ GATE_ORDER: tuple[str, ...] = (
     "incremental_merge_upsert",
     "scd2_event_type_history",
     "dedup_contamination_bloom",
+    "dedup_contamination_auto",
     "text_pack_sequences_bpe",
-    "curation_pack_pipeline",
+    "txlog_time_travel",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",

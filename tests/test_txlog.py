@@ -242,3 +242,47 @@ def test_bare_string_log_records_stay_readable(spark, tmp_path):
     # stats-free entries survive any prune (conservative keep)
     assert {r["k"] for r in txlog.read_snapshot(spark, t, prune=("k", 500, 600)).collect()} == {1}
     assert txlog.vacuum(t, min_age_seconds=0) == []
+
+
+def test_delta_export_replays_every_version(spark, tmp_path):
+    """The exported _delta_log must resolve the SAME live file set as the
+    txlog at every version — including through a partition overwrite's
+    removes — and carry protocol/metaData in commit 0 (public Delta
+    protocol layout). No Delta reader ships in this container, so the test
+    replays the written actions the way a reader would."""
+    from data_ingestion_bra_spark.sinks import delta_export
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, p string")
+    txlog.commit_append(df, t)
+    txlog.commit_append(spark.createDataFrame([(3, "a")], "k bigint, p string"), t)
+    txlog.commit_overwrite_partition(
+        spark.createDataFrame([(9, "a")], "k bigint, p string"),
+        t,
+        partition_key="p",
+        partition_value="a",
+    )
+
+    files = delta_export.export_delta_log(t)
+    assert len(files) == 3
+    for v in range(3):
+        assert sorted(delta_export.replay_delta_log(t, v)) == sorted(
+            txlog.snapshot(t, v).files
+        ), v
+
+    # commit 0 carries protocol + metaData with a parseable schemaString
+    with open(files[0]) as f:
+        actions = [json.loads(line) for line in f]
+    assert actions[0]["protocol"]["minReaderVersion"] == 1
+    schema = json.loads(actions[1]["metaData"]["schemaString"])
+    assert [f["name"] for f in schema["fields"]] == ["k", "p"]
+    assert {f["type"] for f in schema["fields"]} == {"long", "string"}
+    # every add action carries real size/mtime of an existing file
+    adds = [a["add"] for a in actions if "add" in a]
+    assert all(a["size"] > 0 and a["modificationTime"] > 0 for a in adds)
+
+    # regeneration after more commits never leaves stale delta commits
+    txlog.commit_append(spark.createDataFrame([(4, "c")], "k bigint, p string"), t)
+    files2 = delta_export.export_delta_log(t)
+    assert len(files2) == 4
+    assert sorted(delta_export.replay_delta_log(t)) == sorted(txlog.snapshot(t).files)

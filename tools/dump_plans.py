@@ -39,9 +39,13 @@ SHOWCASE: list[tuple[str, str]] = [
     ("scd2_event_type_history", "SCD2: lag + running version + run aggregation + lead, ALL on one entity-key partitioning"),
     ("text_pack_sequences_bpe", "token-budget packing: BPE encode is a scan-resident literal-replace chain; running-offset window partitioned BY DOCUMENT"),
     ("sample_weighted_by_domain", "DoReMi reweighting: ~|domains|-row totals broadcast back; per-doc decisions are codegen hash thresholds — the corpus never shuffles"),
-    ("dedup_repeated_passages", "ExactSubstr spans: row-local gram explode, ONE hash shuffle with partial distinct counts, hit semi-join, one doc-key window — bodies never shuffle"),
+    ("dedup_repeated_passages", "ExactSubstr spans: the ~40x gram stream persists DISK_ONLY and BOTH consumers read the cache (two InMemoryTableScans, one gram build) — bodies never shuffle"),
     ("text_cut_repeated_passages", "ExactSubstr REMOVE: spans collapse to per-doc arrays; the splice is a row-local higher-order aggregate after one left join"),
     ("multimodal_image_jpeg_roundtrip", "lossy decode: synth + Huffman/DCT decode both Arrow-batched MapInPandas, zero shuffles"),
+    ("dedup_contamination_auto", "auto-routed contamination: one tiny benchmark-side sizing aggregate picks the variant (exact_broadcast here); identical confirm semantics on every route"),
+    ("multimodal_video_mp4_meta", "ISO-BMFF box walk: synth + header parse both Arrow-batched MapInPandas, zero shuffles, zero codec decode"),
+    ("salted_distinct_parts", "holistic distinct under skew: VALUE-hash salt makes per-salt distinct classes disjoint — two map-side-combinable hash aggs, no single-task set merge"),
+    ("txlog_time_travel", "time travel: each snapshot is a plain parquet scan of ONLY that version's files (file sets resolved from KBs of log, zero listings)"),
 ]
 
 
