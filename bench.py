@@ -678,6 +678,65 @@ def _bpe_strategy_bench(spark, sf1: str) -> dict:
     return {"corpus": sf1, "n_docs_full": n_full, "n_docs_subset": n_sub, "points": points}
 
 
+def _acid_dml_bench(spark, sf_dir: str, *, passes: int = 3) -> dict:
+    """Row-level DML through the transaction log, timed end to end at the
+    headline SF: APPEND the orders table (multi-file), copy-on-write
+    DELETE of 1/16 of the keys, MERGE/upsert of another 1/16, OPTIMIZE
+    ZORDER over (o_orderkey, o_custkey), and a full change-data-feed
+    replay. Each pass rebuilds the table from scratch (DML mutates state,
+    so warm medians need fresh tables, not repeats); median + [min, max]
+    per op across ``passes``."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    n_rows = orders.count()
+    samples: dict[str, list[float]] = {}
+
+    def timed(op: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        samples.setdefault(op, []).append(time.time() - t0)
+
+    for _ in range(passes):
+        scratch = tempfile.mkdtemp(prefix="acid_dml_bench_")
+        t = os.path.join(scratch, "tbl")
+        try:
+            timed("append", lambda: txlog.commit_append(orders.repartition(8), t))
+            timed(
+                "delete_1_16",
+                lambda: txlog.commit_delete(spark, t, "o_orderkey % 16 = 3"),
+            )
+            src = orders.filter(F.col("o_orderkey") % 16 == 5).withColumn(
+                "o_orderstatus", F.lit("U")
+            )
+            timed(
+                "upsert_1_16",
+                lambda: txlog.commit_upsert(spark, t, src, key="o_orderkey"),
+            )
+            timed(
+                "optimize_zorder",
+                lambda: txlog.compact(
+                    spark, t, zorder_by=("o_orderkey", "o_custkey"), n_files=8
+                ),
+            )
+            timed("cdf_replay", lambda: txlog.read_changes(spark, t, 0).count())
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    out: dict = {"sf": sf_dir, "orders_rows": n_rows, "passes": passes}
+    for op, xs in samples.items():
+        out[op + "_sec"] = round(_median(xs), 3)
+        out[op + "_spread"] = [round(min(xs), 3), round(max(xs), 3), len(xs)]
+    return out
+
+
 def _sf1_dir() -> str | None:
     """10x replica of sf0.1 built inside the repo (testdata is read-only).
 
@@ -1031,6 +1090,18 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
                 payload["semdedup_scale_bench"] = _semdedup_scale_bench(spark, points)
 
         _run_section(payload, "semdedup_scale", semdedup)
+        _section_hygiene(spark)
+
+    # ACID DML: copy-on-write delete/upsert, OPTIMIZE ZORDER, CDF replay
+    # through the transaction log at the headline SF.
+    if not os.environ.get("SPARK_GRAFT_SKIP_ACID_DML"):
+        _run_section(
+            payload,
+            "acid_dml",
+            lambda: payload.__setitem__(
+                "acid_dml_bench", _acid_dml_bench(spark, sf_dir)
+            ),
+        )
         _section_hygiene(spark)
 
     # Streaming throughput: file-replayed events through tumbling +

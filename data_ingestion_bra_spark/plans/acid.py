@@ -101,3 +101,153 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_version[1:]:
         out = out.unionAll(df)
     return out
+
+
+def _dml_table_dir(sf_dir: str) -> str:
+    return str(_REPO_ROOT / ".data" / "txlog_dml_demo" / Path(sf_dir).name)
+
+
+def _ensure_dml_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently build a 4-version DML timeline (the ``dml-v{k}`` keys
+    make replays no-ops):
+
+    - v0 APPEND  orders rows with ``o_orderkey % 4 <= 1``
+    - v1 DELETE  ``o_orderkey % 8 = 1`` (copy-on-write file rewrite)
+    - v2 UPSERT  source = every ``% 4 = 1`` key with status 'U'
+                 (re-inserts the deleted ``% 8 = 1`` keys, updates the
+                 surviving ``% 8 = 5`` rows)
+    - v3 COMPACT (bin-pack; ``data_change: false`` — same rows)
+    """
+    table_dir = _dml_table_dir(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    if txlog.committed_version(table_dir, "dml-v0") is None:
+        txlog.commit_append(
+            orders.filter(F.col("k") % 4 <= 1),
+            table_dir,
+            idempotency_key="dml-v0",
+        )
+    txlog.commit_delete(spark, table_dir, "k % 8 = 1", idempotency_key="dml-v1")
+    txlog.commit_upsert(
+        spark,
+        table_dir,
+        orders.filter(F.col("k") % 4 == 1).withColumn("s", F.lit("U")),
+        key="k",
+        idempotency_key="dml-v2",
+    )
+    txlog.compact(spark, table_dir, idempotency_key="dml-v3")
+    return table_dir
+
+
+def _state_fingerprint(df: DataFrame, version: int) -> DataFrame:
+    return df.agg(
+        F.lit(version).cast("int").alias("version"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(k, s))),"
+                    " x -> concat(x.k, ':', x.s))"
+                ),
+            )
+        ).alias("content_md5"),
+    )
+
+
+@register(
+    "txlog_dml_timeline",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey % 4 <= 1
+    ),
+    states AS (
+      SELECT g.v, k,
+             CASE WHEN g.v >= 2 AND k % 4 = 1 THEN 'U' ELSE s END AS s
+      FROM (VALUES (0), (1), (2), (3)) g(v)
+      JOIN base ON NOT (g.v = 1 AND k % 8 = 1)
+    )
+    SELECT v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(k || ':' || s, ',' ORDER BY k)) AS content_md5
+    FROM states GROUP BY v
+    """,
+    tags=("acid", "txlog", "dml", "delete", "merge", "compact", "sink"),
+)
+def txlog_dml_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML through the transaction log, fingerprinted at every
+    version: APPEND → copy-on-write DELETE → MERGE/upsert → OPTIMIZE
+    compaction (``sinks/txlog.py:commit_delete/commit_upsert/compact``).
+    The oracle recomputes each version's intended logical state straight
+    from ``orders`` — a hash match proves the rewrites removed/replaced
+    exactly the targeted rows, carried every untouched file by reference,
+    and that compaction changed the layout but not one row (v3 == v2).
+
+    Scale shape: DELETE/MERGE discover their rewrite set with ONE
+    predicate-pushed scan (``input_file_name`` per-file hit counts) and
+    rewrite only touched files; the commit itself is KBs of JSON through
+    the same put-if-absent publish as every other record."""
+    table_dir = _ensure_dml_versions(spark, sf_dir)
+    parts = [
+        _state_fingerprint(
+            txlog.read_snapshot(spark, table_dir, version=v), v
+        )
+        for v in range(4)
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@register(
+    "txlog_change_feed",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey % 4 <= 1
+    ),
+    changes AS (
+      SELECT 0 AS v, 'insert' AS ct, k, s FROM base
+      UNION ALL SELECT 1, 'delete', k, s FROM base WHERE k % 8 = 1
+      UNION ALL SELECT 2, 'insert', k, 'U' FROM base WHERE k % 4 = 1
+      UNION ALL SELECT 2, 'delete', k, s FROM base WHERE k % 8 = 5
+    )
+    SELECT v AS version, ct AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(k || ':' || s, ',' ORDER BY k)) AS content_md5
+    FROM changes GROUP BY v, ct
+    """,
+    tags=("acid", "txlog", "cdf", "cdc", "sink"),
+)
+def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the DML timeline: replay versions 0..3 from
+    the commit log alone (``sinks/txlog.py:read_changes``) and fingerprint
+    each (version, change_type) group. The oracle states the EXPECTED
+    row-level diffs — v0 inserts everything, v1 deletes the ``% 8 = 1``
+    pre-images, v2 emits update pre-images as deletes plus post-images as
+    inserts, and v3 (compaction, ``data_change: false``) emits NOTHING —
+    so a hash match proves the add/remove file diff reconstructs exact
+    row-level history, including that survivors rewritten alongside
+    deleted rows cancel out of the feed."""
+    table_dir = _ensure_dml_versions(spark, sf_dir)
+    ch = txlog.read_changes(spark, table_dir, 0, 3)
+    return (
+        ch.groupBy(
+            F.col("_commit_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.expr(
+                        "transform(sort_array(collect_list(struct(k, s))),"
+                        " x -> concat(x.k, ':', x.s))"
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+    )

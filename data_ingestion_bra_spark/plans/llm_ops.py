@@ -3098,3 +3098,112 @@ def dedup_exact_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n") - F.count("*")).cast("bigint").alias("n_dup_docs"),
         F.max("n").cast("bigint").alias("max_group"),
     )
+
+
+_BM25_TERMS = ("spark", "vector", "merge", "filter")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+@register(
+    "text_bm25_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+           WHERE term IN ('spark', 'vector', 'merge', 'filter')
+           GROUP BY doc_id, term),
+    dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, dl.dl, dfs.df,
+             ln(1 + (corpus.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl)) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dfs USING (term) CROSS JOIN corpus
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf, dl, df,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, tf, dl, df
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("text", "search", "bm25", "llm-pipeline"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, the public
+    formula with k1=1.2, b=0.75): top-10 documents per query term, the
+    relevance-retrieval primitive of a RAG / curation stack. Hash-compared
+    columns are rank order plus the INTEGER sufficient statistics
+    (tf, dl, df) — the float score itself stays out of the hash (libm vs
+    JVM ``ln`` is not bit-portable; rank flips would need two non-tied
+    scores within ~1 ulp, and exact ties — identical (tf, dl) — break by
+    doc_id in both engines).
+
+    Scale shape: tokenize is row-local; tf and dl are map-side-partial
+    aggs; df is a |terms|-row broadcast; N/avgdl ride a 1-row broadcast
+    joined on a literal key (BroadcastHashJoin, not a nested loop). The
+    top-k is TWO-PHASE: a salted window (term, doc_id%64) keeps 10 per
+    salt, then the global window ranks <= 640 survivors per term — no
+    single-reducer-per-term bottleneck at corpus scale."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    # the 1-row corpus-stats frame attaches to the |terms|-row df table via
+    # an explicit broadcast cross join (1 x |terms| rows total — allow-listed
+    # in the catalog-wide cartesian guard); the big tables never see it
+    dfs = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfs), "term")
+        .withColumn("score", idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / denom)
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    salted = Window.partitionBy("term", F.col("doc_id") % 64).orderBy(*order)
+    survivors = (
+        scored.withColumn("srank", F.row_number().over(salted))
+        .filter(F.col("srank") <= _BM25_TOPK)
+        .drop("srank")
+    )
+    final = Window.partitionBy("term").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select(
+            "term",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+        )
+    )

@@ -152,6 +152,16 @@ GATE_ORDER: tuple[str, ...] = (
     # only gated exercise if swapped out. multimodal_video_mp4_meta and
     # salted_distinct_parts register below the window (hash-verified in
     # ORACLE_FULL_r07).
+    # Round-7b rotation (row-level DML through the log gets driver credit):
+    # IN:  txlog_dml_timeline (copy-on-write DELETE + MERGE/upsert +
+    #      OPTIMIZE compaction fingerprinted at every version — strictly
+    #      exercises more of the txlog than time travel alone; its CDF twin
+    #      txlog_change_feed and text_bm25_topk register below the window).
+    # OUT: string_funcs_suite (string-function semantics run inside the
+    #      gated text tier every round: text_pii_redaction regexes,
+    #      text_pack_sequences_bpe splits/replaces, curation_gopher_pipeline
+    #      metrics, scalar_cast_suite trims; stays hash-verified below the
+    #      window in the committed full-catalog report).
     # Round-6c rotation (the ExactSubstr tier gets driver credit):
     # IN:  dedup_repeated_passages (Lee et al. 2022 cross-doc repeated-
     #      passage spans — stride-1 gram recall-complete detection + span
@@ -198,6 +208,7 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_contamination_auto",
     "text_pack_sequences_bpe",
     "txlog_time_travel",
+    "txlog_dml_timeline",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
@@ -226,7 +237,6 @@ GATE_ORDER: tuple[str, ...] = (
     "window_rank_family",
     "window_range_frame_trailing30d",
     # Function suites + subqueries + TPC-H-shape joins.
-    "string_funcs_suite",
     "date_funcs_suite",
     "array_funcs_suite",
     "map_funcs_suite",

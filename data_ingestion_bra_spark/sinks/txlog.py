@@ -172,8 +172,9 @@ def _file_stats(path: str) -> dict:
 
 def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
     """Stage the DataFrame as immutable parquet under ``data/<uuid>/``;
-    returns add-set entries (path + footer min/max stats). Invisible to
-    readers until a log record references them."""
+    returns add-set entries (path + footer min/max stats + byte size, so
+    compaction planning later reads the LOG, not the object store).
+    Invisible to readers until a log record references them."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(table_dir, rel_dir)
     df.write.parquet(out)
@@ -181,6 +182,7 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
         {
             "path": os.path.join(rel_dir, name),
             "stats": _file_stats(os.path.join(out, name)),
+            "bytes": os.path.getsize(os.path.join(out, name)),
         }
         for name in sorted(os.listdir(out))
         if name.endswith(".parquet")
@@ -378,3 +380,360 @@ def vacuum(table_dir: str, *, min_age_seconds: float = 3600.0) -> list[str]:
                 shutil.rmtree(subdir)
                 deleted.extend(rel_files)
     return deleted
+
+
+# ---------------------------------------------------------------------------
+# Row-level DML through the log (Delta Lake's copy-on-write pattern,
+# Armbrust et al. VLDB 2020 §3.2: DELETE/MERGE rewrite only the files that
+# contain affected rows and publish {remove: old, add: rewritten} as ONE
+# atomic record) plus OPTIMIZE-style compaction and a change-data-feed
+# reader derived from the commit records themselves.
+# ---------------------------------------------------------------------------
+
+
+def _abs_to_rel(table_dir: str, entries: list) -> dict[str, str]:
+    """Map each live file's absolute path to its log-relative path, so
+    ``input_file_name()`` output (a ``file:`` URI) can be resolved back to
+    the entry the log knows."""
+    out = {}
+    for e in entries:
+        rel = _entry_path(e)
+        out[os.path.abspath(os.path.join(table_dir, rel))] = rel
+    return out
+
+
+def _uri_to_abs(name: str) -> str:
+    """``input_file_name()`` returns a ``file:`` URI in local mode; strip
+    the scheme (paths here are uuid-hex dirs — never percent-encoded)."""
+    for prefix in ("file://", "file:"):
+        if name.startswith(prefix):
+            return name[len(prefix):]
+    return name
+
+
+def _touched_files(
+    spark: SparkSession, table_dir: str, snap: Snapshot, marker
+) -> tuple[list[str], int]:
+    """(relative paths of files containing rows selected by ``marker``,
+    number of selected rows). ``marker(df)`` returns the selected subset;
+    ONE scan over the snapshot answers both via a per-file count — the
+    rewrite set is discovered by the engine, never by listing."""
+    from pyspark.sql import functions as F
+
+    abs_map = _abs_to_rel(table_dir, snap.entries)
+    if not abs_map:
+        return [], 0
+    full = spark.read.parquet(*abs_map).withColumn(
+        "__txlog_file", F.input_file_name()
+    )
+    hits = (
+        marker(full)
+        .groupBy("__txlog_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    touched = [abs_map[_uri_to_abs(r["__txlog_file"])] for r in hits]
+    return sorted(touched), sum(r["n"] for r in hits)
+
+
+def _commit_rewrite(
+    table_dir: str,
+    *,
+    add: list[dict],
+    touched: list[str],
+    meta: dict,
+    idempotency_key: str | None,
+) -> int:
+    """Publish a copy-on-write rewrite: remove ``touched``, add ``add``.
+    File-level conflict rule (the published formats' WriteSerializable
+    default): concurrent APPENDS never conflict — only a concurrent commit
+    that removed one of the files this rewrite read/replaces does, and a
+    snapshot in which a touched file is no longer live aborts the publish
+    the same way."""
+    touched_set = set(touched)
+    key_meta = {} if idempotency_key is None else {"txn": idempotency_key}
+
+    def remove_fn(snap: Snapshot) -> list[str]:
+        if not touched_set <= set(snap.files):
+            raise CommitConflict(
+                f"concurrent commit rewrote an input file of {meta.get('op')}"
+                f" in {table_dir}"
+            )
+        return sorted(touched_set)
+
+    def conflict_fn(rec: dict) -> bool:
+        if (
+            idempotency_key is not None
+            and rec.get("meta", {}).get("txn") == idempotency_key
+        ):
+            return True  # our own retried commit already landed
+        return bool(touched_set & set(rec.get("remove", [])))
+
+    try:
+        return _commit(
+            table_dir,
+            add=add,
+            remove_fn=remove_fn,
+            conflict_fn=conflict_fn,
+            meta={**key_meta, **meta},
+        )
+    except CommitConflict:
+        if idempotency_key is not None:
+            prior = committed_version(table_dir, idempotency_key)
+            if prior is not None:
+                return prior
+        raise
+
+
+def commit_delete(
+    spark: SparkSession,
+    table_dir: str,
+    predicate,
+    *,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> tuple[int, int]:
+    """ACID row-level DELETE: rewrite only the files that contain matching
+    rows (copy-on-write), publish remove+add as one atomic record. Returns
+    ``(version, n_deleted)``; a predicate matching nothing commits nothing
+    and returns the current version.
+
+    ``predicate`` is a SQL boolean expression string or Column. At 100 TB
+    the shape holds: one scan discovers the touched-file set (Catalyst
+    pushes the predicate into the parquet scan), and only those files —
+    typically a tiny fraction — are rewritten; untouched files are carried
+    by reference in the log."""
+    from pyspark.sql import functions as F
+
+    if idempotency_key is not None:
+        prior = committed_version(table_dir, idempotency_key)
+        if prior is not None:
+            return prior, -1
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    snap = snapshot(table_dir)
+    touched, n_match = _touched_files(
+        spark, table_dir, snap, lambda df: df.filter(pred)
+    )
+    if not touched:
+        return snap.version, 0
+    cols = [c for c in spark.read.parquet(
+        *[os.path.join(table_dir, t) for t in touched]
+    ).columns]
+    survivors = (
+        spark.read.parquet(*[os.path.join(table_dir, t) for t in touched])
+        .filter(~pred)
+        .select(cols)
+    )
+    add = _write_data_files(survivors, table_dir)
+    version = _commit_rewrite(
+        table_dir,
+        add=add,
+        touched=touched,
+        meta={"op": "delete", **(meta or {})},
+        idempotency_key=idempotency_key,
+    )
+    return version, n_match
+
+
+def commit_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    *,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> int:
+    """ACID MERGE (upsert): rows of ``source`` replace same-``key`` rows,
+    unmatched source rows are inserted — one atomic commit. Copy-on-write:
+    only files holding a matched key are rewritten (matched rows dropped),
+    and the whole ``source`` lands as new files; the published formats'
+    when-matched-update/when-not-matched-insert shape.
+
+    Conflict semantics are WriteSerializable (the lakehouse default): a
+    concurrent rewrite of a touched file conflicts; concurrent plain
+    appends do not — keys appended concurrently are NOT deduped against
+    this merge's source."""
+    from pyspark.sql import functions as F
+
+    if idempotency_key is not None:
+        prior = committed_version(table_dir, idempotency_key)
+        if prior is not None:
+            return prior
+    snap = snapshot(table_dir)
+    keys = source.select(key).distinct()
+    touched, _ = _touched_files(
+        spark,
+        table_dir,
+        snap,
+        lambda df: df.join(F.broadcast(keys), key, "left_semi"),
+    )
+    cols = source.columns
+    if touched:
+        survivors = (
+            spark.read.parquet(*[os.path.join(table_dir, t) for t in touched])
+            .join(F.broadcast(keys), key, "left_anti")
+            .select(cols)
+        )
+        new_data = survivors.unionAll(source.select(cols))
+    else:
+        new_data = source.select(cols)
+    add = _write_data_files(new_data, table_dir)
+    return _commit_rewrite(
+        table_dir,
+        add=add,
+        touched=touched,
+        meta={"op": "upsert", "key": key, **(meta or {})},
+        idempotency_key=idempotency_key,
+    )
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    target_bytes: int = 128 * 1024 * 1024,
+    n_files: int | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> int | None:
+    """OPTIMIZE-style compaction THROUGH the log: bin-pack every live file
+    smaller than ``target_bytes`` into ~target-sized files and publish the
+    swap atomically (``data_change: false`` — readers see the identical
+    rows before and after; time travel keeps the old layout). Returns the
+    new version, or None when fewer than two candidate files exist. Sizes
+    come from the log entries' ``bytes`` field (pre-size-field records
+    fall back to one stat call per file, writer-side only).
+
+    ``zorder_by=(key_a, key_b)`` is OPTIMIZE ZORDER (the published Delta
+    parity): ALL live files rewrite range-partitioned + sorted on the
+    morton interleave of both keys (``sinks/sorted_write.py`` — a pure
+    codegen bit-interleave expression), so each output file covers a small
+    rectangle of the key plane and the footer min/max stats harvested into
+    the log at commit time become TIGHT — ``read_snapshot(prune=...)`` on
+    either key then skips most files from the log alone. ``n_files``
+    overrides the size-derived output count."""
+    if idempotency_key is not None:
+        prior = committed_version(table_dir, idempotency_key)
+        if prior is not None:
+            return prior
+    snap = snapshot(table_dir)
+
+    def size_of(entry) -> int:
+        if isinstance(entry, dict) and "bytes" in entry:
+            return entry["bytes"]
+        return os.path.getsize(os.path.join(table_dir, _entry_path(entry)))
+
+    # plain bin-pack targets only small files; ZORDER is a layout rewrite
+    # of the whole table (the published OPTIMIZE ZORDER semantics)
+    cand = (
+        list(snap.entries)
+        if zorder_by is not None
+        else [e for e in snap.entries if size_of(e) < target_bytes]
+    )
+    if len(cand) < 2:
+        return None
+    paths = sorted(_entry_path(e) for e in cand)
+    total = sum(size_of(e) for e in cand)
+    n_out = n_files if n_files is not None else max(1, round(total / target_bytes))
+    src = spark.read.parquet(*[os.path.join(table_dir, p) for p in paths])
+    if zorder_by is not None:
+        from pyspark.sql import functions as F
+
+        from data_ingestion_bra_spark.sinks.sorted_write import (
+            _scale_to_bits,
+            morton_code,
+        )
+
+        key_a, key_b = zorder_by
+        st = src.agg(
+            F.min(key_a).alias("a_lo"),
+            F.max(key_a).alias("a_hi"),
+            F.min(key_b).alias("b_lo"),
+            F.max(key_b).alias("b_hi"),
+        ).first()
+        z = morton_code(
+            _scale_to_bits(F.col(key_a), st["a_lo"], st["a_hi"], 16),
+            _scale_to_bits(F.col(key_b), st["b_lo"], st["b_hi"], 16),
+            16,
+        )
+        packed = (
+            src.withColumn("_zorder", z)
+            .repartitionByRange(n_out, "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+        op_meta = {"op": "compact", "zorder": list(zorder_by), "data_change": False}
+    else:
+        packed = src.coalesce(n_out)
+        op_meta = {"op": "compact", "data_change": False}
+    add = _write_data_files(packed, table_dir)
+    return _commit_rewrite(
+        table_dir,
+        add=add,
+        touched=paths,
+        meta={**op_meta, **(meta or {})},
+        idempotency_key=idempotency_key,
+    )
+
+
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed derived purely from the commit log: for every
+    version in ``[from_version, to_version]`` emit the row-level changes
+    with ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+    Appends are exact from their add set alone. Rewrite commits
+    (delete/upsert) diff added vs removed files with multiset EXCEPT ALL —
+    an updated row appears as a delete of the pre-image plus an insert of
+    the post-image. Compaction records (``data_change: false``) emit
+    nothing by definition. Historical data files must not have been
+    vacuumed for the requested window (the published formats' CDF
+    retention rule)."""
+    from pyspark.sql import functions as F
+
+    records = _read_log(table_dir)
+    if to_version is None:
+        to_version = len(records) - 1
+    if from_version < 0 or to_version >= len(records):
+        raise ValueError(
+            f"version window [{from_version}, {to_version}] outside log"
+            f" 0..{len(records) - 1}"
+        )
+
+    def load(paths: list[str]) -> DataFrame | None:
+        files = [os.path.join(table_dir, p) for p in paths]
+        return spark.read.parquet(*files) if files else None
+
+    parts: list[DataFrame] = []
+    for v in range(from_version, to_version + 1):
+        rec = records[v]
+        m = rec.get("meta", {})
+        if m.get("data_change") is False:
+            continue
+        added = load([_entry_path(e) for e in rec.get("add", [])])
+        removed = load(list(rec.get("remove", [])))
+        if added is not None and removed is not None:
+            ins, dels = added.exceptAll(removed), removed.exceptAll(added)
+        else:
+            ins, dels = added, removed
+        for df, kind in ((ins, "insert"), (dels, "delete")):
+            if df is not None:
+                parts.append(
+                    df.withColumn("_change_type", F.lit(kind)).withColumn(
+                        "_commit_version", F.lit(v).cast("int")
+                    )
+                )
+    if not parts:
+        raise ValueError(
+            f"no data-changing commits in [{from_version}, {to_version}]"
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out

@@ -112,12 +112,16 @@ def test_no_python_udfs_in_any_query(spark, name):
 #    the corpus via broadcast (1×N, O(N)) — the same shape Spark's own
 #    runtime bloom-filter join materializes; the bitmap then feeds codegen
 #    probe expressions, never a pair-axis join.
+#  - text_bm25_topk: the 1-row corpus-stats frame (N, avgdl) broadcasts onto
+#    the |query-terms|-row document-frequency table (1 × |terms| rows
+#    TOTAL); the per-document tables join only by equi-keys.
 BNLJ_ALLOWED = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "events_asof_purchase_click",
     "events_range_join_clicks_before_purchase",
     "dedup_contamination_bloom",
+    "text_bm25_topk",
 }
 
 
