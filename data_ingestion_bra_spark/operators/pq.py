@@ -1,0 +1,271 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The public IVF-PQ design (Jégou, Douze, Schmid, "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): split each vector into ``m``
+subvectors, learn a tiny per-subspace codebook (k-means), store each
+vector as ``m`` small codes (here 8 x 4 bits = 4 bytes per 64-dim vector,
+a 64x compression over float32), and answer queries with Asymmetric
+Distance Computation — a per-query lookup table of subspace distances, so
+scoring a candidate is ``m`` table lookups + adds, never a full-vector
+scan.
+
+Everything here is BIGINT fixed-point on the repo's quantized vectors
+(``operators/similarity.py:quantize_expr``, 1e-6 resolution): seeds,
+the Lloyd refinement's element-wise integer means, squared-L2 distances,
+code assignment (min over (dist, code) structs — lexicographic in both
+Spark and DuckDB, and map-side combinable), and the ADC sums. No float
+enters any compared value, so the SQL oracle replays codebook training,
+encoding, and search bit-for-bit.
+
+Scale shape: codebooks are ``m*k`` rows (tiny, broadcast); training
+iterates over subvectors with partial-aggregable sums; encoding is one
+broadcast join + a map-side-combinable struct-min groupBy (the corpus
+never shuffles by pair); ADC joins the per-query LUT (``m*k`` rows per
+query, broadcast) to the stored codes and sums — linear in candidates by
+design, with IVF cell-pruning (``similarity_topk_ivf``) as the recall
+path that bounds the candidate set.
+
+Reference parity: the reference has no ANN tier at all (SURVEY.md §2) —
+this extends the engine's similarity family (brute-force / IVF / RP-LSH)
+with the compressed-domain scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators.similarity import quantize_expr
+
+#: subspaces x codes: 64-dim fixture vectors -> 8 subvectors of 8 dims,
+#: 16 codewords each (4-bit codes).
+M_SUB = 8
+K_CODES = 16
+
+
+def subvector_expr(qvec: Column, s: int, d_sub: int) -> Column:
+    """Subspace ``s`` of a quantized vector (1-based slice, length d_sub)."""
+    return F.slice(qvec, s * d_sub + 1, d_sub)
+
+
+def subvectors(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = 64, m: int = M_SUB,
+) -> DataFrame:
+    """(id, s, sub: array<bigint>) — every vector split into ``m``
+    quantized subvectors. The explode is row-local (no shuffle)."""
+    d_sub = dim // m
+    q = quantize_expr(F.col(vec_col))
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("s"),
+                subvector_expr(q, s, d_sub).alias("sub"),
+            )
+            for s in range(m)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(parts).alias("p")
+    ).select(id_col, F.col("p.s").alias("s"), F.col("p.sub").alias("sub"))
+
+
+def _isq_dist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two quantized subvectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_code(assigned: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, code): nearest codeword per (vector, subspace) — min over
+    (dist, code) structs, lexicographic ties to the lowest code; a
+    partial-aggregable groupBy, never a window shuffle."""
+    return (
+        assigned.groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"))
+        .select(id_col, "s", F.col("best.code").alias("code"))
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    k: int = K_CODES,
+    n_iter: int = 1,
+) -> DataFrame:
+    """Deterministic per-subspace codebooks: seeds are the subvectors of
+    the first ``k`` vector ids (the ``seed_centroids`` recipe, per
+    subspace), refined by ``n_iter`` Lloyd iterations in pure BIGINT
+    (assign by integer squared L2, update by element-wise integer mean
+    ``floor(sum/count + 0.5)`` — the ``kmeans_train`` convention). Returns
+    (s, code, cvec: array<bigint>) — ``m*k`` rows, broadcast-sized at any
+    corpus scale."""
+    from pyspark.sql.window import Window
+
+    sub = subvectors(vectors, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    w = Window.partitionBy("s").orderBy(F.col(id_col).asc())
+    cb = (
+        sub.filter(F.col(id_col) < k)
+        .select("s", (F.row_number().over(w) - 1).alias("code"), F.col("sub").alias("cvec"))
+    )
+    for _ in range(n_iter):
+        assigned = (
+            sub.join(F.broadcast(cb), "s")
+            .select(id_col, "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("dist"))
+        )
+        member = _argmin_code(assigned, id_col).join(
+            sub, [id_col, "s"]
+        )
+        dim_stats = (
+            member.select("s", "code", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        )
+        cb = dim_stats.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sx", "n"))),
+                # floor(x + 0.5): round()'s half-boundary behavior is
+                # engine-specific; floor of a correctly-rounded double isn't
+                lambda t: F.floor(t["sx"].cast("double") / t["n"] + F.lit(0.5)).cast("bigint"),
+            ).alias("cvec")
+        )
+        cb = cb.localCheckpoint(eager=True)
+    return cb
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+) -> DataFrame:
+    """(id, s, code): each vector compressed to ``m`` codes — one
+    broadcast codebook join + the struct-min groupBy."""
+    sub = subvectors(vectors, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    assigned = sub.join(F.broadcast(codebook), "s").select(
+        id_col, "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("dist")
+    )
+    return _argmin_code(assigned, id_col)
+
+
+def adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    k_top: int = 10,
+) -> DataFrame:
+    """Asymmetric Distance Computation top-k: per query, a lookup table of
+    exact integer subspace distances to every codeword (``m*k`` rows per
+    query, broadcast), joined to the stored codes on (s, code) and summed
+    per candidate — each candidate costs ``m`` adds, the whole scan never
+    touches a full vector. Output (query_id, rank, cand_id, adc_dist),
+    rank by (adc_dist asc, cand_id asc)."""
+    from pyspark.sql.window import Window
+
+    qsub = subvectors(
+        queries, id_col=id_col, vec_col=vec_col, dim=dim, m=m
+    ).withColumnRenamed(id_col, "query_id")
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("pdist")
+    )
+    dists = (
+        codes.withColumnRenamed(id_col, "cand_id")
+        .join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    # two-phase top-k (the BM25 shape): a salted window keeps k per
+    # (query, cand_id%64) slice, the global window ranks <= 64k survivors
+    # per query — no single-reducer-per-query bottleneck at corpus scale
+    order = [F.col("adc_dist").asc(), F.col("cand_id").asc()]
+    salted = Window.partitionBy("query_id", F.col("cand_id") % 64).orderBy(*order)
+    survivors = (
+        dists.withColumn("srank", F.row_number().over(salted))
+        .filter(F.col("srank") <= k_top)
+        .drop("srank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cand_id",
+            "adc_dist",
+        )
+    )
+
+
+def adc_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    shortlist: int = 50,
+    k_top: int = 10,
+) -> DataFrame:
+    """ADC + R (the paper's §VII refinement): the compressed-domain scan
+    shortlists ``shortlist`` candidates per query, then ONLY those rows
+    join back to the full vectors for an exact integer-L2 re-rank. At
+    100 TB the full-precision read is |queries| * shortlist rows — the
+    expensive exactness is paid on a constant-size set, never the corpus.
+    Output (query_id, rank, cand_id, l2_dist), all BIGINT."""
+    from pyspark.sql.window import Window
+
+    short = adc_topk(
+        queries, codes, codebook,
+        id_col=id_col, vec_col=vec_col, dim=dim, m=m, k_top=shortlist,
+    ).select("query_id", "cand_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("cand_id"), quantize_expr(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        short.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cand_id",
+            "l2_dist",
+        )
+    )

@@ -3207,3 +3207,87 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "df",
         )
     )
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of the PQ tier: quantize → subspace split → seed
+    codebooks (first 16 ids per subspace) → ONE integer Lloyd iteration →
+    encode → ADC. Every step BIGINT (the ``operators/pq.py`` arithmetic,
+    including the floor(sum/count + 0.5) centroid means and the
+    lexicographic (dist, code) struct-min assignment), so the replay is
+    bit-exact."""
+    isq = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    argmin = "(min({{'d': " + isq + ", 'c': code}})).c"
+    return f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> CAST(round(x * 1000000) AS BIGINT)) AS e
+               FROM embeddings),
+    sub AS (SELECT vec_id, ss.s, e[ss.s * 8 + 1 : ss.s * 8 + 8] AS sub
+            FROM v CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s) ss),
+    cb0 AS (SELECT s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                        AS INT) AS code,
+                   sub AS cvec
+            FROM sub WHERE vec_id < 16),
+    asg1 AS (SELECT vec_id, s, {argmin.format(a="sub", b="cvec")} AS code
+             FROM sub JOIN cb0 USING (s) GROUP BY vec_id, s),
+    exp1 AS (SELECT a.s, a.code, unnest(b.sub) AS x,
+                    unnest(range(1, len(b.sub) + 1)) AS pos
+             FROM asg1 a JOIN sub b USING (vec_id, s)),
+    cb1 AS (SELECT s, code, list(cx ORDER BY pos) AS cvec FROM (
+              SELECT s, code, pos,
+                     CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cx
+              FROM exp1 GROUP BY s, code, pos) GROUP BY s, code),
+    codes AS (SELECT vec_id, s, {argmin.format(a="sub", b="cvec")} AS code
+              FROM sub JOIN cb1 USING (s) GROUP BY vec_id, s),
+    q AS (SELECT vec_id AS query_id, s, sub FROM sub WHERE vec_id % 97 = 0),
+    lut AS (SELECT query_id, s, code,
+                   CAST({isq.format(a="sub", b="cvec")} AS BIGINT) AS pdist
+            FROM q JOIN cb1 USING (s)),
+    dist AS (SELECT l.query_id, c.vec_id AS cand_id,
+                    CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+             FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+             GROUP BY 1, 2),
+    ranked AS (SELECT query_id, cand_id, adc_dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, cand_id) AS rank
+               FROM dist)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, adc_dist
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register(
+    "similarity_pq_adc",
+    _pq_oracle(),
+    tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): 64-dim
+    embeddings compress to 8 subspace codes of 16 codewords (4 bytes per
+    vector, 64x over float32); queries (every ``vec_id % 97 = 0``) rank
+    the WHOLE corpus by Asymmetric Distance Computation — a per-query
+    integer lookup table of subspace distances (m*k = 128 entries,
+    broadcast) joined to the stored codes and summed, so scoring a
+    candidate is 8 adds and the scan never touches a full vector. All
+    arithmetic BIGINT fixed-point (codebook seeds + one Lloyd refinement
+    with floor-mean updates, struct-min assignment), so the oracle
+    replays training, encoding, AND search bit-for-bit.
+
+    Scale shape (``operators/pq.py``): codebooks are m*k rows (broadcast
+    at any corpus size); encoding is one broadcast join + a map-side-
+    combinable struct-min groupBy; ADC is linear in candidates by design
+    — the IVF tier (``similarity_topk_ivf``) is the cell-pruning path
+    that bounds the candidate set, PQ is the memory-bound path that makes
+    each candidate 4 bytes. Top-k uses the two-phase salted window."""
+    from data_ingestion_bra_spark.operators import pq
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    cb = pq.pq_train(vecs)
+    codes = pq.pq_encode(vecs, cb)
+    queries = vecs.filter(F.col("vec_id") % 97 == 0)
+    return pq.adc_topk(queries, codes, cb)
