@@ -737,3 +737,121 @@ def read_changes(
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Schema enforcement + additive evolution (the published lakehouse
+# behavior: Delta's schema validation on write, evolution only when
+# explicitly requested; readers merge evolved schemas).
+# ---------------------------------------------------------------------------
+
+
+def table_schema(table_dir: str, version: int | None = None) -> dict[str, str]:
+    """The table's schema at ``version`` as {column: spark_type_ddl} —
+    resolved from the LOG alone (each schema-carrying commit stores the
+    full post-commit schema; later records win). Pre-schema-field records
+    contribute nothing, so legacy tables report {} and skip enforcement."""
+    records = _read_log(table_dir)
+    if version is not None:
+        records = records[: version + 1]
+    out: dict[str, str] = {}
+    for rec in records:
+        s = rec.get("meta", {}).get("schema")
+        if s:
+            out = dict(s)
+    return out
+
+
+class SchemaMismatch(Exception):
+    """Raised when a write's schema is incompatible with the table's and
+    evolution was not requested (or cannot reconcile it)."""
+
+
+def _df_schema(df: DataFrame) -> dict[str, str]:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def check_schema(
+    df: DataFrame, table_dir: str, *, merge_schema: bool = False
+) -> dict[str, str]:
+    """Validate a write against the table schema; returns the POST-commit
+    schema to record.
+
+    Rules (the published formats' write-path contract):
+    - identical columns+types: accepted.
+    - new columns: accepted only with ``merge_schema=True`` (additive
+      evolution — old files stay valid, readers see nulls for the new
+      columns in pre-evolution files via parquet schema merging).
+    - missing columns: accepted (parquet fills nulls at read) — the
+      post-commit schema keeps the table's full column set.
+    - a type CHANGE on an existing column: always rejected — immutable
+      data files cannot be reinterpreted; that needs a full rewrite.
+    """
+    incoming = _df_schema(df)
+    current = table_schema(table_dir)
+    if not current:
+        return incoming
+    changed = {
+        c: (current[c], t) for c, t in incoming.items()
+        if c in current and current[c] != t
+    }
+    if changed:
+        raise SchemaMismatch(
+            f"type changes need a table rewrite: {changed} in {table_dir}"
+        )
+    new_cols = [c for c in incoming if c not in current]
+    if new_cols and not merge_schema:
+        raise SchemaMismatch(
+            f"new columns {new_cols} rejected (pass merge_schema=True for"
+            f" additive evolution) in {table_dir}"
+        )
+    merged = dict(current)
+    for c in new_cols:
+        merged[c] = incoming[c]
+    return merged
+
+
+def commit_append_checked(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    merge_schema: bool = False,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> int:
+    """``commit_append`` with schema enforcement: validates against the
+    log-recorded table schema (raising ``SchemaMismatch`` on type changes
+    or unrequested new columns) and records the post-commit schema in the
+    commit record — O(columns) JSON, zero data reads."""
+    schema = check_schema(df, table_dir, merge_schema=merge_schema)
+    return commit_append(
+        df,
+        table_dir,
+        meta={"schema": schema, **(meta or {})},
+        idempotency_key=idempotency_key,
+    )
+
+
+def read_snapshot_merged(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read across evolved schemas: parquet schema merging fills
+    nulls for columns absent from pre-evolution files, and the result is
+    projected to the LOG-recorded column set (so dropped/extra physical
+    columns never leak)."""
+    snap = snapshot(table_dir, version)
+    if not snap.entries:
+        raise FileNotFoundError(f"txlog table {table_dir} is empty")
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(table_dir, _entry_path(e)) for e in snap.entries]
+    )
+    recorded = table_schema(table_dir, version)
+    if recorded:
+        from pyspark.sql import functions as F
+
+        cols = [
+            F.col(c) if c in df.columns else F.lit(None).cast(t).alias(c)
+            for c, t in recorded.items()
+        ]
+        df = df.select(cols)
+    return df

@@ -237,3 +237,46 @@ def test_zorder_compaction_tightens_log_stats_for_pruning(spark, tmp_path):
         .count()
     )
     assert pruned == rows.filter(F.col("x") <= 7).count()
+
+
+def test_schema_enforcement_and_additive_evolution(spark, tmp_path):
+    """Write-path schema contract: identical schemas append freely; a new
+    column needs merge_schema=True; a type change is always rejected;
+    merged reads fill nulls for pre-evolution files and project to the
+    log-recorded column set."""
+    t = str(tmp_path / "tbl")
+    txlog.commit_append_checked(_df(spark, [(1, "a")]), t)
+    assert txlog.table_schema(t) == {"k": "bigint", "v": "string"}
+    # same schema: fine
+    txlog.commit_append_checked(_df(spark, [(2, "b")]), t)
+    wide = spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double")
+    # new column without opt-in: rejected, nothing committed
+    with pytest.raises(txlog.SchemaMismatch, match="merge_schema"):
+        txlog.commit_append_checked(wide, t)
+    assert txlog.snapshot(t).version == 1
+    # opt-in additive evolution
+    txlog.commit_append_checked(wide, t, merge_schema=True)
+    assert txlog.table_schema(t) == {
+        "k": "bigint", "v": "string", "score": "double"
+    }
+    # type change: always rejected
+    retyped = spark.createDataFrame([(4, 7)], "k bigint, v int")
+    with pytest.raises(txlog.SchemaMismatch, match="type changes"):
+        txlog.commit_append_checked(retyped, t, merge_schema=True)
+    # merged read: old files surface score=NULL; column set from the log
+    got = {
+        (r["k"], r["v"], r["score"])
+        for r in txlog.read_snapshot_merged(spark, t).collect()
+    }
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # missing-column append (post-evolution writer on the old schema):
+    # accepted, table schema unchanged
+    txlog.commit_append_checked(_df(spark, [(5, "e")]), t)
+    assert txlog.table_schema(t)["score"] == "double"
+    assert (
+        txlog.read_snapshot_merged(spark, t).filter("k = 5").first()["score"]
+        is None
+    )
+    # time travel reads the schema AS OF the version
+    assert txlog.table_schema(t, version=1) == {"k": "bigint", "v": "string"}
+    assert "score" not in txlog.read_snapshot_merged(spark, t, version=1).columns
