@@ -139,15 +139,12 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     return base.groupBy("doc").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, *, band_size: int = 4, num_hashes: int = 16
 ) -> DataFrame:
-    """Band the signature row-locally; docs sharing any (band, bucket) become
-    candidates. bucket = md5 of the band's minhashes joined in seed order.
-
-    The only shuffles are the (band, bucket) equi-join — candidate cost
-    tracks bucket collisions, not n².
-    """
+    """Row-local banding of a wide signature → (doc, band, bucket). The
+    bucket is the band's minhashes joined in seed order; sharing any
+    (band, bucket) is the LSH candidate condition."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -160,9 +157,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = signatures.select("doc", F.explode(bands).alias("bb")).select(
+    return signatures.select("doc", F.explode(bands).alias("bb")).select(
         "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, band_size: int = 4, num_hashes: int = 16
+) -> DataFrame:
+    """Band the signature row-locally; docs sharing any (band, bucket) become
+    candidates. bucket = md5 of the band's minhashes joined in seed order.
+
+    The only shuffles are the (band, bucket) equi-join — candidate cost
+    tracks bucket collisions, not n².
+    """
+    buckets = band_buckets(signatures, band_size=band_size, num_hashes=num_hashes)
     a = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
     return (
@@ -171,6 +180,34 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    *,
+    band_size: int = 4,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Candidates (doc_new, doc_old) between an incoming BATCH and a
+    STANDING corpus: band both signature sets and equi-join batch buckets
+    against corpus buckets.
+
+    This is the daily-crawl-increment shape at 100 TB: the corpus side is a
+    persisted signature store (written once per doc, e.g. through the txlog
+    table format), so each increment costs shingling the BATCH plus one
+    (band, bucket) equi-join whose size tracks the batch — never a corpus
+    self-join, never recomputing historical signatures. The corpus bucket
+    relation can additionally be bucketed-by (band, bucket) on disk so the
+    join is co-located and shuffle-free on the big side.
+    """
+    new_b = band_buckets(batch_sigs, band_size=band_size, num_hashes=num_hashes).select(
+        F.col("doc").alias("doc_new"), "band", "bucket"
+    )
+    old_b = band_buckets(corpus_sigs, band_size=band_size, num_hashes=num_hashes).select(
+        F.col("doc").alias("doc_old"), "band", "bucket"
+    )
+    return new_b.join(old_b, ["band", "bucket"]).select("doc_new", "doc_old").distinct()
 
 
 def minhash_jaccard_estimate(

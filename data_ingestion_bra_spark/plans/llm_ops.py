@@ -68,7 +68,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash banding CTEs shared by the Jaccard (candidate tier) and MinHash
 # (estimate tier) oracles — mirrors operators/dedup.py minhash_signatures /
 # lsh_candidate_pairs arithmetic exactly.
-_MINHASH_CAND_CTE = """
+_MINHASH_SIG_CTE = """
     base AS (
       SELECT doc,
              (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS h31
@@ -86,13 +86,19 @@ _MINHASH_CAND_CTE = """
       SELECT doc, seed // 4 AS band,
              string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS bucket
       FROM sig GROUP BY doc, seed // 4
-    ),
+    )
+"""
+
+_MINHASH_CAND_CTE = (
+    _MINHASH_SIG_CTE
+    + """,
     cand AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
       FROM buckets a JOIN buckets b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
     )
 """
+)
 
 
 @register(
@@ -158,6 +164,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
     return est.filter(F.col("jaccard_est_e4") >= 2500)
+
+
+@register(
+    "dedup_incremental_batch",
+    "WITH "
+    + _SH_CTE
+    + ","
+    + _MINHASH_SIG_CTE
+    + """,
+    cand AS (
+      SELECT DISTINCT n.doc AS doc_new, o.doc AS doc_old
+      FROM buckets n JOIN buckets o
+        ON n.band = o.band AND n.bucket = o.bucket
+      WHERE n.doc % 10 = 0 AND o.doc % 10 <> 0
+    )
+    SELECT c.doc_new, c.doc_old,
+           CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 AS BIGINT)
+             AS jaccard_est_e4
+    FROM cand c
+    JOIN sig sa ON sa.doc = c.doc_new
+    JOIN sig sb ON sb.doc = c.doc_old AND sb.seed = sa.seed
+    GROUP BY c.doc_new, c.doc_old
+    HAVING SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 >= 2500
+    """,
+    tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: today's BATCH (doc_id % 10 == 0 stands in
+    for the daily crawl increment) is checked against the STANDING corpus
+    (the rest) by banding both signature sets and equi-joining batch buckets
+    against corpus buckets — never a corpus self-join. At 100 TB the corpus
+    side is a persisted signature store (see tests/test_incremental.py for
+    the store round-trip): each increment costs shingling the batch + one
+    equi-join sized by the batch, and the store can be bucketed by
+    (band, bucket) on disk so the big side never shuffles. Matches the
+    full-corpus LSH pairs restricted to (new, old) exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus = d.filter(~is_batch)
+    batch = d.filter(is_batch)
+    sig_c = dedup.minhash_signatures(
+        dedup.doc_shingles(corpus, "doc_id", "text", n=3, distinct=False), num_hashes=16
+    )
+    sig_b = dedup.minhash_signatures(
+        dedup.doc_shingles(batch, "doc_id", "text", n=3, distinct=False), num_hashes=16
+    )
+    cand = dedup.incremental_lsh_candidates(sig_c, sig_b, band_size=4, num_hashes=16)
+    pairs = cand.select(F.col("doc_new").alias("doc_a"), F.col("doc_old").alias("doc_b"))
+    est = dedup.minhash_jaccard_estimate(sig_b.unionByName(sig_c), pairs, num_hashes=16)
+    return est.filter(F.col("jaccard_est_e4") >= 2500).select(
+        F.col("doc_a").alias("doc_new"),
+        F.col("doc_b").alias("doc_old"),
+        "jaccard_est_e4",
+    )
 
 
 @register(

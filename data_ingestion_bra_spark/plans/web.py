@@ -1,0 +1,475 @@
+"""Web-corpus catalog entries: URL parse/normalize, domain blocklist
+stats, HTML boilerplate extraction, leakage-safe splits, and deterministic
+shard shuffling.
+
+The documents table has no URL/HTML columns, so each entry synthesizes a
+deterministic fixture from (doc_id, source, text) — the same convention the
+multimodal tier uses for binary payloads — and BOTH engines construct the
+identical fixture before exercising the real operator chain
+(operators/web.py). The operators themselves are generic: they take any
+URL/HTML string column.
+
+Scale notes (100 TB): every per-row stage here is a scan-resident codegen
+projection (parse_url, regex chains, hash buckets). The only shuffles are
+one partial-aggregable groupBy (domain stats), one broadcast anti-join
+(blocklist), and the split/shard assignments which reuse the LSH component
+output — no new shuffle class is introduced by this tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_bra_spark.operators import web
+from data_ingestion_bra_spark.plans.llm_ops import _CLUSTER_CTES, _lsh_dup_components
+from data_ingestion_bra_spark.plans.registry import register
+from data_ingestion_bra_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# Shared URL fixture: deterministic synthesis from (doc_id, source).
+# Exercises every normalization branch: uppercase scheme/host, multi-label
+# public suffixes, explicit default AND non-default ports, tracking params,
+# unsorted params, fragments.
+# --------------------------------------------------------------------------
+def _synth_url_col() -> F.Column:
+    h = F.md5(F.col("doc_id").cast("string"))
+    scheme = F.when(F.col("doc_id") % 4 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    sub = F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    dom = F.concat(F.lit("d"), F.substring(h, 1, 1))
+    tld = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("com"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("org"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("co.uk"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("com.br"))
+        .otherwise(F.lit("io"))
+    )
+    port = F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(F.lit("/"), F.col("source"), F.lit("/p"), F.substring(h, 7, 4))
+    query = F.concat(
+        F.lit("utm_source=news&z="),
+        F.substring(h, 11, 2),
+        F.lit("&a="),
+        F.substring(h, 13, 2),
+    )
+    frag = F.when(F.col("doc_id") % 2 == 0, F.lit("#Top")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), sub, dom, F.lit("."), tld, port, path, F.lit("?"), query, frag
+    )
+
+
+#: DuckDB twin of _synth_url_col (identical string, piece by piece).
+_URL_SYNTH_SQL = """
+      CASE WHEN doc_id % 4 = 0 THEN 'HTTP' ELSE 'https' END
+      || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      || 'd' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      || '.'
+      || CASE doc_id % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+              WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.br' ELSE 'io' END
+      || CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END
+      || '/' || source || '/p' || substr(md5(CAST(doc_id AS VARCHAR)), 7, 4)
+      || '?utm_source=news&z=' || substr(md5(CAST(doc_id AS VARCHAR)), 11, 2)
+      || '&a=' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 2)
+      || CASE WHEN doc_id % 2 = 0 THEN '#Top' ELSE '' END
+"""
+
+#: DuckDB URL component extraction (regex stand-in for parse_url; verified
+#: hash-equal against the JVM parser over the fixture space).
+_URL_PARTS_SQL = r"""
+    parts AS (
+      SELECT doc_id, n_chars, source, url,
+             lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+             lower(regexp_replace(regexp_extract(url, '^[^:]+://([^/]+)', 1),
+                                  ':[0-9]+$', '')) AS host,
+             regexp_extract(regexp_extract(url, '^[^:]+://([^/]+)', 1),
+                            ':([0-9]+)$', 1) AS port,
+             regexp_extract(url, '^[^:]+://[^/]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM urls
+    ),
+    normed AS (
+      SELECT *,
+             array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                 p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                           OR starts_with(p, 'gclid=') OR starts_with(p, 'msclkid='))
+                      AND p <> '')), '&') AS nq,
+             string_split(host, '.') AS labels
+      FROM parts
+    ),
+    regd AS (
+      SELECT *,
+             CASE WHEN labels[-2] || '.' || labels[-1] IN
+                       ('co.uk','org.uk','gov.uk','com.br','net.br','com.au',
+                        'co.jp','co.in','co.kr','com.mx')
+                       AND len(labels) >= 3
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+      FROM normed
+    )
+"""
+
+_NORM_URL_SQL = """
+    scheme || '://' || host
+      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END
+      || path
+      || CASE WHEN nq = '' THEN '' ELSE '?' || nq END
+"""
+
+
+@register(
+    "web_url_parse_normalize",
+    f"""
+    WITH urls AS (SELECT doc_id, n_chars, source, {_URL_SYNTH_SQL} AS url FROM documents),
+    {_URL_PARTS_SQL}
+    SELECT doc_id, url, scheme, host, port, registered_domain,
+           {_NORM_URL_SQL} AS norm_url
+    FROM regd
+    """,
+    tags=("web", "url", "normalize"),
+)
+def web_url_parse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + RFC 3986-ish canonicalization: JVM parse_url for
+    components, column algebra for default-port stripping, tracking-param
+    removal, param sorting, fragment dropping. All scan-resident — at
+    100 TB this is a zero-shuffle projection feeding URL-level dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", "n_chars", "source", _synth_url_col().alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        web.url_scheme("url").alias("scheme"),
+        web.url_host("url").alias("host"),
+        web.url_port("url").alias("port"),
+        web.registered_domain(web.url_host("url")).alias("registered_domain"),
+        web.normalized_url("url").alias("norm_url"),
+    )
+
+
+@register(
+    "web_domain_blocklist_stats",
+    f"""
+    WITH urls AS (SELECT doc_id, n_chars, source, {_URL_SYNTH_SQL} AS url FROM documents),
+    {_URL_PARTS_SQL},
+    bl AS (SELECT DISTINCT registered_domain FROM regd WHERE doc_id % 37 = 0)
+    SELECT r.registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT r.host) AS BIGINT) AS n_hosts
+    FROM regd r
+    LEFT JOIN bl ON bl.registered_domain = r.registered_domain
+    WHERE bl.registered_domain IS NULL
+    GROUP BY r.registered_domain
+    """,
+    tags=("web", "blocklist", "domain-stats"),
+)
+def web_domain_blocklist_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation: drop every document whose registered domain
+    is on a blocklist (here: domains seen at doc_id % 37 == 0 — a stand-in
+    for a spam/adult/SEO ban list), then per-domain corpus stats. The
+    blocklist is broadcast (a real PSL-scale list is ~10^5 rows — always
+    broadcastable); the groupBy is partial-aggregable on (domain)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", "n_chars", _synth_url_col().alias("url"))
+    u = u.withColumn("host", web.url_host("url")).withColumn(
+        "registered_domain", web.registered_domain("host")
+    )
+    bl = (
+        u.filter(F.col("doc_id") % 37 == 0)
+        .select("registered_domain")
+        .distinct()
+    )
+    kept = u.join(F.broadcast(bl), "registered_domain", "left_anti")
+    return kept.groupBy("registered_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML boilerplate extraction.
+# --------------------------------------------------------------------------
+_HTML_SYNTH_SQL = """
+      '<html><head><title>' || substr(text, 1, 20) || '</title>'
+      || '<script>var x=' || doc_id || ';</script>'
+      || CASE WHEN doc_id % 2 = 0 THEN '<style>p{color:red}</style>' ELSE '' END
+      || '</head><body>'
+      || '<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'
+      || '<p>' || text || ' Fish &amp; Chips'
+      || ' <a href="/ref/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) || '">'
+      || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) || '</a></p>'
+      || '<footer>(c) 2026 ' || source || '</footer>'
+      || '</body></html>'
+"""
+
+
+def _synth_html_col() -> F.Column:
+    h = F.md5(F.col("doc_id").cast("string"))
+    style = F.when(F.col("doc_id") % 2 == 0, F.lit("<style>p{color:red}</style>")).otherwise(
+        F.lit("")
+    )
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.substring(F.col("text"), 1, 20),
+        F.lit("</title>"),
+        F.lit("<script>var x="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script>"),
+        style,
+        F.lit("</head><body>"),
+        F.lit('<nav><a href="/home">Home</a> <a href="/about">About</a></nav>'),
+        F.lit("<p>"),
+        F.col("text"),
+        F.lit(" Fish &amp; Chips"),
+        F.lit(' <a href="/ref/'),
+        F.substring(h, 1, 4),
+        F.lit('">'),
+        F.substring(h, 1, 8),
+        F.lit("</a></p>"),
+        F.lit("<footer>(c) 2026 "),
+        F.col("source"),
+        F.lit("</footer>"),
+        F.lit("</body></html>"),
+    )
+
+
+def _html_strip_sql(col: str) -> str:
+    """DuckDB replay of operators/web.py HTML_STRIP_CHAIN + entity decode +
+    whitespace collapse (patterns shared verbatim; RE2-compatible)."""
+    x = col
+    for pat, rep in web.HTML_STRIP_CHAIN:
+        x = f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+    for ent, ch in web.HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        x = f"replace({x}, '{ent}', '{lit}')"
+    return f"regexp_replace(trim({x}), '\\s+', ' ', 'g')"
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH pages AS (SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents),
+    m AS (
+      SELECT doc_id, html,
+             regexp_extract(html, '(?s)<title[^>]*>(.*?)</title>', 1) AS title,
+             CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS BIGINT)
+               AS n_links,
+             CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1),
+                    s -> length(s))), 0) AS BIGINT) AS anchor_chars,
+             {_html_strip_sql('html')} AS main_text
+      FROM pages
+    )
+    SELECT doc_id, title, n_links, anchor_chars,
+           CAST(length(main_text) AS BIGINT) AS main_len,
+           CAST(FLOOR(anchor_chars / length(main_text) * 10000.0 + 0.5) AS BIGINT)
+             AS link_density_e4,
+           md5(main_text) AS main_md5
+    FROM m
+    """,
+    tags=("web", "html", "boilerplate", "text"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → training text: boilerplate zones (head/script/style/nav/
+    header/footer/aside) removed, tags stripped, entities decoded,
+    whitespace collapsed — plus the link-density signal (anchor chars /
+    main chars) that web-corpus quality filters key on (RefinedWeb,
+    CCNet). Whole chain is RE2-compatible regex column algebra: zero
+    UDFs, zero shuffles, scan-resident at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", _synth_html_col().alias("html"))
+    m = pages.select(
+        "doc_id",
+        web.html_title("html").alias("title"),
+        web.html_link_count("html").alias("n_links"),
+        web.html_anchor_chars("html").alias("anchor_chars"),
+        web.html_main_text("html").alias("main_text"),
+    )
+    return m.select(
+        "doc_id",
+        "title",
+        "n_links",
+        "anchor_chars",
+        F.length("main_text").cast("bigint").alias("main_len"),
+        F.floor(F.col("anchor_chars") / F.length("main_text") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("link_density_e4"),
+        F.md5("main_text").alias("main_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# WARC record parsing (ISO 28500 — the Common Crawl container).
+# --------------------------------------------------------------------------
+_WARC_SYNTH_SQL = f"""
+      'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Record-ID: <urn:uuid:' || md5(CAST(doc_id AS VARCHAR)) || '>'
+      || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || ({_URL_SYNTH_SQL}) || chr(13) || chr(10)
+      || 'Content-Type: text/plain' || chr(13) || chr(10)
+      || 'Content-Length: ' || CAST(length(text) AS VARCHAR) || chr(13) || chr(10)
+      || chr(13) || chr(10)
+      || text
+"""
+
+
+def _synth_warc_col() -> F.Column:
+    crlf = "\r\n"
+    return F.concat(
+        F.lit("WARC/1.0" + crlf),
+        F.lit("WARC-Type: response" + crlf),
+        F.lit("WARC-Record-ID: <urn:uuid:"),
+        F.md5(F.col("doc_id").cast("string")),
+        F.lit(">" + crlf),
+        F.lit("WARC-Target-URI: "),
+        _synth_url_col(),
+        F.lit(crlf),
+        F.lit("Content-Type: text/plain" + crlf),
+        F.lit("Content-Length: "),
+        F.length("text").cast("string"),
+        F.lit(crlf + crlf),
+        F.col("text"),
+    )
+
+
+@register(
+    "web_warc_parse",
+    rf"""
+    WITH recs AS (SELECT doc_id, {_WARC_SYNTH_SQL} AS rec FROM documents)
+    SELECT doc_id,
+           regexp_extract(rec, '^WARC/([0-9.]+)\r\n', 1) AS warc_version,
+           regexp_extract(rec, 'WARC-Type: ([^\r]*)\r\n', 1) AS warc_type,
+           regexp_extract(rec, 'WARC-Target-URI: ([^\r]*)\r\n', 1) AS target_uri,
+           CAST(regexp_extract(rec, 'Content-Length: ([^\r]*)\r\n', 1) AS BIGINT)
+             AS content_length,
+           CAST(length(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1)) AS BIGINT)
+             AS payload_len,
+           md5(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1)) AS payload_md5
+    FROM recs
+    """,
+    tags=("web", "warc", "source-format"),
+)
+def web_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record parsing — version line, typed header fields,
+    payload split at the blank CRLF line — as scan-resident RE2-safe regex
+    projections (operators/web.py). The Common Crawl ingest front door: at
+    100 TB each WARC record parses independently inside codegen with zero
+    shuffles; payload_md5 doubles as the exact-dedup key so the parse stage
+    feeds dedup without a second scan. Header names match case-sensitively
+    per the spec's canonical forms."""
+    d = load_table(spark, sf_dir, "documents")
+    recs = d.select("doc_id", _synth_warc_col().alias("rec"))
+    payload = web.warc_payload("rec")
+    return recs.select(
+        "doc_id",
+        web.warc_version("rec").alias("warc_version"),
+        web.warc_header("rec", "WARC-Type").alias("warc_type"),
+        web.warc_header("rec", "WARC-Target-URI").alias("target_uri"),
+        web.warc_header("rec", "Content-Length").cast("bigint").alias("content_length"),
+        F.length(payload).cast("bigint").alias("payload_len"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe splits + deterministic shard shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "corpus_split_leakage_safe",
+    _CLUSTER_CTES
+    + """,
+    assign AS (
+      SELECT d.doc_id, d.n_chars,
+             coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+             ('0x' || substr(md5('split:' ||
+                 CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT
+               % 100 AS bucket
+      FROM documents d LEFT JOIN comp ON comp.doc = d.doc_id
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM assign GROUP BY 1
+    """,
+    tags=("split", "leakage", "dedup", "llm-pipeline"),
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split unit is the
+    NEAR-DUP CLUSTER (MinHash-LSH connected components), not the document —
+    so two near-duplicates can never land on opposite sides of a train/test
+    boundary (the eval-contamination failure mode). Bucketing hashes the
+    cluster id (content-derived, layout-invariant); singleton docs are their
+    own cluster. At 100 TB the cluster pass is the already-benched LSH
+    pipeline; assignment itself is a broadcast-map projection."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = _lsh_dup_components(d)
+    assign = d.join(comp, d["doc_id"] == comp["doc"], "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(comp["cluster_id"], d["doc_id"]).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assign = assign.withColumn(
+        "split",
+        F.when(bucket < 90, F.lit("train")).when(bucket < 95, F.lit("valid")).otherwise(F.lit("test")),
+    )
+    return assign.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "corpus_shard_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS key
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, key,
+             ('0x' || substr(key, 1, 6))::BIGINT % 16 AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY ('0x' || substr(key, 1, 6))::BIGINT % 16
+               ORDER BY key, doc_id) AS pos
+      FROM k
+    )
+    SELECT shard, CAST(pos AS BIGINT) AS pos, doc_id FROM s WHERE pos <= 10
+    """,
+    tags=("shuffle", "training-order", "llm-pipeline"),
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: a seeded content hash assigns
+    every document to a shard and orders it WITHIN the shard — the standard
+    shard+intra-shard-shuffle layout training loaders consume. Reproducible
+    across reshards/compactions (depends only on doc_id), and scalable: no
+    global total order, so no single-partition sort bottleneck — each shard
+    sorts independently (row_number windows per shard key)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    k = d.select("doc_id", key.alias("key"))
+    shard = (F.conv(F.substring("key", 1, 6), 16, 10).cast("bigint") % 16).alias("shard")
+    s = k.select("doc_id", "key", shard)
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return (
+        s.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pos") <= 10)
+        .select("shard", "pos", "doc_id")
+    )

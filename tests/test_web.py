@@ -1,0 +1,165 @@
+"""Web tier: URL parse/normalize, registered domain, HTML boilerplate
+extraction, leakage-safe splits, deterministic shard shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators import web
+from data_ingestion_bra_spark.plans.registry import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _one(spark, url: str) -> dict:
+    row = (
+        spark.range(1)
+        .select(F.lit(url).alias("url"))
+        .select(
+            web.url_scheme("url").alias("scheme"),
+            web.url_host("url").alias("host"),
+            web.url_port("url").alias("port"),
+            web.registered_domain(web.url_host("url")).alias("regdom"),
+            web.normalized_url("url").alias("norm"),
+        )
+        .first()
+    )
+    return row.asDict()
+
+
+def test_url_normalize_lowercases_and_strips_default_port(spark):
+    r = _one(spark, "HTTPS://WWW.Example.COM:443/Path?b=2&a=1#frag")
+    assert r["scheme"] == "https"
+    assert r["host"] == "www.example.com"
+    assert r["port"] == "443"
+    assert r["norm"] == "https://www.example.com/Path?a=1&b=2"  # sorted, no frag
+
+
+def test_url_normalize_keeps_non_default_port_and_strips_tracking(spark):
+    r = _one(spark, "http://a.co.uk:8080/x?utm_source=t&gclid=g&id=7")
+    assert r["norm"] == "http://a.co.uk:8080/x?id=7"
+    assert r["regdom"] == "a.co.uk"  # multi-label public suffix
+
+
+def test_url_http_443_is_not_default(spark):
+    r = _one(spark, "http://b.example.com:443/x?a=1")
+    assert r["norm"] == "http://b.example.com:443/x?a=1"
+
+
+def test_registered_domain_plain_tld(spark):
+    r = _one(spark, "https://news.sub.example.org/y?a=1")
+    assert r["regdom"] == "example.org"
+
+
+def test_url_no_query_no_port(spark):
+    r = _one(spark, "https://example.io/path")
+    assert r["port"] == ""
+    assert r["norm"] == "https://example.io/path"
+
+
+HTML = (
+    '<html><head><title>My Page</title><script>var x=1;</script></head>'
+    '<body><nav><a href="/h">Home</a></nav>'
+    '<p>Real &amp; true content <a href="/r">link</a></p>'
+    "<footer>foot</footer></body></html>"
+)
+
+
+def test_html_main_text_strips_boilerplate_and_decodes_entities(spark):
+    r = (
+        spark.range(1)
+        .select(F.lit(HTML).alias("html"))
+        .select(
+            web.html_main_text("html").alias("main"),
+            web.html_title("html").alias("title"),
+            web.html_link_count("html").alias("n_links"),
+            web.html_anchor_chars("html").alias("anchor_chars"),
+        )
+        .first()
+    )
+    assert r["main"] == "Real & true content link"
+    assert r["title"] == "My Page"
+    assert r["n_links"] == 2  # nav + body anchors, counted pre-strip
+    assert r["anchor_chars"] == len("Home") + len("link")
+    # nav text and footer text are gone, script code is gone
+    assert "Home" not in r["main"] and "foot" not in r["main"] and "var x" not in r["main"]
+
+
+def test_html_extract_zero_shuffle_plan(spark):
+    q = get_queries()["text_html_extract"]
+    plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # scan-resident projection
+
+
+def test_url_normalize_zero_shuffle_plan(spark):
+    q = get_queries()["web_url_parse_normalize"]
+    plan = q(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_blocklist_stats_uses_broadcast_anti_join(spark):
+    q = get_queries()["web_domain_blocklist_stats"]
+    df = q(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    doms = {r[0] for r in df.select("registered_domain").collect()}
+    assert len(doms) > 0
+    # replay the blocklist derivation: none of its domains may survive
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from data_ingestion_bra_spark.plans.web import _synth_url_col
+
+    blocked = {
+        r[0]
+        for r in docs.filter(F.col("doc_id") % 37 == 0)
+        .select(_synth_url_col().alias("url"))
+        .select(web.registered_domain(web.url_host("url")))
+        .collect()
+    }
+    assert blocked and not (doms & blocked)
+
+
+def test_warc_parse_fields_and_payload(spark):
+    rec = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://x.io/a\r\nContent-Length: 11\r\n"
+        "\r\nhello\r\nwor"  # payload may itself contain CRLF
+    )
+    r = (
+        spark.range(1)
+        .select(F.lit(rec).alias("rec"))
+        .select(
+            web.warc_version("rec").alias("v"),
+            web.warc_header("rec", "WARC-Type").alias("t"),
+            web.warc_header("rec", "WARC-Target-URI").alias("uri"),
+            web.warc_payload("rec").alias("p"),
+        )
+        .first()
+    )
+    assert r["v"] == "1.0"
+    assert r["t"] == "response"
+    assert r["uri"] == "https://x.io/a"
+    assert r["p"] == "hello\r\nwor"  # split at FIRST blank line only
+
+
+def test_split_assignment_is_cluster_consistent(spark):
+    # every doc in a near-dup cluster lands in the same split by
+    # construction (split key = cluster id); check totals add up.
+    q = get_queries()["corpus_split_leakage_safe"]
+    rows = {r["split"]: r for r in q(spark, SF).collect()}
+    total = sum(r["n_docs"] for r in rows.values())
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == docs
+    assert rows["train"]["n_docs"] > rows.get("test", {"n_docs": 0})["n_docs"] if "test" in rows else True
+
+
+def test_shard_shuffle_deterministic_and_bounded(spark):
+    q = get_queries()["corpus_shard_shuffle"]
+    a = sorted(map(tuple, q(spark, SF).collect()))
+    b = sorted(map(tuple, q(spark, SF).collect()))
+    assert a == b  # content-hash order: reproducible across runs
+    shards = {r[0] for r in a}
+    assert shards <= set(range(16))
+    # pos is 1..10 within each shard
+    for s in shards:
+        poss = sorted(r[1] for r in a if r[0] == s)
+        assert poss == list(range(1, len(poss) + 1))
