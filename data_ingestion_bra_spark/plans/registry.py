@@ -173,19 +173,43 @@ GATE_ORDER: tuple[str, ...] = (
     #      chunk explode+hash stages run inside the gated curation
     #      pipelines, and the entry remains hash-verified in the committed
     #      full-catalog report).
+    # Round-7c rotation (the web-corpus tier + incremental dedup get driver
+    # credit):
+    # IN:  web_url_parse_normalize (parse_url components + RFC 3986-ish
+    #      canonicalization — the Common-Crawl front door),
+    #      text_html_extract (boilerplate-zone removal + link-density, the
+    #      HTML→training-text stage),
+    #      dedup_incremental_batch (batch-vs-standing-corpus LSH — the
+    #      daily-increment join shape),
+    #      corpus_split_leakage_safe (train/valid/test split keyed by
+    #      near-dup CLUSTER, embedding the full LSH-components pipeline).
+    # OUT: dedup_duplicate_clusters (connected components run VERBATIM
+    #      inside the gated corpus_split_leakage_safe — its oracle embeds
+    #      the same recursive-CTE closure; stays hash-verified below),
+    #      text_repetition_scores (dup-ngram metrics run inside the gated
+    #      curation_gopher_pipeline and feed text_cut_repeated_passages),
+    #      array_funcs_suite (array lambda algebra is exercised by the
+    #      gated BPE packing aggregate/filter chains and the gated URL
+    #      normalize filter/sort/join; stays hash-verified below),
+    #      nation_revenue (TPC-H Q5 join-agg shape; the join-then-agg
+    #      capability stays gated via flagship_customer_orders,
+    #      agg_pricing_summary and shipping_priority_top10; stays
+    #      hash-verified below). web_warc_parse, web_domain_blocklist_stats
+    #      and corpus_shard_shuffle register below the window,
+    #      hash-verified in the committed full-catalog report.
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
+    "dedup_incremental_batch",
     "dedup_simhash_full",
     "dedup_semantic_semdedup",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "sample_weighted_by_domain",
-    # duplicate-CLUSTER collapse (connected components) is its own
-    # capability row, so it gets driver credit; text_token_counts is a
-    # family twin of text_quality_scores (n_tokens) and moved below the
-    # gate window (still hash-verified by tools/check_oracle.py).
-    "dedup_duplicate_clusters",
+    # duplicate-CLUSTER collapse stays gated through the split entry
+    # (its oracle embeds the same component closure); text_token_counts is
+    # a family twin of text_quality_scores (n_tokens), below the window.
+    "corpus_split_leakage_safe",
     "text_perplexity_lm",
     "text_langid_nb",
     # text_quality_model (trained integer-logreg tier) gates in place of
@@ -193,7 +217,7 @@ GATE_ORDER: tuple[str, ...] = (
     # exercised by the gated exact-dedup/curation pipelines, and the
     # fingerprint query stays hash-verified below the window.
     "text_quality_model",
-    "text_repetition_scores",
+    "text_html_extract",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
     # stub twins (multimodal_decode_features, multimodal_audio_features,
@@ -239,7 +263,7 @@ GATE_ORDER: tuple[str, ...] = (
     "window_range_frame_trailing30d",
     # Function suites + subqueries + TPC-H-shape joins.
     "date_funcs_suite",
-    "array_funcs_suite",
+    "web_url_parse_normalize",
     "map_funcs_suite",
     "subqueries_suite",
     "sole_returning_suppliers",
@@ -249,7 +273,6 @@ GATE_ORDER: tuple[str, ...] = (
     "events_session_windows",
     "events_asof_purchase_click",
     "shipping_priority_top10",
-    "nation_revenue",
 )
 
 
