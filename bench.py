@@ -868,6 +868,13 @@ EXTENDED_QUERIES = [
     "sample_weighted_by_domain",
     "dedup_exact_per_domain",
     "txlog_time_travel",
+    "web_url_parse_normalize",
+    "web_domain_blocklist_stats",
+    "text_html_extract",
+    "web_warc_parse",
+    "dedup_incremental_batch",
+    "corpus_split_leakage_safe",
+    "corpus_shard_shuffle",
 ]
 
 

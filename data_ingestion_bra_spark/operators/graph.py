@@ -57,6 +57,69 @@ def _is_star_forest(e: DataFrame) -> bool:
     return multi_target.isEmpty() and target_is_source.isEmpty()
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "s",
+    dst: str = "t",
+    *,
+    damping_e9: int = 850_000_000,
+    n_iter: int = 5,
+) -> DataFrame:
+    """PageRank over a directed link graph in EXACT integer fixed point
+    (rank ≈ probability × 1e9) — the classic link-based quality signal for
+    web corpora (Page et al. 1999), here with every operation
+    engine-portable: integer floor division and order-free integer sums, so
+    the result is bit-identical on any engine and any partitioning.
+
+    Per iteration: r'(v) = (1e9 - d)/N + Σ_{u→v} (d · r(u)) div (1e9 ·
+    outdeg(u)), all BIGINT (d=damping_e9; products stay < 2^63 for any
+    N ≥ 1). Dangling-node mass is dropped (the standard simplification).
+
+    Scale shape: ranks live one row per NODE (for web corpora: per
+    registered domain — millions of rows, not trillions), edges one row
+    per link; each iteration is one equi-join on src + one
+    partial-aggregable groupBy on dst. N and the per-node constants are
+    driver scalars (two counts — convergence witnesses, not data-plane
+    collects). ``n_iter`` is fixed, not convergence-tested, so the oracle
+    can unroll the same number of rounds.
+    """
+    scale = 1_000_000_000
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("v"))
+        .union(e.select(F.col("t").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar N for the teleport constant
+    deg = e.groupBy("s").agg(F.count("*").alias("outdeg")).persist()
+    teleport = (scale - damping_e9) // n
+    r = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(r, e["s"] == r["v"])
+            .join(deg, "s")
+            .select(
+                F.col("t").alias("v"),
+                F.expr(f"({damping_e9} * r) div ({scale} * outdeg)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("v").agg(F.sum("c").alias("inflow"))
+        r = nodes.join(inflow, "v", "left").select(
+            "v",
+            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("bigint")
+            .alias("r"),
+        )
+    out = r.select(F.col("v").alias("node"), F.col("r").alias("rank_e9"))
+    return out
+
+
 def star_contraction_components(
     edges: DataFrame,
     *,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_ingestion_bra_spark.operators import web
+from data_ingestion_bra_spark.operators import dedup, graph, web
 from data_ingestion_bra_spark.plans.llm_ops import _CLUSTER_CTES, _lsh_dup_components
 from data_ingestion_bra_spark.plans.registry import register
 from data_ingestion_bra_spark.sources.tables import load_table
@@ -307,21 +307,27 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # WARC record parsing (ISO 28500 — the Common Crawl container).
 # --------------------------------------------------------------------------
-_WARC_SYNTH_SQL = f"""
+def _warc_synth_sql(payload_sql: str = "text", ctype: str = "text/plain") -> str:
+    return f"""
       'WARC/1.0' || chr(13) || chr(10)
       || 'WARC-Type: response' || chr(13) || chr(10)
       || 'WARC-Record-ID: <urn:uuid:' || md5(CAST(doc_id AS VARCHAR)) || '>'
       || chr(13) || chr(10)
       || 'WARC-Target-URI: ' || ({_URL_SYNTH_SQL}) || chr(13) || chr(10)
-      || 'Content-Type: text/plain' || chr(13) || chr(10)
-      || 'Content-Length: ' || CAST(length(text) AS VARCHAR) || chr(13) || chr(10)
+      || 'Content-Type: {ctype}' || chr(13) || chr(10)
+      || 'Content-Length: ' || CAST(length({payload_sql}) AS VARCHAR)
       || chr(13) || chr(10)
-      || text
+      || chr(13) || chr(10)
+      || {payload_sql}
 """
 
 
-def _synth_warc_col() -> F.Column:
+_WARC_SYNTH_SQL = _warc_synth_sql()
+
+
+def _synth_warc_col(payload: F.Column | None = None, ctype: str = "text/plain") -> F.Column:
     crlf = "\r\n"
+    payload = F.col("text") if payload is None else payload
     return F.concat(
         F.lit("WARC/1.0" + crlf),
         F.lit("WARC-Type: response" + crlf),
@@ -331,11 +337,11 @@ def _synth_warc_col() -> F.Column:
         F.lit("WARC-Target-URI: "),
         _synth_url_col(),
         F.lit(crlf),
-        F.lit("Content-Type: text/plain" + crlf),
+        F.lit(f"Content-Type: {ctype}" + crlf),
         F.lit("Content-Length: "),
-        F.length("text").cast("string"),
+        F.length(payload).cast("string"),
         F.lit(crlf + crlf),
-        F.col("text"),
+        payload,
     )
 
 
@@ -472,4 +478,188 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.withColumn("pos", F.row_number().over(w).cast("bigint"))
         .filter(F.col("pos") <= 10)
         .select("shard", "pos", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link-graph quality signal: PageRank in exact integer fixed point.
+# --------------------------------------------------------------------------
+_PR_SCALE = 1_000_000_000
+_PR_DAMPING = 850_000_000
+
+#: Deterministic link graph over 50 "domain" nodes: each document
+#: contributes one edge doc_id%50 → (doc_id*31+7)%50 (self-loops dropped,
+#: deduped) — a stand-in for the registered-domain link graph a crawler
+#: harvests from href targets.
+_PR_EDGES_SQL = """
+    e AS (
+      SELECT DISTINCT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS t
+      FROM documents WHERE doc_id % 50 <> (doc_id * 31 + 7) % 50
+    ),
+    nodes AS (SELECT DISTINCT v FROM (SELECT s AS v FROM e UNION ALL SELECT t FROM e)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)
+"""
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled PageRank rounds (same unroll discipline as the Lloyd/k-means
+    oracle generator): all-BIGINT floor-division arithmetic replayed
+    identically, so DuckDB reproduces operators/graph.py:pagerank
+    bit-for-bit."""
+    parts = [
+        "WITH " + _PR_EDGES_SQL,
+        f""",
+    r0 AS (SELECT v, CAST({_PR_SCALE} // nn.n AS BIGINT) AS r FROM nodes, nn)
+""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT n.v,
+             CAST(({_PR_SCALE} - {_PR_DAMPING}) // nn.n
+               + coalesce(SUM(({_PR_DAMPING} * p.r) // ({_PR_SCALE} * deg.outdeg)), 0)
+               AS BIGINT) AS r
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN e ON e.t = n.v
+      LEFT JOIN r{i - 1} p ON p.v = e.s
+      LEFT JOIN deg ON deg.s = e.s
+      GROUP BY n.v, nn.n
+    )
+"""
+        )
+    parts.append(f"    SELECT v AS node, r AS rank_e9 FROM r{n_iter}")
+    return "".join(parts)
+
+
+@register(
+    "web_link_pagerank",
+    _pagerank_oracle(5),
+    tags=("web", "graph", "pagerank", "quality-signal"),
+)
+def web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (synthesized) domain link graph — the classic
+    link-based page/domain quality prior for web-corpus curation (Page et
+    al. 1999; OpenWebText/CCNet-era pipelines used link signals as quality
+    proxies). operators/graph.py:pagerank runs 5 fixed rounds in exact
+    BIGINT fixed point (floor-division contributions, order-free integer
+    sums) so the ranks are bit-identical on any engine or partitioning.
+    At 100 TB ranks live per registered DOMAIN (~10^7 rows), each round is
+    one src equi-join + one partial-aggregable dst groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 50).alias("s")
+    t = ((F.col("doc_id") * 31 + 7) % 50).alias("t")
+    edges = d.select(s, t)
+    return graph.pagerank(edges, "s", "t", damping_e9=_PR_DAMPING, n_iter=5)
+
+
+# --------------------------------------------------------------------------
+# End-to-end web curation: WARC → HTML → URL policy → quality gate → dedup.
+# --------------------------------------------------------------------------
+@register(
+    "curation_web_pipeline",
+    f"""
+    WITH pages AS (SELECT doc_id, source, text, {_HTML_SYNTH_SQL} AS html FROM documents),
+    recs AS (SELECT doc_id, {_warc_synth_sql("html", "text/html")} AS rec FROM pages),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(rec, 'WARC-Target-URI: ([^\r]*)\r\n', 1) AS uri,
+             regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1) AS payload
+      FROM recs
+    ),
+    m AS (
+      SELECT doc_id, uri,
+             {_html_strip_sql('payload')} AS main_text,
+             CAST(coalesce(list_sum(list_transform(
+                    regexp_extract_all(payload, '<a [^>]*>([^<]*)</a>', 1),
+                    s -> length(s))), 0) AS BIGINT) AS anchor_chars
+      FROM parsed
+    ),
+    hosts AS (
+      SELECT doc_id, main_text, anchor_chars,
+             string_split(lower(regexp_replace(
+               regexp_extract(uri, '^[^:]+://([^/]+)', 1), ':[0-9]+$', '')), '.')
+               AS labels
+      FROM m
+    ),
+    regd AS (
+      SELECT doc_id, main_text, anchor_chars,
+             CASE WHEN labels[-2] || '.' || labels[-1] IN
+                       ('co.uk','org.uk','gov.uk','com.br','net.br','com.au',
+                        'co.jp','co.in','co.kr','com.mx')
+                       AND len(labels) >= 3
+                  THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                  ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+      FROM hosts
+    ),
+    bl AS (SELECT DISTINCT registered_domain FROM regd WHERE doc_id % 37 = 0),
+    gated AS (
+      SELECT r.doc_id, r.registered_domain,
+             md5(r.main_text) AS main_md5,
+             CAST(length(r.main_text) AS BIGINT) AS main_len,
+             CAST(FLOOR(r.anchor_chars / length(r.main_text) * 10000.0 + 0.5)
+                  AS BIGINT) AS link_density_e4
+      FROM regd r
+      LEFT JOIN bl ON bl.registered_domain = r.registered_domain
+      WHERE bl.registered_domain IS NULL
+        AND CAST(FLOOR(r.anchor_chars / length(r.main_text) * 10000.0 + 0.5)
+                 AS BIGINT) <= 1500
+    ),
+    canon AS (
+      SELECT main_md5, MIN(doc_id) AS doc_id FROM gated GROUP BY main_md5
+    )
+    SELECT g.doc_id, g.registered_domain, g.main_md5, g.main_len,
+           g.link_density_e4
+    FROM gated g JOIN canon c ON c.main_md5 = g.main_md5 AND c.doc_id = g.doc_id
+    """,
+    tags=("web", "pipeline", "curation", "llm-pipeline"),
+)
+def curation_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl front door END TO END in ONE lazy plan: WARC record
+    → target URI + HTML payload → boilerplate-stripped main text +
+    link-density → registered-domain blocklist (broadcast anti-join) →
+    link-density quality gate (≤ 15%) → exact dedup on the extracted main
+    text (keep min doc_id). Everything before the blocklist join is
+    scan-resident regex/column algebra; the plan's only shuffles are the
+    broadcast anti-join (no shuffle on the big side) and the one
+    fingerprint groupBy the dedup needs — the same budget the gated
+    curation pipelines run on. This is the composition a RefinedWeb/CCNet
+    user would run first at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select("doc_id", "source", "text", _synth_html_col().alias("html"))
+    recs = pages.select(
+        "doc_id", _synth_warc_col(F.col("html"), "text/html").alias("rec")
+    )
+    parsed = recs.select(
+        "doc_id",
+        web.warc_header("rec", "WARC-Target-URI").alias("uri"),
+        web.warc_payload("rec").alias("payload"),
+    )
+    m = parsed.select(
+        "doc_id",
+        web.registered_domain(
+            F.lower(F.regexp_replace(F.regexp_extract("uri", "^[^:]+://([^/]+)", 1), ":[0-9]+$", ""))
+        ).alias("registered_domain"),
+        web.html_main_text("payload").alias("main_text"),
+        web.html_anchor_chars("payload").alias("anchor_chars"),
+    )
+    m = m.select(
+        "doc_id",
+        "registered_domain",
+        F.md5("main_text").alias("main_md5"),
+        F.length("main_text").cast("bigint").alias("main_len"),
+        F.floor(F.col("anchor_chars") / F.length("main_text") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("link_density_e4"),
+    )
+    bl = (
+        m.filter(F.col("doc_id") % 37 == 0).select("registered_domain").distinct()
+    )
+    gated = m.join(F.broadcast(bl), "registered_domain", "left_anti").filter(
+        F.col("link_density_e4") <= 1500
+    )
+    canon = gated.groupBy("main_md5").agg(F.min("doc_id").alias("doc_id"))
+    return gated.join(canon, ["main_md5", "doc_id"]).select(
+        "doc_id", "registered_domain", "main_md5", "main_len", "link_density_e4"
     )

@@ -163,3 +163,43 @@ def test_shard_shuffle_deterministic_and_bounded(spark):
     for s in shards:
         poss = sorted(r[1] for r in a if r[0] == s)
         assert poss == list(range(1, len(poss) + 1))
+
+
+def test_pagerank_exact_tiny_graph(spark):
+    """Hand-computed one round on {1→2, 2→1, 3→2}: N=3, teleport
+    (1e9-85e7)//3, uniform start 1e9//3, contribution (85e7*r)//(1e9*deg)."""
+    from data_ingestion_bra_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (3, 2)], ["s", "t"])
+    got = {r["node"]: r["rank_e9"] for r in graph.pagerank(edges, n_iter=1).collect()}
+    teleport = (10**9 - 850_000_000) // 3
+    contrib = (850_000_000 * (10**9 // 3)) // (10**9 * 1)
+    assert got == {
+        1: teleport + contrib,
+        2: teleport + 2 * contrib,
+        3: teleport,
+    }
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from data_ingestion_bra_spark.operators import graph
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("s"), ((F.col("doc_id") * 31 + 7) % 50).alias("t")
+    )
+    a = sorted(map(tuple, graph.pagerank(edges, n_iter=3).collect()))
+    b = sorted(map(tuple, graph.pagerank(edges.repartition(7), n_iter=3).collect()))
+    assert a == b  # integer fixed point: layout can't change a single bit
+
+
+def test_web_pipeline_drops_blocked_and_dups(spark):
+    q = get_queries()["curation_web_pipeline"]
+    rows = q(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(rows) < docs
+    # exact dedup on extracted main text: fingerprints unique in the output
+    md5s = [r["main_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    # gate respected
+    assert all(r["link_density_e4"] <= 1500 for r in rows)
