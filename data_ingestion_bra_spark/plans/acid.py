@@ -251,3 +251,92 @@ def txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("content_md5"),
         )
     )
+
+
+def _matview_dirs(sf_dir: str) -> tuple[str, str]:
+    base = _REPO_ROOT / ".data" / "matview_demo" / Path(sf_dir).name
+    return str(base / "src"), str(base / "view")
+
+
+def _ensure_matview(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic source history (append, append, row-level DELETE,
+    MERGE) with an incremental view refresh after every commit. All four
+    commits are idempotency-keyed, and refreshes no-op once applied, so
+    repeat invocations (bench medians, driver re-runs) neither grow the
+    log nor move the view."""
+    from data_ingestion_bra_spark.sinks.matview import refresh_agg_view
+
+    src, view = _matview_dirs(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("tp_e2"),
+    )
+
+    def refresh() -> None:
+        refresh_agg_view(
+            spark, src, view, key_cols=("o_orderstatus",), sum_cols=("tp_e2",)
+        )
+
+    if txlog.committed_version(src, "mv0") is None:
+        txlog.commit_append(
+            orders.filter(F.col("o_orderkey") % 3 == 0), src, idempotency_key="mv0"
+        )
+    refresh()
+    if txlog.committed_version(src, "mv1") is None:
+        txlog.commit_append(
+            orders.filter(F.col("o_orderkey") % 3 == 1), src, idempotency_key="mv1"
+        )
+    refresh()
+    if txlog.committed_version(src, "mv2") is None:
+        txlog.commit_delete(
+            spark, src, "o_orderkey % 5 = 0", idempotency_key="mv2"
+        )
+    refresh()
+    if txlog.committed_version(src, "mv3") is None:
+        changes = orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 11 == 0)
+        ).withColumn("o_orderstatus", F.lit("Z"))
+        txlog.commit_upsert(spark, src, changes, "o_orderkey", idempotency_key="mv3")
+    refresh()
+    return view
+
+
+@register(
+    "txlog_incremental_matview",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 11 = 0 THEN 'Z'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS tp_e2
+      FROM orders
+      WHERE (o_orderkey % 3 <= 1 AND o_orderkey % 5 <> 0)
+         OR (o_orderkey % 3 = 0 AND o_orderkey % 11 = 0)
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(tp_e2) AS BIGINT) AS sum_tp_e2
+    FROM base GROUP BY o_orderstatus
+    """,
+    tags=("acid", "txlog", "matview", "incremental"),
+)
+def txlog_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained aggregate view (sinks/matview.py): the
+    source table takes four ACID commits — two appends, a row-level
+    DELETE, a MERGE that updates matched keys AND re-inserts previously
+    deleted ones — and after each commit the per-status (count, sum) view
+    is refreshed from the CHANGE FEED alone (signed delta aggregate merged
+    into the prior state; never a source rescan after the first build).
+    The oracle recomputes the intended FINAL source state from the raw
+    table, so a hash match proves four delta applications compose to
+    exactly the full aggregate — insert/delete diffing, zero-count key
+    retirement, and update re-insertion all included.
+
+    Scale shape: refresh cost tracks the change volume (one
+    partial-aggregable groupBy over delta rows + one groupBy merge over
+    the key-domain-sized state); the view commit is atomic and carries
+    the applied source version, so replayed refreshes are no-ops."""
+    view = _ensure_matview(spark, sf_dir)
+    return txlog.read_snapshot(spark, view).select(
+        "o_orderstatus", "n_rows", "sum_tp_e2"
+    )

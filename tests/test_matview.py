@@ -1,0 +1,100 @@
+"""Incremental materialized-view maintenance: after ANY source commit
+sequence (append / DELETE / MERGE), one delta-sized refresh makes the view
+equal the full recompute of the current snapshot."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.sinks import txlog
+from data_ingestion_bra_spark.sinks.matview import (
+    last_applied_version,
+    refresh_agg_view,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, ["k", "v", "grp"])
+
+
+def _expected(spark, src):
+    return sorted(
+        map(
+            tuple,
+            txlog.read_snapshot(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("v").cast("bigint").alias("sum_v"),
+            )
+            .collect(),
+        )
+    )
+
+
+def _view(spark, view):
+    return sorted(
+        map(
+            tuple,
+            txlog.read_snapshot(spark, view)
+            .select("grp", "n_rows", "sum_v")
+            .collect(),
+        )
+    )
+
+
+def test_incremental_refresh_tracks_source(tmp_path, spark):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+
+    # v0: initial batch → first refresh aggregates the snapshot
+    txlog.commit_append(_rows(spark, [(1, 10, "a"), (2, 20, "a"), (3, 5, "b")]), src)
+    r1 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r1["refreshed"] and r1["src_version"] == 0
+    assert _view(spark, view) == _expected(spark, src)
+
+    # v1 append + v2 row-level delete → ONE delta refresh catches both
+    txlog.commit_append(_rows(spark, [(4, 7, "b"), (5, 1, "c")]), src)
+    txlog.commit_delete(spark, src, "k = 2")
+    r2 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r2["refreshed"] and r2["applied_from"] == 1 and r2["src_version"] == 2
+    assert _view(spark, view) == _expected(spark, src)
+
+    # MERGE: update k=3 (b→b, v 5→50) and insert k=6
+    txlog.commit_upsert(
+        spark, src, _rows(spark, [(3, 50, "b"), (6, 2, "c")]), "k"
+    )
+    r3 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r3["refreshed"]
+    assert _view(spark, view) == _expected(spark, src)
+
+    # no new commits → no-op refresh
+    r4 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert not r4["refreshed"]
+    assert last_applied_version(view) == 3
+
+
+def test_zero_count_keys_disappear(tmp_path, spark):
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    txlog.commit_append(_rows(spark, [(1, 3, "solo"), (2, 4, "keep")]), src)
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    txlog.commit_delete(spark, src, "grp = 'solo'")
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    got = _view(spark, view)
+    assert got == [("keep", 1, 4)]  # 'solo' dropped at count 0
+
+
+def test_crashed_refresh_recomputes_identically(tmp_path, spark):
+    """A refresh that died before publishing leaves no marker; the retry
+    recomputes the same deterministic state from the same window."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    txlog.commit_append(_rows(spark, [(1, 10, "a")]), src)
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    txlog.commit_append(_rows(spark, [(2, 30, "a")]), src)
+    # two back-to-back refreshes of the same window: the second is a no-op
+    a = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    b = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert a["refreshed"] and not b["refreshed"]
+    assert _view(spark, view) == _expected(spark, src)
