@@ -192,6 +192,39 @@ def html_link_count(html: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# robots.txt (RFC 9309) — crawl-politeness filtering.
+# A rules relation (domain, rule_path) joined per-URL; longest-match wins
+# is simplified to ANY-disallow-prefix-match (the conservative reading a
+# corpus builder wants: when in doubt, drop). Allow rules can be layered
+# the same way; this tier models the Disallow set.
+# --------------------------------------------------------------------------
+def robots_disallow_rules(robots_txt: Column | str, ua: str = "*") -> Column:
+    """Disallow path-prefixes for the given user-agent group, as an array.
+
+    Parses the RFC 9309 group structure with RE2-safe regex: take the
+    group headed by ``User-agent: <ua>`` (up to the next User-agent line
+    or end), then every ``Disallow: <path>`` value inside it. Empty
+    Disallow values (allow-all) are dropped.
+    """
+    import re as _re
+
+    x = _col(robots_txt)
+    group = F.regexp_extract(
+        x, rf"(?s)User-agent: {_re.escape(ua)}\n(.*?)(?:User-agent: |$)", 1
+    )
+    rules = F.regexp_extract_all(group, F.lit(r"Disallow: ([^\n]*)"), F.lit(1))
+    return F.filter(rules, lambda p: p != "")
+
+
+def robots_blocked(path: Column | str, rules: Column) -> Column:
+    """True iff any disallow prefix matches the URL path (conservative
+    any-match policy). ``exists`` over the per-domain rule array — row
+    local, no join explosion."""
+    p = _col(path)
+    return F.exists(rules, lambda r: p.startswith(r))
+
+
+# --------------------------------------------------------------------------
 # WARC record parsing (ISO 28500 / the Common Crawl container format).
 # Header block = CRLF-separated "Name: value" lines, terminated by a blank
 # CRLF line; everything after is the payload. All RE2-safe regex — the

@@ -663,3 +663,86 @@ def curation_web_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gated.join(canon, ["main_md5", "doc_id"]).select(
         "doc_id", "registered_domain", "main_md5", "main_len", "link_density_e4"
     )
+
+
+# --------------------------------------------------------------------------
+# robots.txt (RFC 9309) crawl-politeness filter.
+# --------------------------------------------------------------------------
+#: Per-domain robots fixture: a googlebot group (must NOT leak into the *
+#: group), then the * group with one content-derived Disallow prefix, one
+#: EMPTY Disallow (allow-all marker — must be ignored), and one prefix that
+#: matches nothing.
+_ROBOTS_SYNTH_SQL = """
+      'User-agent: googlebot' || chr(10) || 'Disallow: /admin' || chr(10)
+      || 'User-agent: *' || chr(10)
+      || 'Disallow: /src' || substr(md5(registered_domain), 1, 1) || chr(10)
+      || 'Disallow: ' || chr(10)
+      || 'Disallow: /priv' || chr(10)
+"""
+
+
+def _synth_robots_col() -> F.Column:
+    return F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /admin\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /src"),
+        F.substring(F.md5(F.col("registered_domain")), 1, 1),
+        F.lit("\nDisallow: \nDisallow: /priv\n"),
+    )
+
+
+@register(
+    "web_robots_filter",
+    f"""
+    WITH urls AS (SELECT doc_id, n_chars, source, {_URL_SYNTH_SQL} AS url FROM documents),
+    {_URL_PARTS_SQL},
+    domains AS (SELECT DISTINCT registered_domain FROM regd),
+    rules AS (
+      SELECT registered_domain,
+             list_filter(
+               regexp_extract_all(
+                 regexp_extract({_ROBOTS_SYNTH_SQL},
+                   '(?s)User-agent: \\*\n(.*?)(?:User-agent: |$)', 1),
+                 'Disallow: ([^\n]*)', 1),
+               p -> p <> '') AS dis
+      FROM domains
+    )
+    SELECT r.doc_id, r.registered_domain, r.path,
+           len(list_filter(ru.dis, x -> starts_with(r.path, x))) > 0 AS blocked
+    FROM regd r JOIN rules ru USING (registered_domain)
+    """,
+    tags=("web", "robots", "politeness"),
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt (RFC 9309) politeness filtering: parse each domain's
+    robots body into the ``User-agent: *`` group's Disallow prefixes
+    (operators/web.py:robots_disallow_rules — group-scoped so other
+    agents' rules never leak, empty Disallow ignored), broadcast the
+    per-domain rule arrays back onto the corpus, and mark every URL whose
+    path matches ANY disallowed prefix (the conservative corpus-builder
+    policy). At 100 TB the rules relation is one row per domain
+    (~10^7 — broadcastable); the prefix test is a row-local ``exists``
+    over a tiny array, no join explosion."""
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", _synth_url_col().alias("url"))
+    u = u.select(
+        "doc_id",
+        web.url_path("url").alias("path"),
+        web.registered_domain(web.url_host("url")).alias("registered_domain"),
+    )
+    rules = (
+        u.select("registered_domain")
+        .distinct()
+        .withColumn("robots", _synth_robots_col())
+        .select(
+            "registered_domain",
+            web.robots_disallow_rules("robots", "*").alias("dis"),
+        )
+    )
+    joined = u.join(F.broadcast(rules), "registered_domain")
+    return joined.select(
+        "doc_id",
+        "registered_domain",
+        "path",
+        web.robots_blocked("path", F.col("dis")).alias("blocked"),
+    )

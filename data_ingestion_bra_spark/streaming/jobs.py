@@ -170,3 +170,45 @@ def perplexity_gate_stream(docs: DataFrame) -> DataFrame:
     from data_ingestion_bra_spark.operators.ngram_lm import passes_lm_expr
 
     return docs.filter(passes_lm_expr(F.col("text")))
+
+
+def web_extract_stream(docs: DataFrame) -> DataFrame:
+    """Web-corpus extraction at ingest: WARC-wrapped HTML pages arrive on
+    the stream; each micro-batch parses the target URI, strips boilerplate
+    from the payload, and emits (doc_id, registered_domain, main_md5,
+    main_len, link_density_e4) — the same scan-resident regex/column
+    algebra as the batch ``curation_web_pipeline`` front half (zero UDFs,
+    no watermark, no state store, append mode). Stream == batch equality
+    is pytest-asserted; the blocklist/dedup back half stays batch (dedup
+    needs corpus-wide state — that is the signature-store / foreachBatch
+    tier's job)."""
+    from data_ingestion_bra_spark.operators import web
+    from data_ingestion_bra_spark.plans.web import _synth_html_col, _synth_warc_col
+
+    pages = docs.select("doc_id", "source", "text", _synth_html_col().alias("html"))
+    recs = pages.select(
+        "doc_id", _synth_warc_col(F.col("html"), "text/html").alias("rec")
+    )
+    parsed = recs.select(
+        "doc_id",
+        web.warc_header("rec", "WARC-Target-URI").alias("uri"),
+        web.warc_payload("rec").alias("payload"),
+    )
+    host = F.lower(
+        F.regexp_replace(F.regexp_extract("uri", "^[^:]+://([^/]+)", 1), ":[0-9]+$", "")
+    )
+    m = parsed.select(
+        "doc_id",
+        web.registered_domain(host).alias("registered_domain"),
+        web.html_main_text("payload").alias("main_text"),
+        web.html_anchor_chars("payload").alias("anchor_chars"),
+    )
+    return m.select(
+        "doc_id",
+        "registered_domain",
+        F.md5("main_text").alias("main_md5"),
+        F.length("main_text").cast("bigint").alias("main_len"),
+        F.floor(F.col("anchor_chars") / F.length("main_text") * 10000.0 + 0.5)
+        .cast("bigint")
+        .alias("link_density_e4"),
+    )

@@ -241,3 +241,24 @@ def test_streaming_perplexity_gate_matches_batch(spark, tmp_path):
     assert spark.sql("SELECT * FROM t_lmgate").columns == ["doc_id", "text"]
     assert got == want
     assert {r[0] for r in got} == {0, 2}
+
+
+def test_streaming_web_extract_matches_batch(spark, tmp_path):
+    """WARC→HTML→main-text extraction is stateless: the stream must emit
+    exactly the batch pipeline's front-half rows in any arrival order."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(60)
+    )
+    d = str(tmp_path / "docs_web")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+    stream = jobs.read_documents_stream(spark, d, max_files_per_trigger=1)
+    jobs.run_to_memory_sink(
+        jobs.web_extract_stream(stream), name="t_webx", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_webx").collect()}
+    want = {
+        tuple(r) for r in jobs.web_extract_stream(spark.read.parquet(d)).collect()
+    }
+    assert got == want and len(got) == 60

@@ -203,3 +203,35 @@ def test_web_pipeline_drops_blocked_and_dups(spark):
     assert len(md5s) == len(set(md5s))
     # gate respected
     assert all(r["link_density_e4"] <= 1500 for r in rows)
+
+
+ROBOTS = (
+    "User-agent: googlebot\nDisallow: /admin\n"
+    "User-agent: *\nDisallow: /private\nDisallow: \nDisallow: /tmp\n"
+)
+
+
+def test_robots_group_scoping_and_empty_rule(spark):
+    r = (
+        spark.range(1)
+        .select(F.lit(ROBOTS).alias("robots"))
+        .select(web.robots_disallow_rules("robots", "*").alias("dis"))
+        .first()
+    )
+    # googlebot's /admin must NOT leak into the * group; empty rule dropped
+    assert r["dis"] == ["/private", "/tmp"]
+
+
+def test_robots_blocked_prefix_match(spark):
+    df = spark.createDataFrame(
+        [("/private/x",), ("/pub/ok",), ("/tmp",)], ["path"]
+    ).withColumn("dis", F.array(F.lit("/private"), F.lit("/tmp")))
+    got = [r["b"] for r in df.select(web.robots_blocked("path", F.col("dis")).alias("b")).collect()]
+    assert got == [True, False, True]
+
+
+def test_robots_filter_blocks_some_not_all(spark):
+    q = get_queries()["web_robots_filter"]
+    rows = q(spark, SF).collect()
+    blocked = sum(1 for r in rows if r["blocked"])
+    assert 0 < blocked < len(rows)  # fixture blocks a strict subset
