@@ -46,6 +46,12 @@ SHOWCASE: list[tuple[str, str]] = [
     ("multimodal_video_mp4_meta", "ISO-BMFF box walk: synth + header parse both Arrow-batched MapInPandas, zero shuffles, zero codec decode"),
     ("salted_distinct_parts", "holistic distinct under skew: VALUE-hash salt makes per-salt distinct classes disjoint — two map-side-combinable hash aggs, no single-task set merge"),
     ("txlog_time_travel", "time travel: each snapshot is a plain parquet scan of ONLY that version's files (file sets resolved from KBs of log, zero listings)"),
+    ("web_url_parse_normalize", "URL parse + canonicalize: pure projection — zero Exchange, rides the scan at any scale"),
+    ("curation_web_pipeline", "WARC→HTML→blocklist→gate→dedup in ONE plan: regex chain scan-resident, blocklist a broadcast LeftAnti, ONE fingerprint shuffle for the dedup"),
+    ("web_link_pagerank", "PageRank rounds: per iteration one src equi-join + one partial-aggregable dst groupBy — integer fixed point, no float drift"),
+    ("dedup_incremental_batch", "incremental dedup: batch bands equi-join the corpus signature store — candidate cost tracks the BATCH, never a corpus self-join"),
+    ("web_robots_filter", "robots politeness: per-domain rule arrays broadcast; the prefix test is a row-local exists()"),
+    ("txlog_incremental_matview", "matview refresh output: the view reads as a plain scan of its committed state — refresh cost lives in delta-sized maintenance commits, not here"),
 ]
 
 
