@@ -197,6 +197,24 @@ GATE_ORDER: tuple[str, ...] = (
     #      hash-verified below). web_warc_parse, web_domain_blocklist_stats
     #      and corpus_shard_shuffle register below the window,
     #      hash-verified in the committed full-catalog report.
+    # Round-7d rotation (incremental matview + the iterative graph tier):
+    # IN:  txlog_incremental_matview (delta-maintained aggregate view over
+    #      the change feed — exercises commit_delete, commit_upsert,
+    #      read_changes AND the atomic view overwrite in one entry),
+    #      web_link_pagerank (exact-integer PageRank — the gated window's
+    #      only iterative fixed-round graph algorithm since the CC closure
+    #      moved inside corpus_split_leakage_safe).
+    # OUT: txlog_dml_timeline (its DELETE/MERGE surface runs verbatim
+    #      inside the gated matview ensure-history; OPTIMIZE/Z-order stays
+    #      pytest-verified (test_txlog_dml.py) and the entry hash-verified
+    #      below the window with its CDF twin txlog_change_feed),
+    #      date_funcs_suite (date arithmetic stays gated through the RANGE
+    #      30d frame's day-number math, the events_* window entries and
+    #      scd2_event_type_history's interval formatting; suite stays
+    #      hash-verified below the window). curation_web_pipeline and
+    #      web_robots_filter register below the window — their stages
+    #      (WARC parse, HTML strip, URL policy, exact dedup) are each
+    #      gated individually.
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
@@ -233,7 +251,7 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_contamination_auto",
     "text_pack_sequences_bpe",
     "txlog_time_travel",
-    "txlog_dml_timeline",
+    "txlog_incremental_matview",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
@@ -262,7 +280,7 @@ GATE_ORDER: tuple[str, ...] = (
     "window_rank_family",
     "window_range_frame_trailing30d",
     # Function suites + subqueries + TPC-H-shape joins.
-    "date_funcs_suite",
+    "web_link_pagerank",
     "web_url_parse_normalize",
     "map_funcs_suite",
     "subqueries_suite",
