@@ -875,6 +875,10 @@ EXTENDED_QUERIES = [
     "dedup_incremental_batch",
     "corpus_split_leakage_safe",
     "corpus_shard_shuffle",
+    "web_robots_filter",
+    "web_link_pagerank",
+    "curation_web_pipeline",
+    "txlog_incremental_matview",
 ]
 
 
