@@ -49,19 +49,26 @@ def source_version(table_dir: str) -> int:
 
 
 def last_applied_version(view_dir: str) -> int:
-    """Highest source version this view has applied (-1 before the first
+    """Source version of the view's CURRENT state (-1 before the first
     refresh). Carried in the view's own commit metadata — the view is
-    self-describing; no side-channel state files."""
+    self-describing; no side-channel state files.
+
+    Deliberately the LATEST refresh record's version, not the max: if two
+    racing refreshes publish out of order (a 0→2 overwrite then a stale
+    0→1 overwrite), the table's current state IS the later commit's state
+    — reading max() would report 2 while the state holds 1 and every
+    future refresh would no-op against a permanently stale view. Reading
+    the latest record makes the next refresh re-apply 2..cur and
+    self-heal."""
     try:
         records = _read_log(view_dir)
     except FileNotFoundError:
         return -1
-    applied = [
-        r["meta"]["src_version"]
-        for r in records
-        if r.get("meta", {}).get("src_version") is not None
-    ]
-    return max(applied) if applied else -1
+    for r in reversed(records):
+        v = r.get("meta", {}).get("src_version")
+        if v is not None:
+            return v
+    return -1
 
 
 def _agg(df: DataFrame, key_cols: tuple[str, ...], sum_cols: tuple[str, ...]) -> DataFrame:

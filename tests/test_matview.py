@@ -98,3 +98,36 @@ def test_crashed_refresh_recomputes_identically(tmp_path, spark):
     b = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
     assert a["refreshed"] and not b["refreshed"]
     assert _view(spark, view) == _expected(spark, src)
+
+
+def test_stale_racer_self_heals(tmp_path, spark):
+    """If a stale refresh publishes AFTER a newer one (out-of-order race),
+    last_applied reads the LATEST record - not the max - so the next
+    refresh re-applies the missing window and converges."""
+    from data_ingestion_bra_spark.sinks.matview import (
+        _VIEW_PARTITION,
+        last_applied_version,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    txlog.commit_append(_rows(spark, [(1, 10, "a")]), src)          # src v0
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    txlog.commit_append(_rows(spark, [(2, 30, "b")]), src)          # src v1
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert last_applied_version(view) == 1
+
+    # simulate the losing racer's stale overwrite landing late: state as of
+    # src v0 only, tagged src_version=0
+    stale = spark.createDataFrame([("a", 1, 10)], ["grp", "n_rows", "sum_v"])
+    txlog.commit_overwrite_partition(
+        stale,
+        view,
+        partition_key=_VIEW_PARTITION[0],
+        partition_value=_VIEW_PARTITION[1],
+        meta={"src_version": 0, "op_kind": "matview_refresh"},
+    )
+    assert last_applied_version(view) == 0  # latest record, not max
+    r = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r["refreshed"] and r["applied_from"] == 1
+    assert _view(spark, view) == _expected(spark, src)
