@@ -120,6 +120,36 @@ SF10_QUERIES = [
 ]
 
 
+def _replica_dir(name: str, factor: int) -> str | None:
+    """Resolve (building if needed) a scale replica ATOMICALLY: build into a
+    .tmp sibling and os.rename into place, so a killed build can never
+    leave a truncated parquet at the published path (a half-written sf1
+    lineitem poisoned a round-7 run — existence alone is not integrity).
+    A leftover _COMPLETE-less published dir from the pre-atomic era is
+    rebuilt."""
+    out = Path(__file__).resolve().parent / ".data" / name
+    marker = out / "_COMPLETE"
+    if marker.exists():
+        return str(out)
+    try:
+        import shutil
+
+        from tools.make_sf import make_sf
+
+        if out.exists():
+            shutil.rmtree(out)  # pre-atomic or torn build: rebuild
+        tmp = out.with_name(name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        make_sf(factor, "/root/testdata/sf0.1", str(tmp))
+        (tmp / "_COMPLETE").write_text("ok\n")
+        os.rename(tmp, out)
+    except Exception as exc:  # pragma: no cover - bench must still emit
+        print(f"{name} replica unavailable: {exc}", file=sys.stderr)
+        return None
+    return str(out)
+
+
 def _sf10_dir() -> str | None:
     """100x replica of sf0.1 (~1.7 GB parquet, 60M-row lineitem, 500k docs
     in bounded near-dup families) — the scale point that turns 'the plan
@@ -127,16 +157,7 @@ def _sf10_dir() -> str | None:
     tools/make_sf.py; disable with SPARK_GRAFT_SKIP_SF10=1."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF10"):
         return None
-    out = Path(__file__).resolve().parent / ".data" / "sf10"
-    if not (out / "lineitem.parquet").exists():
-        try:
-            from tools.make_sf import make_sf
-
-            make_sf(100, "/root/testdata/sf0.1", str(out))
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"sf10 replica unavailable: {exc}", file=sys.stderr)
-            return None
-    return str(out)
+    return _replica_dir("sf10", 100)
 
 
 def _semdedup_scale_bench(spark, points, *, passes: int = 3) -> dict:
@@ -814,16 +835,7 @@ def _sf1_dir() -> str | None:
     """
     if os.environ.get("SPARK_GRAFT_SKIP_SF1"):
         return None
-    out = Path(__file__).resolve().parent / ".data" / "sf1"
-    if not (out / "lineitem.parquet").exists():
-        try:
-            from tools.make_sf import make_sf
-
-            make_sf(10, "/root/testdata/sf0.1", str(out))
-        except Exception as exc:  # pragma: no cover - bench must still emit
-            print(f"sf1 replica unavailable: {exc}", file=sys.stderr)
-            return None
-    return str(out)
+    return _replica_dir("sf1", 10)
 
 
 def build_compact_line(payload: dict, *, limit: int = 1900) -> str:
