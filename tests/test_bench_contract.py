@@ -68,3 +68,38 @@ def test_every_registered_query_has_oracle_or_documented_exception():
     _load_all()
     no_oracle = [n for n, s in QUERIES.items() if s.oracle is None]
     assert no_oracle == [], no_oracle
+
+
+def test_replica_dir_atomic_rebuild(monkeypatch):
+    """A torn (marker-less) replica dir is rebuilt; a marked one is reused
+    without calling make_sf; the publish is rename-atomic."""
+    import shutil
+    from pathlib import Path
+
+    import bench
+    import tools.make_sf as make_sf_mod
+
+    name = "sf_test_atomic"
+    out = Path(bench.__file__).resolve().parent / ".data" / name
+    calls = []
+
+    def fake_make_sf(factor, src, dst):
+        calls.append(factor)
+        Path(dst).mkdir(parents=True, exist_ok=True)
+        (Path(dst) / "lineitem.parquet").write_bytes(b"PAR1fakePAR1")
+
+    monkeypatch.setattr(make_sf_mod, "make_sf", fake_make_sf)
+    try:
+        # torn pre-atomic dir: file exists, no marker → must rebuild
+        out.mkdir(parents=True, exist_ok=True)
+        (out / "lineitem.parquet").write_bytes(b"truncated")
+        got = bench._replica_dir(name, 7)
+        assert got == str(out)
+        assert (out / "_COMPLETE").exists()
+        assert (out / "lineitem.parquet").read_bytes() == b"PAR1fakePAR1"
+        assert calls == [7]
+        # marked dir: reused, make_sf NOT called again
+        assert bench._replica_dir(name, 7) == str(out)
+        assert calls == [7]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
