@@ -128,3 +128,43 @@ def acid_batch_writer(
         )
 
     return write_batch
+
+
+def acid_batch_writer_with_view(
+    table_dir: str,
+    view_dir: str,
+    *,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+    query_id: str = "bronze",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer that lands each micro-batch as one ACID commit
+    AND delta-refreshes the downstream aggregate view in the same hook — a
+    CONTINUOUSLY-maintained materialized view over the stream.
+
+    Exactly-once composes: a replayed epoch no-ops the append (idempotency
+    key), so the follow-up refresh sees no new source version and no-ops
+    too — the view can never double-count a replay. Refresh cost per epoch
+    tracks the epoch's change volume (sinks/matview.py), so the hook adds
+    delta-sized work to each micro-batch, not a source rescan."""
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.sinks.matview import refresh_agg_view
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        txlog.commit_append(
+            batch_df,
+            table_dir,
+            meta={"epoch": int(epoch_id)},
+            idempotency_key=f"{query_id}:{epoch_id}",
+        )
+        refresh_agg_view(
+            batch_df.sparkSession,
+            table_dir,
+            view_dir,
+            key_cols=key_cols,
+            sum_cols=sum_cols,
+        )
+
+    return write_batch

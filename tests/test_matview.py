@@ -131,3 +131,54 @@ def test_stale_racer_self_heals(tmp_path, spark):
     r = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
     assert r["refreshed"] and r["applied_from"] == 1
     assert _view(spark, view) == _expected(spark, src)
+
+
+def test_streaming_view_maintenance_exactly_once(tmp_path, spark):
+    """The foreachBatch hook composes ACID append + delta refresh: a
+    replayed epoch no-ops BOTH (the view never double-counts), and after a
+    stream of epochs the view equals the full aggregate of everything
+    ingested."""
+    from data_ingestion_bra_spark.streaming.bronze_ingest import (
+        acid_batch_writer_with_view,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    w = acid_batch_writer_with_view(
+        src, view, key_cols=("grp",), sum_cols=("v",), query_id="q"
+    )
+    b0 = _rows(spark, [(1, 10, "a"), (2, 5, "b")])
+    b1 = _rows(spark, [(3, 7, "a")])
+    w(b0, 0)
+    w(b0, 0)  # epoch replay after a simulated restart
+    w(b1, 1)
+    assert _view(spark, view) == _expected(spark, src)
+    got = {r["grp"]: (r["n_rows"], r["sum_v"]) for r in txlog.read_snapshot(spark, view).collect()}
+    assert got == {"a": (2, 17), "b": (1, 5)}  # no double-counted epoch 0
+
+
+def test_streaming_view_maintenance_end_to_end(tmp_path, spark):
+    """Real foreachBatch micro-batches (file replay, 1 file per trigger):
+    the view converges to the aggregate of the whole stream."""
+    from data_ingestion_bra_spark.streaming import jobs
+    from data_ingestion_bra_spark.streaming.bronze_ingest import (
+        acid_batch_writer_with_view,
+    )
+
+    data = str(tmp_path / "in")
+    _rows(
+        spark, [(i, i * 2, "g" + str(i % 3)) for i in range(30)]
+    ).repartition(3).write.parquet(data)
+    src = str(tmp_path / "src2")
+    view = str(tmp_path / "view2")
+    stream = jobs.read_documents_stream(spark, data, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(
+        acid_batch_writer_with_view(
+            src, view, key_cols=("grp",), sum_cols=("v",), query_id="e2e"
+        )
+    ).option("checkpointLocation", str(tmp_path / "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    assert _view(spark, view) == _expected(spark, src)
+    total = txlog.read_snapshot(spark, src).count()
+    assert total == 30
