@@ -235,3 +235,12 @@ def test_robots_filter_blocks_some_not_all(spark):
     rows = q(spark, SF).collect()
     blocked = sum(1 for r in rows if r["blocked"])
     assert 0 < blocked < len(rows)  # fixture blocks a strict subset
+
+
+def test_registered_domain_single_label_host(spark):
+    """Hosts with one label (localhost, bare intranet names) degrade
+    gracefully: no public suffix to split on, the host IS the domain
+    (ANSI off: out-of-range element_at yields NULL, concat_ws skips it)."""
+    r = _one(spark, "https://localhost:8443/x")
+    assert r["regdom"] == "localhost"
+    assert r["norm"] == "https://localhost:8443/x"
