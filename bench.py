@@ -958,6 +958,8 @@ EXTENDED_QUERIES = [
     "web_link_pagerank",
     "curation_web_pipeline",
     "txlog_incremental_matview",
+    "text_bpe_fertility_by_lang",
+    "dedup_lsh_calibration",
 ]
 
 

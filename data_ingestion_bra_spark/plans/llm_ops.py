@@ -2421,6 +2421,129 @@ def text_token_counts_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_fertility_by_lang",
+    rf"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+             {bpe.doc_token_count_sql("text", _BPE_MERGES)} AS n_sub
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(n_sub) AS BIGINT) AS n_tokens_subword,
+           CAST((SUM(n_sub) * 10000 + SUM(n_ws) // 2) // SUM(n_ws) AS BIGINT)
+             AS fertility_e4
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokenize", "bpe", "fertility", "data-card"),
+)
+def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per whitespace word) per
+    language — the standard tokenizer-evaluation metric (how many pieces
+    the vocabulary shatters a word into; high fertility on a language
+    means the tokenizer underserves it and its token budget buys less
+    text). Exact integer arithmetic end-to-end: per-doc counts are
+    scan-resident BPE projections, the per-lang roll-up is one
+    partial-aggregable groupBy, and the ratio is integer
+    round-half-up cross-multiplication — no float in the schema."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        text.token_count_ws("text").alias("n_ws"),
+        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_sub"),
+    )
+    agg = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("n_tokens_ws"),
+        F.sum("n_sub").cast("bigint").alias("n_tokens_subword"),
+    )
+    fert = F.expr(
+        "(n_tokens_subword * 10000 + n_tokens_ws div 2) div n_tokens_ws"
+    ).cast("bigint")
+    return agg.select(
+        "lang", "n_docs", "n_tokens_ws", "n_tokens_subword", fert.alias("fertility_e4")
+    )
+
+
+@register(
+    "dedup_lsh_calibration",
+    "WITH "
+    + _SH_CTE
+    + ","
+    + _MINHASH_CAND_CTE
+    + """,
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 625 AS BIGINT)
+               AS est_e4
+      FROM cand c
+      JOIN sig sa ON sa.doc = c.doc_a
+      JOIN sig sb ON sb.doc = c.doc_b AND sb.seed = sa.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT doc_a, doc_b,
+             CAST(FLOOR(i / (sa.sz + sb.sz - i) * 10000.0 + 0.5) AS BIGINT) AS jac_e4
+      FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+    )
+    SELECT est.est_e4 // 1250 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST((SUM(est.est_e4) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+             AS mean_est_e4,
+           CAST((SUM(ex.jac_e4) + COUNT(*) // 2) // COUNT(*) AS BIGINT)
+             AS mean_exact_e4
+    FROM est JOIN ex ON ex.doc_a = est.doc_a AND ex.doc_b = est.doc_b
+    GROUP BY est.est_e4 // 1250
+    """,
+    tags=("dedup", "minhash", "calibration", "measurement"),
+)
+def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION: for every LSH candidate pair, compare
+    the 16-hash signature estimate against the exact shingle Jaccard,
+    bucketed by estimate octile — the measured answer to "can I trust the
+    estimate tier's threshold, or do I need the exact verify pass?". A
+    well-calibrated estimator has mean_exact ~= mean_est per bucket (the
+    MinHash estimator is unbiased; spread per bucket ~ 1/sqrt(16)). The
+    exact side semi-joins shingles down to candidate docs first, so
+    calibration cost tracks the candidate set — cheap enough to run as a
+    periodic data-quality job at 100 TB. All-integer outputs (round-half-up
+    cross-multiplication means), hash-stable on any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False), num_hashes=16
+    ).persist()
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    exact = dedup.jaccard_pairs(sh, min_jaccard=0.0, pair_filter=cand)
+    joined = est.join(exact, ["doc_a", "doc_b"]).select(
+        (F.col("jaccard_est_e4") / 1250).cast("bigint").alias("bucket"),
+        "jaccard_est_e4",
+        "jaccard_e4",
+    )
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("(sum(jaccard_est_e4) + count(*) div 2) div count(*)")
+        .cast("bigint")
+        .alias("mean_est_e4"),
+        F.expr("(sum(jaccard_e4) + count(*) div 2) div count(*)")
+        .cast("bigint")
+        .alias("mean_exact_e4"),
+    )
+
+
+@register(
     "text_pack_sequences_bpe",
     rf"""
     WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
