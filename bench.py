@@ -960,6 +960,7 @@ EXTENDED_QUERIES = [
     "txlog_incremental_matview",
     "text_bpe_fertility_by_lang",
     "dedup_lsh_calibration",
+    "corpus_dataset_card",
 ]
 
 

@@ -746,3 +746,85 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path",
         web.robots_blocked("path", F.col("dis")).alias("blocked"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset card: the datasheet a training run consumes.
+# --------------------------------------------------------------------------
+def _dataset_card_oracle() -> str:
+    from data_ingestion_bra_spark.operators import bpe as _bpe
+
+    tok_sql = _bpe.doc_token_count_sql("d.text", _bpe.load_merges())
+    return (
+        _CLUSTER_CTES
+        + f""",
+    assign AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             {tok_sql} AS n_tok,
+             coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+             ('0x' || substr(md5('split:' ||
+                 CAST(coalesce(comp.cluster_id, d.doc_id) AS VARCHAR)), 1, 6))::BIGINT
+               % 100 AS bucket
+      FROM documents d LEFT JOIN comp ON comp.doc = d.doc_id
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_subword
+    FROM assign GROUP BY 1, 2
+    """
+    )
+
+
+@register(
+    "corpus_dataset_card",
+    _dataset_card_oracle(),
+    tags=("data-card", "split", "tokenize", "llm-pipeline"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASHEET a training run consumes ("Datasheets for Datasets",
+    Gebru et al. 2021, adapted to corpus curation): per (split, language) —
+    documents, near-dup CLUSTERS (the leakage-safe unit the splits are
+    keyed by), characters, and the TRAINED-BPE subword token budget (what
+    the trainer actually schedules against). One composition of three
+    verified tiers: LSH components → cluster-keyed split assignment →
+    scan-resident BPE token counts → one partial-aggregable groupBy. At
+    100 TB the only costs above the already-benched LSH pass are a hash
+    projection and one small-cardinality aggregate."""
+    from data_ingestion_bra_spark.operators import bpe as _bpe
+
+    merges = _bpe.load_merges()
+    d = load_table(spark, sf_dir, "documents")
+    comp = _lsh_dup_components(d)
+    assign = d.join(comp, d["doc_id"] == comp["doc"], "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _bpe.doc_token_count_expr(F.col("text"), merges).alias("n_tok"),
+        F.coalesce(comp["cluster_id"], d["doc_id"]).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    assign = assign.withColumn(
+        "split",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("valid"))
+        .otherwise(F.lit("test")),
+    )
+    return assign.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens_subword"),
+    )
