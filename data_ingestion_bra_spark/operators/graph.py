@@ -64,6 +64,8 @@ def pagerank(
     *,
     damping_e9: int = 850_000_000,
     n_iter: int = 5,
+    checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """PageRank over a directed link graph in EXACT integer fixed point
     (rank ≈ probability × 1e9) — the classic link-based quality signal for
@@ -73,7 +75,12 @@ def pagerank(
 
     Per iteration: r'(v) = (1e9 - d)/N + Σ_{u→v} (d · r(u)) div (1e9 ·
     outdeg(u)), all BIGINT (d=damping_e9; products stay < 2^63 for any
-    N ≥ 1). Dangling-node mass is dropped (the standard simplification).
+    N ≥ 1). Dangling-node mass is DROPPED by default (the oracle unrolls
+    that form); ``redistribute_dangling=True`` adds the standard uniform
+    redistribution term — each node additionally receives
+    ``(d · Σ_{u dangling} r(u)) div (1e9 · N)``, computed as a 1-row
+    aggregate broadcast-attached to the rank update (still exact integer,
+    still order-free; no driver scalar per round).
 
     Scale shape: ranks live one row per NODE (for web corpora: per
     registered domain — millions of rows, not trillions), edges one row
@@ -82,6 +89,14 @@ def pagerank(
     driver scalars (two counts — convergence witnesses, not data-plane
     collects). ``n_iter`` is fixed, not convergence-tested, so the oracle
     can unroll the same number of rounds.
+
+    Lineage: every ``checkpoint_every`` rounds the rank relation is
+    localCheckpoint-ed eagerly (the ``connected_components`` pattern), so
+    deep runs (n_iter 20+) keep a bounded plan instead of unrolling every
+    join into one lazy tree. The final ranks are checkpointed too, which
+    makes the returned DataFrame self-contained: the internal edge/degree
+    caches are unpersisted before returning (they previously leaked for the
+    session lifetime — round-7 ADVICE).
     """
     scale = 1_000_000_000
     e = (
@@ -100,7 +115,7 @@ def pagerank(
     deg = e.groupBy("s").agg(F.count("*").alias("outdeg")).persist()
     teleport = (scale - damping_e9) // n
     r = nodes.withColumn("r", F.lit(scale // n).cast("bigint"))
-    for _ in range(n_iter):
+    for it in range(1, n_iter + 1):
         contrib = (
             e.join(r, e["s"] == r["v"])
             .join(deg, "s")
@@ -110,13 +125,41 @@ def pagerank(
             )
         )
         inflow = contrib.groupBy("v").agg(F.sum("c").alias("inflow"))
-        r = nodes.join(inflow, "v", "left").select(
-            "v",
-            (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
-            .cast("bigint")
-            .alias("r"),
-        )
+        prev = r
+        r = nodes.join(inflow, "v", "left")
+        if redistribute_dangling:
+            # Σ r(u) over nodes with no out-edges (from the PREVIOUS round's
+            # ranks), as a 1-row relation: the broadcast attach keeps the
+            # whole term inside the plan (exact BIGINT, no per-round driver
+            # action).
+            dangling = (
+                prev.join(deg.select(F.col("s").alias("v")), "v", "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dmass"))
+            )
+            r = r.join(F.broadcast(dangling)).select(
+                "v",
+                (
+                    F.lit(teleport)
+                    + F.coalesce(F.col("inflow"), F.lit(0))
+                    + F.expr(f"({damping_e9} * dmass) div ({scale} * {n})")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        else:
+            r = r.select(
+                "v",
+                (F.lit(teleport) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+        if it % checkpoint_every == 0 and it < n_iter:
+            r = r.localCheckpoint(eager=True)
     out = r.select(F.col("v").alias("node"), F.col("r").alias("rank_e9"))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
     return out
 
 
