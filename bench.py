@@ -1056,6 +1056,7 @@ EXTENDED_QUERIES = [
     "curation_web_pipeline",
     "txlog_incremental_matview",
     "text_bpe_fertility_by_lang",
+    "text_bpe_roundtrip",
     "dedup_lsh_calibration",
     "corpus_dataset_card",
 ]

@@ -23,13 +23,19 @@ Token count never splits anything: ``#tokens = #separators / 2`` by
 construction, so counting is two ``length`` calls. At 100 TB this is a
 scan-resident projection — no shuffle, no explode, no Python.
 
-Scale note: a production merges table (30-50k merges) would make the
-nested-replace chain too deep for a single expression; the same contract
-then runs through ``doc_token_counts_vocab_join`` below — chain per
-DISTINCT word plus a (broadcastable) vocabulary join, the Zipfian-corpus
-shape where chain cost stops growing with corpus size. The committed
-96-merge table keeps the zero-shuffle single-expression formulation as the
-default, which is the honest shape at this table size.
+Which variant is the default — MEASURED, round 7 (``BENCH_FULL.json``
+``bpe_strategy_bench``, 50k-doc sf1 corpus): at the SAME committed 96
+merges the vocabulary join runs 2.56 s vs the scan-resident chain's
+19.73 s (7.7×) — corpus text is Zipfian, so evaluating the chain once per
+DISTINCT word and joining counts back beats re-scanning the chain over
+every document even at a 96-merge depth; and at production depths the
+scan-resident chain doesn't run at all (StackOverflowError at 1024+ merges
+vs vocab-join 2.8/8.9 s at 1024/5000). The catalog therefore routes doc
+token counting through ``doc_token_counts_vocab_join`` /
+``doc_token_counts_dense``; ``doc_token_count_expr`` remains for genuinely
+tiny relations (its zero-shuffle shape only wins when the per-row chain
+cost can't amortize a vocabulary, i.e. near-trivial row counts) and as the
+equality twin the tests pin the join variant against.
 """
 
 from __future__ import annotations
@@ -101,6 +107,16 @@ def word_token_count_expr(word: Column, merges: list[tuple[str, str]]) -> Column
 def word_tokens_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     """The actual token array for one word (``array<string>``)."""
     return F.filter(F.split(encode_expr(word, merges), SEP), lambda t: t != F.lit(""))
+
+
+def detokenize_expr(tokens: Column) -> Column:
+    """tokens → text: the exact inverse of ``word_tokens_expr``. BPE merges
+    only ever CONCATENATE adjacent symbols — no normalization, no byte
+    fallback — so decoding is plain concatenation and
+    ``detokenize(word_tokens(w)) = w`` for any ``w`` free of the separator
+    byte (which ``encode_expr`` strips defensively). Pinned corpus-wide by
+    the ``text_bpe_roundtrip`` catalog entry."""
+    return F.array_join(tokens, "")
 
 
 #: Whitespace class shared VERBATIM by both engines (Java's ``\s`` and
@@ -215,44 +231,52 @@ def _apply_merges_batched(df, in_col: str, merges: list[tuple[str, str]], out_co
 
 def doc_token_counts_vocab_join(
     df,
-    id_col: str,
+    id_col: str | list[str],
     text_col: str,
     merges: list[tuple[str, str]],
     *,
     broadcast_vocab: bool = True,
 ):
-    """Per-doc BPE token counts via a VOCABULARY join — the heavy-corpus
-    twin of the scan-resident ``doc_token_count_expr``.
+    """Per-doc BPE token counts via a VOCABULARY join — the measured-default
+    twin of the scan-resident ``doc_token_count_expr`` (7.7× faster at the
+    committed 96 merges on the 50k-doc sf1 corpus, and the only variant that
+    survives production merge depths — see the module docstring).
 
     The scan-resident expression evaluates the merge chain once per
-    document; fine while documents are short, but the chain cost is
-    O(|corpus text|). Real corpora are Zipfian: |vocabulary| ≪ |corpus|,
-    so evaluating the chain once per DISTINCT word and joining the counts
-    back (exactly the packed-weight vocabulary join the simhash operator
-    uses, ``dedup.py:simhash_fingerprints``) trades two map-side-combined
-    shuffles for a merge-chain cost that no longer grows with corpus size.
-    ``broadcast_vocab`` mirrors the simhash knob: broadcast the (word,
-    token-count) table when the vocabulary fits, else shuffle-join with
-    AQE skew-split covering hot words.
+    document; the chain cost is O(|corpus text|). Real corpora are Zipfian:
+    |vocabulary| ≪ |corpus|, so evaluating the chain once per DISTINCT word
+    and joining the counts back (exactly the packed-weight vocabulary join
+    the simhash operator uses, ``dedup.py:simhash_fingerprints``) trades two
+    map-side-combined shuffles for a merge-chain cost that no longer grows
+    with corpus size. ``broadcast_vocab`` mirrors the simhash knob:
+    broadcast the (word, token-count) table when the vocabulary fits, else
+    shuffle-join with AQE skew-split covering hot words.
 
-    Output: (id_col, n_tokens_subword) — documents with NO words (empty /
-    blank text) do not appear (their count is zero); aggregate consumers
-    are unaffected, per-doc consumers left-join if they need explicit
-    zeros. Equality with the scan-resident expression is pytest-pinned.
+    ``id_col`` may be a single column or a list (e.g. ``["doc_id",
+    "chunk_idx"]`` for chunk-level counting, or a GROUPING key like
+    ``"lang"``/``"source"`` — summing c·t per group computes the group
+    total directly, no per-doc join-back needed).
+
+    Output: (*id_cols, n_tokens_subword) — ids whose text has NO words
+    (empty / blank) do not appear (their count is zero); aggregate consumers
+    are unaffected, per-row consumers use ``doc_token_counts_dense`` for
+    explicit zeros. Equality with the scan-resident expression is
+    pytest-pinned.
     """
     from pyspark.sql import functions as FF
 
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
     # Split on the SHARED explicit whitespace class, not Java's \s+: Java \s
     # includes \x0b, which _WS_CLASS (and doc_token_count_expr's subtraction)
     # deliberately excludes — splitting on \s+ made the two variants' counts
     # diverge on text containing a vertical tab.
     words = (
         df.select(
-            FF.col(id_col),
+            *[FF.col(c) for c in ids],
             FF.explode(FF.split(FF.col(text_col), _WS_CLASS + "+")).alias("w"),
         )
         .filter(FF.length("w") > 0)
-        .groupBy(id_col, "w")
+        .groupBy(*ids, "w")
         .agg(FF.count(FF.lit(1)).alias("c"))
     )
     if len(merges) <= MAX_EXPR_MERGES:
@@ -280,6 +304,39 @@ def doc_token_counts_vocab_join(
         vocab = FF.broadcast(vocab)
     return (
         words.join(vocab, "w")
-        .groupBy(id_col)
+        .groupBy(*ids)
         .agg(FF.sum(FF.col("c") * FF.col("t")).cast("bigint").alias("n_tokens_subword"))
+    )
+
+
+def doc_token_counts_dense(
+    df,
+    id_col: str | list[str],
+    text_col: str,
+    merges: list[tuple[str, str]],
+    *,
+    broadcast_vocab: bool = True,
+    out_col: str = "n_tokens_subword",
+):
+    """``doc_token_counts_vocab_join`` densified: one row per input row of
+    ``df`` (ids assumed unique), with explicit 0 for wordless text — the
+    drop-in replacement for a per-row ``doc_token_count_expr`` projection.
+    The join-back keys on the id columns; at corpus scale that is one
+    equi-join of (id, count) pairs, still dwarfed by the merge-chain scans
+    it replaces (measured: module docstring)."""
+    from pyspark.sql import functions as FF
+
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    counts = doc_token_counts_vocab_join(
+        df, ids, text_col, merges, broadcast_vocab=broadcast_vocab
+    )
+    return (
+        df.select(*ids)
+        .join(counts, ids, "left")
+        .select(
+            *ids,
+            FF.coalesce(FF.col("n_tokens_subword"), FF.lit(0))
+            .cast("bigint")
+            .alias(out_col),
+        )
     )

@@ -141,7 +141,12 @@ def pagerank(
                 (
                     F.lit(teleport)
                     + F.coalesce(F.col("inflow"), F.lit(0))
-                    + F.expr(f"({damping_e9} * dmass) div ({scale} * {n})")
+                    # denominator precomputed in Python: an int32*int32
+                    # literal product (1e9 * N) overflows Catalyst's
+                    # constant folding under ANSI and wraps silently without
+                    + F.expr(
+                        f"({damping_e9} * dmass) div CAST({scale * n} AS BIGINT)"
+                    )
                 )
                 .cast("bigint")
                 .alias("r"),

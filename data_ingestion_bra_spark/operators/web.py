@@ -46,7 +46,37 @@ MULTI_SUFFIXES: tuple[str, ...] = (
 )
 
 #: Query parameters that carry tracking state, not content identity.
+#: Entries ending in '_' match as NAME PREFIXES (utm_source, utm_medium…);
+#: the rest match the exact param name — valueless ('fbclid') or valued
+#: ('fbclid=xyz'). Both ``clean_query`` and the DuckDB twin's predicate
+#: (``plans/web.py:_TRACKING_FILTER_SQL``) are GENERATED from this tuple,
+#: so the two engines cannot drift (round-7 ADVICE: the constant was dead
+#: code and the literal filter let a valueless 'fbclid' survive).
 TRACKING_PREFIXES: tuple[str, ...] = ("utm_", "fbclid", "gclid", "msclkid")
+
+
+def is_tracking_param(p: Column) -> Column:
+    """True iff query param ``p`` ('name' or 'name=value') is tracking
+    state per ``TRACKING_PREFIXES``."""
+    cond = F.lit(False)
+    for t in TRACKING_PREFIXES:
+        if t.endswith("_"):
+            cond = cond | p.startswith(t)
+        else:
+            cond = cond | (p == t) | p.startswith(t + "=")
+    return cond
+
+
+def tracking_filter_sql(var: str = "p") -> str:
+    """The DuckDB lambda-body twin of ``is_tracking_param`` — generated
+    from the SAME constant so the oracle predicate can't drift."""
+    terms = []
+    for t in TRACKING_PREFIXES:
+        if t.endswith("_"):
+            terms.append(f"starts_with({var}, '{t}')")
+        else:
+            terms.append(f"{var} = '{t}' OR starts_with({var}, '{t}=')")
+    return " OR ".join(terms)
 
 
 def _col(c: Column | str) -> Column:
@@ -88,16 +118,7 @@ def clean_query(url: Column | str) -> Column:
     exactly what URL-level dedup at 100 TB needs."""
     q = url_query(url)
     params = F.split(q, "&")
-    keep = F.filter(
-        params,
-        lambda p: ~(
-            p.startswith("utm_")
-            | p.startswith("fbclid=")
-            | p.startswith("gclid=")
-            | p.startswith("msclkid=")
-        )
-        & (p != ""),
-    )
+    keep = F.filter(params, lambda p: ~is_tracking_param(p) & (p != ""))
     return F.array_join(F.array_sort(keep), "&")
 
 
@@ -205,14 +226,20 @@ def robots_disallow_rules(robots_txt: Column | str, ua: str = "*") -> Column:
     group headed by ``User-agent: <ua>`` (up to the next User-agent line
     or end), then every ``Disallow: <path>`` value inside it. Empty
     Disallow values (allow-all) are dropped.
+
+    Line endings: RFC 9309 §2.3 allows CR, LF, or CRLF — the delimiters
+    accept ``\\r?\\n`` and rule values exclude the trailing ``\\r``
+    (round-7 ADVICE: an LF-only parser returned ZERO rules for a CRLF
+    robots.txt, silently failing OPEN — the opposite of the module's
+    when-in-doubt-drop politeness policy).
     """
     import re as _re
 
     x = _col(robots_txt)
     group = F.regexp_extract(
-        x, rf"(?s)User-agent: {_re.escape(ua)}\n(.*?)(?:User-agent: |$)", 1
+        x, rf"(?s)User-agent: {_re.escape(ua)}\r?\n(.*?)(?:User-agent: |$)", 1
     )
-    rules = F.regexp_extract_all(group, F.lit(r"Disallow: ([^\n]*)"), F.lit(1))
+    rules = F.regexp_extract_all(group, F.lit(r"Disallow: ([^\r\n]*)"), F.lit(1))
     return F.filter(rules, lambda p: p != "")
 
 

@@ -2410,13 +2410,68 @@ def text_token_counts_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal replaces over separator-wrapped symbols — real greedy BPE, zero
     UDFs, scan-resident. This is the token meter a trainer actually budgets
     by; the whitespace count rides along as the legacy proxy (the
-    ``text_token_counts`` twin keeps the regex-split tier). At 100 TB the
-    projection runs inside the scan stage — no shuffle, no explode."""
+    ``text_token_counts`` twin keeps the regex-split tier). Subword counts
+    route through the vocabulary join (the measured default: the merge
+    chain runs once per DISTINCT word, 7.7× faster than the scan-resident
+    chain at the same merges — ``operators/bpe.py`` docstring), densified
+    back to one row per document."""
     d = load_table(spark, sf_dir, "documents")
+    counts = bpe.doc_token_counts_dense(d, "doc_id", "text", _BPE_MERGES)
     return d.select(
-        "doc_id",
-        text.token_count_ws("text").alias("n_tokens_ws"),
-        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_tokens_subword"),
+        "doc_id", text.token_count_ws("text").alias("n_tokens_ws")
+    ).join(counts, "doc_id")
+
+
+@register(
+    "text_bpe_roundtrip",
+    rf"""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM documents, unnest(regexp_split_to_array(text, '[ \t\n\r\f]+')) AS t(w)
+      WHERE length(w) > 0
+    ),
+    v AS (SELECT DISTINCT w FROM words),
+    chk AS (
+      SELECT w,
+             CASE WHEN replace({bpe._encode_sql("w", _BPE_MERGES)}, '{bpe.SEP}', '') = w
+                  THEN 1 ELSE 0 END AS ok
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ok) AS BIGINT) AS n_roundtrip_ok
+    FROM words JOIN chk USING (w)
+    GROUP BY doc_id
+    """,
+    tags=("text", "tokenize", "bpe", "roundtrip", "llm-pipeline"),
+)
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens→text ROUNDTRIP pin: decodes every word's BPE token sequence
+    (``detokenize_expr`` = concatenation, the exact inverse of the merge
+    apply — BPE never rewrites bytes, only groups them) and counts the
+    words that survive encode→decode unchanged, per document. A lossless
+    tokenizer must report ``n_roundtrip_ok = n_words`` on every row — this
+    entry makes that a hash-checked corpus-wide invariant rather than a
+    unit-test sample. Scale shape: the encode chain runs once per DISTINCT
+    word (broadcast vocabulary), the corpus side is one explode + one
+    partial-aggregable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), bpe._WS_CLASS + "+")).alias("w")
+    ).filter(F.length("w") > 0)
+    decoded = bpe.detokenize_expr(bpe.word_tokens_expr(F.col("w"), _BPE_MERGES))
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select("w", F.when(decoded == F.col("w"), 1).otherwise(0).alias("ok"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("ok").cast("bigint").alias("n_roundtrip_ok"),
+        )
     )
 
 
@@ -2445,19 +2500,21 @@ def text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary shatters a word into; high fertility on a language
     means the tokenizer underserves it and its token budget buys less
     text). Exact integer arithmetic end-to-end: per-doc counts are
-    scan-resident BPE projections, the per-lang roll-up is one
-    partial-aggregable groupBy, and the ratio is integer
-    round-half-up cross-multiplication — no float in the schema."""
+    vocabulary-join totals keyed DIRECTLY by lang (summing c·t per group —
+    no per-doc join-back), the per-lang roll-up is one partial-aggregable
+    groupBy, and the ratio is integer round-half-up cross-multiplication —
+    no float in the schema."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "lang",
-        text.token_count_ws("text").alias("n_ws"),
-        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_sub"),
-    )
-    agg = t.groupBy("lang").agg(
+    sub = bpe.doc_token_counts_vocab_join(d, "lang", "text", _BPE_MERGES)
+    ws_agg = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_ws").cast("bigint").alias("n_tokens_ws"),
-        F.sum("n_sub").cast("bigint").alias("n_tokens_subword"),
+        F.sum(text.token_count_ws("text")).cast("bigint").alias("n_tokens_ws"),
+    )
+    agg = ws_agg.join(sub, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "n_tokens_ws",
+        F.coalesce("n_tokens_subword", F.lit(0)).cast("bigint").alias("n_tokens_subword"),
     )
     fert = F.expr(
         "(n_tokens_subword * 10000 + n_tokens_ws div 2) div n_tokens_ws"
@@ -2520,9 +2577,14 @@ def dedup_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     periodic data-quality job at 100 TB. All-integer outputs (round-half-up
     cross-multiplication means), hash-stable on any engine."""
     d = load_table(spark, sf_dir, "documents")
+    # localCheckpoint, not persist: the signature relation is consumed twice
+    # (banding + estimate) but a builder-scoped persist() is never
+    # unpersisted and leaked a cached relation per invocation for the
+    # session lifetime (round-7 ADVICE); the checkpointed RDD is
+    # reference-counted and GC-cleaned by ContextCleaner instead.
     sig = dedup.minhash_signatures(
         dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False), num_hashes=16
-    ).persist()
+    ).localCheckpoint(eager=True)
     cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
     est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
     sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
@@ -2578,9 +2640,11 @@ def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     of chars — what a trainer actually consumes; the char budget is only a
     proxy and the two demonstrably disagree (tests/test_operators.py packs
     a many-short-words doc and a few-long-words doc of EQUAL char length
-    into different pack counts). Same scale shape: chunk token counts are
-    row-local expressions, the running offset is one integer window per
-    doc, packing stays embarrassingly parallel by document."""
+    into different pack counts). Same scale shape: chunk token counts ride
+    the vocabulary join (the measured default) keyed by (doc_id,
+    chunk_idx) and densified so zero-token chunks keep their row, the
+    running offset is one integer window per doc, packing stays
+    embarrassingly parallel by document."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -2591,12 +2655,16 @@ def text_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         F.explode(F.sequence(F.lit(0), n_last.cast("bigint"))).alias("chunk_idx"),
-    )
-    piece = F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)")
-    chunks = chunks.select(
+    ).select(
         "doc_id",
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-        bpe.doc_token_count_expr(piece, _BPE_MERGES).alias("n_chunk_tokens"),
+        F.expr("substring(text, CAST(chunk_idx * 150 AS INT) + 1, 200)").alias(
+            "__piece"
+        ),
+    )
+    chunks = bpe.doc_token_counts_dense(
+        chunks, ["doc_id", "chunk_idx"], "__piece", _BPE_MERGES,
+        out_col="n_chunk_tokens",
     )
     w = (
         Window.partitionBy("doc_id")
@@ -3160,21 +3228,29 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DOMAIN dataset card: the ``corpus_mixture_report`` twin keyed by
     source domain instead of language — the grouping CCNet buckets by and
     DoReMi reweights. Token counts come from the TRAINED BPE tier (the
-    budget a trainer actually consumes), computed scan-resident per row and
-    partial-aggregated — one shuffle on the low-cardinality domain key at
-    any scale."""
+    budget a trainer actually consumes) via the vocabulary join keyed
+    directly by source (the measured default; summing c·t per domain needs
+    no per-doc join-back) — the roll-up stays one shuffle on the
+    low-cardinality domain key at any scale."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
+    sub = bpe.doc_token_counts_vocab_join(d, "source", "text", _BPE_MERGES)
+    agg = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
         F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens_ws"),
-        F.sum(bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES))
-        .cast("bigint")
-        .alias("n_tokens_subword"),
         F.sum(F.when(F.length("text") >= 150, 1).otherwise(0))
         .cast("bigint")
         .alias("n_quality_len"),
+    )
+    return agg.join(sub, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "n_chars",
+        "n_tokens_ws",
+        F.coalesce("n_tokens_subword", F.lit(0)).cast("bigint").alias("n_tokens_subword"),
+        "n_quality_len",
     )
 
 
@@ -3208,16 +3284,14 @@ def sample_weighted_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     h < 2^24, so an int64 product would silently wrap under non-ANSI Spark
     once a domain exceeds ~5.5e11 subword tokens — exactly the corpus size
     this operator exists for.
-    Scale shape: one partial-agg for the ~|domains|-row totals table,
-    broadcast back, then a scan-resident filter — the corpus never
-    shuffles."""
+    Scale shape: per-doc token counts via the vocabulary join (the
+    measured default), one partial-agg for the ~|domains|-row totals
+    table, broadcast back, then a scan-resident filter."""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        "source",
-        bpe.doc_token_count_expr(F.col("text"), _BPE_MERGES).alias("n_tok"),
+    tok = bpe.doc_token_counts_dense(
+        d, ["doc_id", "source"], "text", _BPE_MERGES, out_col="n_tok"
     )
     # min_tok rides on the totals table via an unpartitioned window over the
     # ~|domains|-row aggregate (not a 1-row crossJoin, which would plan a

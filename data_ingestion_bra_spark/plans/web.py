@@ -76,9 +76,14 @@ _URL_SYNTH_SQL = """
       || CASE WHEN doc_id % 2 = 0 THEN '#Top' ELSE '' END
 """
 
+#: Tracking-param predicate GENERATED from the same constant the Spark
+#: filter uses (operators/web.py:TRACKING_PREFIXES) — the two engines
+#: cannot drift.
+_TRACKING_FILTER_SQL = web.tracking_filter_sql("p")
+
 #: DuckDB URL component extraction (regex stand-in for parse_url; verified
 #: hash-equal against the JVM parser over the fixture space).
-_URL_PARTS_SQL = r"""
+_URL_PARTS_SQL = rf"""
     parts AS (
       SELECT doc_id, n_chars, source, url,
              lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
@@ -94,8 +99,7 @@ _URL_PARTS_SQL = r"""
       SELECT *,
              array_to_string(
                list_sort(list_filter(string_split(query, '&'),
-                 p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
-                           OR starts_with(p, 'gclid=') OR starts_with(p, 'msclkid='))
+                 p -> NOT ({_TRACKING_FILTER_SQL})
                       AND p <> '')), '&') AS nq,
              string_split(host, '.') AS labels
       FROM parts
@@ -702,8 +706,8 @@ def _synth_robots_col() -> F.Column:
              list_filter(
                regexp_extract_all(
                  regexp_extract({_ROBOTS_SYNTH_SQL},
-                   '(?s)User-agent: \\*\n(.*?)(?:User-agent: |$)', 1),
-                 'Disallow: ([^\n]*)', 1),
+                   '(?s)User-agent: \\*\r?\n(.*?)(?:User-agent: |$)', 1),
+                 'Disallow: ([^\r\n]*)', 1),
                p -> p <> '') AS dis
       FROM domains
     )
@@ -791,20 +795,25 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed by), characters, and the TRAINED-BPE subword token budget (what
     the trainer actually schedules against). One composition of three
     verified tiers: LSH components → cluster-keyed split assignment →
-    scan-resident BPE token counts → one partial-aggregable groupBy. At
-    100 TB the only costs above the already-benched LSH pass are a hash
-    projection and one small-cardinality aggregate."""
+    vocabulary-join BPE token counts (the measured default,
+    ``operators/bpe.py`` docstring) → one partial-aggregable groupBy. At
+    100 TB the only costs above the already-benched LSH pass are the
+    vocabulary join and one small-cardinality aggregate."""
     from data_ingestion_bra_spark.operators import bpe as _bpe
 
     merges = _bpe.load_merges()
     d = load_table(spark, sf_dir, "documents")
     comp = _lsh_dup_components(d)
-    assign = d.join(comp, d["doc_id"] == comp["doc"], "left").select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        _bpe.doc_token_count_expr(F.col("text"), merges).alias("n_tok"),
-        F.coalesce(comp["cluster_id"], d["doc_id"]).alias("cluster_id"),
+    tok = _bpe.doc_token_counts_dense(d, "doc_id", "text", merges, out_col="n_tok")
+    assign = (
+        d.join(comp, d["doc_id"] == comp["doc"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.coalesce(comp["cluster_id"], d["doc_id"]).alias("cluster_id"),
+        )
+        .join(tok, "doc_id")
     )
     bucket = (
         F.conv(

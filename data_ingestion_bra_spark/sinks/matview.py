@@ -15,7 +15,9 @@ the (key-domain-sized) prior state, and one atomic overwrite commit of the
 view. The view itself is a txlog table, so refreshes are snapshot-isolated
 and carry the applied source version in commit metadata — a crashed or
 replayed refresh recomputes the same deterministic state, and a concurrent
-duplicate refresh loses the publish race and retries into a no-op.
+duplicate refresh loses the publish race and returns ``{"refreshed": False,
+"conflict": True}`` (the winner's state is current; the next call
+re-reads ``last_applied_version`` and no-ops or catches up).
 
 Correctness contract (tested): after any sequence of source commits
 (append / row-level DELETE / MERGE), ``refresh_agg_view`` brings the view
@@ -31,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_bra_spark.sinks.txlog import (
+    CommitConflict,
     _read_log,
     commit_overwrite_partition,
     read_changes,
@@ -97,6 +100,14 @@ def refresh_agg_view(
     aggregates the delta, merges it with the prior state by one groupBy,
     drops zero-count keys, and commits the new state atomically with
     ``src_version`` in the commit metadata. Returns a summary dict.
+
+    A window of only NON-data commits (an OPTIMIZE/compaction, a DELETE that
+    matched no rows) yields an empty change feed: the refresh still commits,
+    carrying the state forward unchanged but advancing ``src_version`` so
+    the window never re-scans (round-7 ADVICE fix — this used to raise).
+    A refresh that loses a concurrent publish race returns ``{"refreshed":
+    False, "conflict": True}`` instead of raising ``CommitConflict``; the
+    next call re-reads ``last_applied_version`` and self-heals.
     """
     cur = source_version(source_dir)
     last = last_applied_version(view_dir)
@@ -125,13 +136,24 @@ def refresh_agg_view(
         applied_from = last + 1
 
     new_state = merged.filter(F.col("n_rows") > 0)
-    version = commit_overwrite_partition(
-        new_state,
-        view_dir,
-        partition_key=_VIEW_PARTITION[0],
-        partition_value=_VIEW_PARTITION[1],
-        meta={"src_version": cur, "op_kind": "matview_refresh"},
-    )
+    try:
+        version = commit_overwrite_partition(
+            new_state,
+            view_dir,
+            partition_key=_VIEW_PARTITION[0],
+            partition_value=_VIEW_PARTITION[1],
+            meta={"src_version": cur, "op_kind": "matview_refresh"},
+        )
+    except CommitConflict:
+        # a concurrent refresh published first; its state is at least as
+        # fresh as ours would have been — safe to drop this attempt (no
+        # double-count is possible, the overwrite is all-or-nothing)
+        return {
+            "refreshed": False,
+            "src_version": cur,
+            "applied_from": applied_from,
+            "conflict": True,
+        }
     return {
         "refreshed": True,
         "src_version": cur,

@@ -730,8 +730,16 @@ def read_changes(
                     )
                 )
     if not parts:
-        raise ValueError(
-            f"no data-changing commits in [{from_version}, {to_version}]"
+        # A valid window of only non-data commits (compaction/OPTIMIZE, a
+        # DELETE/MERGE that touched no rows) is an EMPTY change feed, not an
+        # error: raising here crashed the incremental matview refresh — and
+        # the streaming acid_batch_writer_with_view hook — whenever an
+        # OPTIMIZE landed between refreshes (round-7 ADVICE). Schema comes
+        # from the snapshot at to_version so downstream column references
+        # still resolve.
+        empty = read_snapshot(spark, table_dir, to_version).limit(0)
+        return empty.withColumn("_change_type", F.lit("insert")).withColumn(
+            "_commit_version", F.lit(0).cast("int")
         )
     out = parts[0]
     for df in parts[1:]:

@@ -182,3 +182,52 @@ def test_streaming_view_maintenance_end_to_end(tmp_path, spark):
     assert _view(spark, view) == _expected(spark, src)
     total = txlog.read_snapshot(spark, src).count()
     assert total == 30
+
+
+def test_refresh_over_compaction_only_window_is_a_noop_that_advances(tmp_path, spark):
+    """Round-7 ADVICE: a refresh window containing only non-data-changing
+    commits (OPTIMIZE/compaction) used to crash refresh_agg_view via
+    read_changes' 'no data-changing commits' ValueError. It must instead
+    no-op the state, still advance src_version, and leave the view equal to
+    the full recompute."""
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    for k in range(4):
+        txlog.commit_append(_rows(spark, [(k, k * 10, "a")]).coalesce(1), src)
+    refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert txlog.compact(spark, src, target_bytes=1 << 20) is not None
+    r = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r["refreshed"] is True
+    assert last_applied_version(view) == r["src_version"]
+    assert _view(spark, view) == _expected(spark, src)
+    # and the NEXT refresh is a clean no-op (window fully applied)
+    r2 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r2["refreshed"] is False
+
+
+def test_losing_publish_race_returns_conflict_not_raise(tmp_path, spark, monkeypatch):
+    """Round-7 ADVICE: the docstring promised the losing concurrent refresh
+    degrades to a no-op, but CommitConflict propagated. Simulate losing the
+    race by having the conflict checker see a concurrent commit."""
+    from data_ingestion_bra_spark.sinks import matview as mv
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    txlog.commit_append(_rows(spark, [(1, 10, "a")]), src)
+
+    def always_conflict(*a, **kw):
+        raise txlog.CommitConflict("concurrent refresh won the publish race")
+
+    monkeypatch.setattr(mv, "commit_overwrite_partition", always_conflict)
+    r = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r == {
+        "refreshed": False,
+        "src_version": 0,
+        "applied_from": 0,
+        "conflict": True,
+    }
+    monkeypatch.undo()
+    # the retry (no concurrent writer now) succeeds and converges
+    r2 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r2["refreshed"] is True
+    assert _view(spark, view) == _expected(spark, src)

@@ -89,9 +89,12 @@ def test_compact_preserves_rows_and_is_skipped_by_cdf(spark, tmp_path):
     # pre-compaction layout remains time-travelable
     assert len(txlog.snapshot(t, version=3).files) == 4
     assert _rows(spark, t, version=3) == before
-    # data_change: false → the CDF window over the compaction alone is empty
-    with pytest.raises(ValueError, match="no data-changing"):
-        txlog.read_changes(spark, t, 4, 4)
+    # data_change: false → the CDF window over the compaction alone is an
+    # EMPTY typed frame (raising here crashed matview refreshes after an
+    # OPTIMIZE — round-7 ADVICE), with the change-feed columns resolvable
+    ch = txlog.read_changes(spark, t, 4, 4)
+    assert ch.count() == 0
+    assert {"_change_type", "_commit_version"} <= set(ch.columns)
 
 
 def test_compact_noop_below_two_small_files(spark, tmp_path):

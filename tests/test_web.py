@@ -244,3 +244,37 @@ def test_registered_domain_single_label_host(spark):
     r = _one(spark, "https://localhost:8443/x")
     assert r["regdom"] == "localhost"
     assert r["norm"] == "https://localhost:8443/x"
+
+
+def test_robots_crlf_line_endings_parse_identically(spark):
+    """RFC 9309 allows CR/LF/CRLF line endings. Round-7 ADVICE: the LF-only
+    parser returned ZERO rules for a CRLF robots.txt — robots_blocked then
+    failed OPEN (nothing blocked), the opposite of the politeness policy.
+    CRLF must parse to the same rule array as LF, with no trailing \\r on
+    the captured values."""
+    crlf = ROBOTS.replace("\n", "\r\n")
+    out = (
+        spark.range(1)
+        .select(F.lit(crlf).alias("robots"))
+        .select(web.robots_disallow_rules("robots", "*").alias("dis"))
+        .first()
+    )
+    assert out["dis"] == ["/private", "/tmp"]
+
+
+def test_clean_query_strips_valueless_tracking_params(spark):
+    """Round-7 ADVICE: TRACKING_PREFIXES was dead code and the literal
+    filter matched only 'fbclid=' — a bare valueless 'fbclid' survived
+    normalization, keeping otherwise-identical URLs hash-distinct. The
+    filter is now generated from the constant: bare name, name=value, and
+    utm_* prefixes all drop; lookalikes (fbclid2=x) survive."""
+    r = _one(spark, "https://ex.com/p?fbclid&z=1&gclid=abc&utm_medium=m&fbclid2=x")
+    assert r["norm"] == "https://ex.com/p?fbclid2=x&z=1"
+
+
+def test_tracking_filter_sql_mirrors_spark_constant():
+    sql = web.tracking_filter_sql("p")
+    for t in web.TRACKING_PREFIXES:
+        assert t in sql
+    assert "starts_with(p, 'utm_')" in sql
+    assert "p = 'fbclid'" in sql and "starts_with(p, 'fbclid=')" in sql
