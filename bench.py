@@ -509,13 +509,14 @@ def _contamination_stress(spark, sf10: str) -> dict:
     n_exact = finish(cand).count()
     out["exact_broadcast_sec"] = round(time.perf_counter() - t0, 3)
 
-    # auto-size: ~10 bits per member, power of two (k=3 → fpp ~1%)
+    # auto-size: ~10 bits per member, power of two (k=3 → fpp ~1%);
+    # Spark-side build (no driver round-trip, no task-closure bitmap)
     m_bits = 1 << max(16, (10 * n_shingles).bit_length())
     t0 = time.perf_counter()
-    words = bloom.build_bloom_words(bset, "shingle", m_bits=m_bits)
-    bf = bloom.bloom_dataframe(spark, words)
+    bf = bloom.build_bloom_df(bset, "shingle", m_bits=m_bits).persist()
     n_bloom = finish(bloom.bloom_prefilter(cand, "shingle", bf, m_bits=m_bits)).count()
     out["bloom_prefilter_sec"] = round(time.perf_counter() - t0, 3)
+    bf.unpersist()
     out["rows_equal"] = bool(n_exact == n_bloom)
     out["n_flagged_docs"] = n_exact
     # The quantity a single box CANNOT show in wall-clock (its 'broadcast'
@@ -584,11 +585,13 @@ def _contamination_crossover(spark, sf10: str) -> dict:
     # bitmap build is ONE-TIME for a static benchmark set (the production
     # regime: build once, screen every corpus batch) — timed separately;
     # the exact variant's broadcast hash relation has no such amortization,
-    # Spark rebuilds it per query.
+    # Spark rebuilds it per query. Spark-side build + persist: the former
+    # driver round-trip embedded the ~20 MB word array in a task closure
+    # on EVERY probe query (round-7's TaskSetManager large-task warnings).
     t0 = time.perf_counter()
-    words = bloom.build_bloom_words(bset, "shingle", m_bits=m_bits)
+    bf = bloom.build_bloom_df(bset, "shingle", m_bits=m_bits).persist()
+    bf.count()  # materialize: the build cost, not the first probe's
     bloom_build_sec = round(time.perf_counter() - t0, 3)
-    bf = bloom.bloom_dataframe(spark, words)
 
     def bloom_path():
         # ONE pass over the corpus: codegen bitmap probes drop ~all
@@ -627,6 +630,7 @@ def _contamination_crossover(spark, sf10: str) -> dict:
     out["rows_equal"] = bool(len(set(results.values())) == 1)
     out["n_flagged_docs"] = results["exact_broadcast"]
     bset.unpersist()
+    bf.unpersist()
     return out
 
 

@@ -81,8 +81,66 @@ def build_bloom_words(
 
 
 def bloom_dataframe(spark: SparkSession, words: list[int]) -> DataFrame:
-    """The bitmap as a 1-row broadcastable DataFrame (column ``bf``)."""
+    """The bitmap as a 1-row broadcastable DataFrame (column ``bf``).
+
+    DRIVER-LOCAL construction — only for bitmaps that are already on the
+    driver and SMALL (the 128 KiB default). ``createDataFrame`` routes
+    through ``sc.parallelize``, which embeds the pickled row in a task:
+    round 7's crossover bench shipped a 2M-word bitmap this way and every
+    build stage carried a 19,986 KiB task (the driver log's
+    ``TaskSetManager`` large-task warnings). Big bitmaps use
+    ``build_bloom_df`` instead, which never materializes the words on the
+    driver at all."""
     return spark.createDataFrame([(words,)], "bf array<bigint>")
+
+
+def build_bloom_df(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """The 1-row bitmap DataFrame built ENTIRELY Spark-side — the scale
+    path (round-7 verdict item 4: kill the 20 MB task closures).
+
+    ``build_bloom_words`` + ``bloom_dataframe`` round-trips the bitmap
+    through the driver and back out via ``sc.parallelize``, embedding the
+    pickled word array (~20 MB at the 8M-key sizing) into a task closure —
+    per-task serialization overhead on a real cluster. Here the bitmap
+    never exists driver-side: probe positions aggregate into words with
+    one ``bit_or`` groupBy (map-side combinable), a ``spark.range`` left
+    join densifies the zero words, and ``array_sort(collect_list(struct))``
+    assembles the single m/64-element array executor-side. The only
+    driver traffic is the broadcast collect that ``bloom_prefilter``'s
+    join performs anyway — m/8 bytes, the operator's designed footprint.
+
+    Output is bit-identical to ``bloom_dataframe(build_bloom_words(...))``
+    (pytest-pinned): same positions, same two's-complement word values.
+    Callers persist the returned 1-row frame when probing multiple times
+    (the build-once / screen-many production regime)."""
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    spark = df.sparkSession
+    pos = df.select(
+        F.explode(F.array(*bloom_bit_positions(F.col(col), m_bits, seeds))).alias("p")
+    ).distinct()
+    set_words = pos.groupBy(F.shiftrightunsigned(F.col("p"), 6).alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT)))").alias(
+            "word"
+        )
+    )
+    dense = (
+        spark.range(m_bits // 64)
+        .withColumnRenamed("id", "w")
+        .join(set_words, "w", "left")
+        .select("w", F.coalesce("word", F.lit(0).cast("bigint")).alias("word"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "word"))), lambda s: s["word"]
+        ).alias("bf")
+    )
 
 
 def bloom_prefilter(

@@ -584,6 +584,27 @@ def test_bloom_prefilter_no_false_negatives_and_filters(spark):
     assert n_fp < 20, n_fp  # fpp < 1% at 200 members in 2^20 bits
 
 
+def test_bloom_spark_side_build_is_bit_identical_to_driver_build(spark):
+    """build_bloom_df (groupBy bit_or + dense range join + executor-side
+    array assembly — the no-driver-round-trip scale path that killed the
+    round-7 20 MB task closures) must produce EXACTLY the word array the
+    numpy driver build produces, including zero words and two's-complement
+    sign, at a non-default m_bits."""
+    from data_ingestion_bra_spark.operators import bloom
+
+    members = spark.createDataFrame(
+        [(f"member shingle {i}",) for i in range(500)], "shingle string"
+    )
+    m_bits = 1 << 17
+    driver_words = bloom.build_bloom_words(members, "shingle", m_bits=m_bits)
+    spark_words = bloom.build_bloom_df(members, "shingle", m_bits=m_bits).first()["bf"]
+    assert list(spark_words) == driver_words
+    assert len(spark_words) == m_bits // 64
+    # and the prefilter contract holds through the Spark-side bitmap
+    bf = bloom.build_bloom_df(members, "shingle", m_bits=m_bits)
+    assert bloom.bloom_prefilter(members, "shingle", bf, m_bits=m_bits).count() == 500
+
+
 def test_bloom_matches_exact_contamination(spark):
     """The bloom-prefiltered contamination check is bit-identical to the
     exact broadcast-join variant on the fixture corpus."""
