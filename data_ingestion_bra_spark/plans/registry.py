@@ -215,6 +215,16 @@ GATE_ORDER: tuple[str, ...] = (
     #      web_robots_filter register below the window — their stages
     #      (WARC parse, HTML strip, URL policy, exact dedup) are each
     #      gated individually.
+    # Round-8 rotation (tokens→text decode gets driver credit):
+    # IN:  text_bpe_roundtrip (detokenize = exact inverse of the merge
+    #      apply, counted per doc — pins the trained-BPE encoding lossless
+    #      corpus-wide under the driver's hash gate; round-7 verdict
+    #      item 6).
+    # OUT: filter_project_segment (P1/P2 projection + equality filter run
+    #      VERBATIM inside nearly every gated entry — flagship joins,
+    #      text/curation tiers, the pushdown plan-assertions in
+    #      tests/test_plans.py keep the PushedFilters evidence; stays
+    #      hash-verified below the window).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
@@ -250,13 +260,13 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_contamination_bloom",
     "dedup_contamination_auto",
     "text_pack_sequences_bpe",
+    "text_bpe_roundtrip",
     "txlog_time_travel",
     "txlog_incremental_matview",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",
-    "filter_project_segment",
     "join_customers_per_region",
     # PII scrub is a first-class curation capability; the semi-join it
     # displaces stays driver-covered through sole_returning_suppliers
