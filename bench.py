@@ -117,6 +117,10 @@ SF10_QUERIES = [
     "curation_ccnet_pipeline",
     "incremental_merge_upsert",
     "scd2_event_type_history",
+    # round-8 additions: the BPE default flip's consequence at 100x (the
+    # vocab join's chain cost is corpus-size-free) and the web front door.
+    "text_token_counts_subword",
+    "curation_web_pipeline",
 ]
 
 
@@ -1061,6 +1065,7 @@ EXTENDED_QUERIES = [
     "txlog_incremental_matview",
     "text_bpe_fertility_by_lang",
     "text_bpe_roundtrip",
+    "similarity_topk_ivfpq",
     "dedup_lsh_calibration",
     "corpus_dataset_card",
 ]
@@ -1284,14 +1289,17 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         (
             "skew",
             "SPARK_GRAFT_SKIP_SKEW",
-            60,
+            110,
             lambda: payload.__setitem__("skew_bench", _skew_bench(spark)),
         ),
-        ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 100, incremental),
-        ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 80, bpe_bench),
-        ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 60, simhash_vocab),
-        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 90, ivf_build),
-        ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 120, pagerank_scale),
+        # estimates re-synced to the round-8 clean full run's measured
+        # section_seconds (idle box, +headroom): skew 95, incremental 97,
+        # bpe 108, simhash 67, ivf_build 291, pagerank 66
+        ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 120, incremental),
+        ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 130, bpe_bench),
+        ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
+        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
+        ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
         ("sf10_scaling", None if sf10 else "1", 150, sf10_section),
         ("semdedup_scale", "SPARK_GRAFT_SKIP_SEMDEDUP", 500, semdedup),
         (

@@ -212,6 +212,107 @@ def adc_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    inverted_lists: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+    n_probe: int = 2,
+    shortlist: int = 20,
+    k_top: int = 5,
+) -> DataFrame:
+    """IVF-PQ+R — the full Jégou et al. (TPAMI 2011, §VII) serve pipeline,
+    composed from the two verified tiers:
+
+    1. **IVF cell pruning**: queries multi-probe their ``n_probe`` nearest
+       cells (broadcast centroids); candidates come from the PERSISTED
+       inverted lists by cell equi-join — cost tracks cell sizes, never
+       the corpus.
+    2. **ADC in the compressed domain**: per-query integer LUT (m*k rows,
+       broadcast) joined to the candidates' stored codes — each candidate
+       is ``m`` adds against 4 bytes of state, and only cell-pruned
+       candidates are ever scored (the piece neither tier had alone:
+       ``similarity_topk_ivf`` scores full vectors, ``similarity_pq_adc``
+       scans every code).
+    3. **Exact re-rank**: the ``shortlist`` ADC survivors join back to the
+       full-precision vectors for an exact integer-L2 top-``k_top``.
+
+    At 100 TB: the index artifacts (centroids m*k codebook, 4-byte codes,
+    cell ids) are the only per-corpus state the query path reads; the
+    full-precision read is |queries| × shortlist rows. All arithmetic
+    BIGINT (the two tiers' own primitives), so the SQL oracle replays the
+    whole composition bit-for-bit. Output (query_id, rank, cand_id,
+    l2_dist), rank by (l2_dist asc, cand_id asc)."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_bra_spark.operators.similarity import assign_cells
+
+    qcells = assign_cells(
+        queries, centroids, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, spread=False,
+    ).select(F.col("vid").alias("query_id"), "cell")
+    cand = (
+        F.broadcast(qcells)
+        .join(inverted_lists.select(F.col("vid").alias("cand_id"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()  # multi-probe may reach a candidate via two cells
+    )
+    qsub = subvectors(
+        queries, id_col=id_col, vec_col=vec_col, dim=dim, m=m
+    ).withColumnRenamed(id_col, "query_id")
+    lut = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("pdist")
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed(id_col, "cand_id"), "cand_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").cast("bigint").alias("adc_dist"))
+    )
+    order = [F.col("adc_dist").asc(), F.col("cand_id").asc()]
+    salted = Window.partitionBy("query_id", F.col("cand_id") % 64).orderBy(*order)
+    ws = Window.partitionBy("query_id").orderBy(*order)
+    short = (
+        adc.withColumn("srank", F.row_number().over(salted))
+        .filter(F.col("srank") <= shortlist)
+        .withColumn("rank", F.row_number().over(ws))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(F.col(vec_col)).alias("qv")
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("cand_id"), quantize_expr(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        short.join(cv, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "cand_id", _isq_dist(F.col("qv"), F.col("cv")).alias("l2_dist"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("cand_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cand_id",
+            "l2_dist",
+        )
+    )
+
+
 def adc_rerank(
     queries: DataFrame,
     codes: DataFrame,

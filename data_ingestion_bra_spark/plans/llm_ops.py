@@ -3548,3 +3548,121 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.pq_encode(vecs, cb)
     queries = vecs.filter(F.col("vec_id") % 97 == 0)
     return pq.adc_topk(queries, codes, cb)
+
+
+def _ivfpq_oracle(*, n_probe: int = 2, shortlist: int = 20, k_top: int = 5) -> str:
+    """DuckDB twin of the COMPOSED IVF-PQ+R pipeline: the IVF oracle's
+    unrolled-Lloyd centroid CTEs (shared source of truth,
+    ``_kmeans_oracle_ctes``) generate the cell-pruned candidate pairs, the
+    PQ oracle's codebook/encode CTEs (pq-prefixed to avoid colliding with
+    the Lloyd chain's asg1/exp1 names) score them by ADC, and the shortlist
+    re-ranks by exact integer L2 — every step BIGINT, bit-exact."""
+    isq = (
+        "list_sum(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    argmin = "(min({{'d': " + isq + ", 'c': code}})).c"
+    cent_sql, final_cent, asg_sim = _kmeans_oracle_ctes(1, 0.5)
+    return (
+        "WITH "
+        + _VEC_CTE
+        + ",\n    "
+        + cent_sql
+        + f""",
+    asgq AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM (SELECT * FROM n WHERE vec_id < 10) nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn <= {n_probe}
+    ),
+    asgf AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM n nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT DISTINCT q.vid AS query_id, f.vid AS cand_id
+      FROM asgq q JOIN asgf f USING (cell) WHERE q.vid <> f.vid
+    ),
+    psub AS (SELECT vec_id, ss.s, e[ss.s * 8 + 1 : ss.s * 8 + 8] AS sub
+             FROM v CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS s) ss),
+    pcb0 AS (SELECT s,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1
+                         AS INT) AS code,
+                    sub AS cvec
+             FROM psub WHERE vec_id < 16),
+    pasg1 AS (SELECT vec_id, s, {argmin.format(a="sub", b="cvec")} AS code
+              FROM psub JOIN pcb0 USING (s) GROUP BY vec_id, s),
+    pexp1 AS (SELECT a.s, a.code, unnest(b.sub) AS x,
+                     unnest(range(1, len(b.sub) + 1)) AS pos
+              FROM pasg1 a JOIN psub b USING (vec_id, s)),
+    pcb1 AS (SELECT s, code, list(cx ORDER BY pos) AS cvec FROM (
+               SELECT s, code, pos,
+                      CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cx
+               FROM pexp1 GROUP BY s, code, pos) GROUP BY s, code),
+    pcodes AS (SELECT vec_id, s, {argmin.format(a="sub", b="cvec")} AS code
+               FROM psub JOIN pcb1 USING (s) GROUP BY vec_id, s),
+    lut AS (SELECT q.vec_id AS query_id, q.s, c.code,
+                   CAST({isq.format(a="q.sub", b="c.cvec")} AS BIGINT) AS pdist
+            FROM (SELECT * FROM psub WHERE vec_id < 10) q JOIN pcb1 c USING (s)),
+    adc AS (SELECT cand.query_id, cand.cand_id,
+                   CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+            FROM cand
+            JOIN pcodes pc ON pc.vec_id = cand.cand_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.s = pc.s AND l.code = pc.code
+            GROUP BY 1, 2),
+    short AS (SELECT query_id, cand_id FROM (
+                SELECT adc.*, row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY adc_dist, cand_id) AS rn
+                FROM adc) WHERE rn <= {shortlist}),
+    exact AS (SELECT s.query_id, s.cand_id,
+                     CAST({isq.format(a="qv.e", b="cv.e")} AS BIGINT) AS l2_dist
+              FROM short s
+              JOIN v qv ON qv.vec_id = s.query_id
+              JOIN v cv ON cv.vec_id = s.cand_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY l2_dist, cand_id) AS rank
+          FROM exact)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id, l2_dist
+    FROM r WHERE rank <= {k_top}
+    """
+    )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    _ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "llm-pipeline"),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ+R — the composed production ANN serve path (Jégou et al.
+    2011 §VII; the architecture behind FAISS's IVFPQ index, built here
+    from the repo's two verified tiers): IVF cell pruning bounds WHICH
+    candidates are scored (persisted inverted lists, broadcast trained
+    centroids, 2-probe queries), ADC bounds WHAT scoring a candidate
+    costs (8 integer adds against 4 bytes of code state, per-query LUT
+    broadcast), and the 20-candidate shortlist re-ranks by exact integer
+    L2 against full-precision vectors. The piece neither standalone entry
+    exercises: `similarity_topk_ivf` scores full vectors per candidate,
+    `similarity_pq_adc` scans every code in the corpus; this scores ONLY
+    cell-pruned candidates in the compressed domain.
+
+    At 100 TB the query path reads: centroids + codebook (broadcast),
+    inverted-list cell ids, 4-byte codes for probed cells, and
+    |queries| × shortlist full vectors — never the corpus. All BIGINT
+    (both tiers' own primitives), so the oracle replays IVF training,
+    PQ training, encoding, pruning, ADC, and the re-rank bit-for-bit."""
+    from data_ingestion_bra_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, lists = similarity.load_or_build_ivf_index(
+        spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
+    )
+    cb = pq.pq_train(emb)
+    codes = pq.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq.ivfpq_topk(queries, lists, cents, codes, cb, emb)

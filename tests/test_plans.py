@@ -115,9 +115,12 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - text_bm25_topk: the 1-row corpus-stats frame (N, avgdl) broadcasts onto
 #    the |query-terms|-row document-frequency table (1 × |terms| rows
 #    TOTAL); the per-document tables join only by equi-keys.
+#  - similarity_topk_ivfpq: same broadcast-centroid assignment shape as
+#    similarity_topk_ivf for the query-side cell probe (|queries| × k).
 BNLJ_ALLOWED = {
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
     "events_asof_purchase_click",
     "events_range_join_clicks_before_purchase",
     "dedup_contamination_bloom",
