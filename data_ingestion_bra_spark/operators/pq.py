@@ -212,6 +212,38 @@ def adc_topk(
     )
 
 
+def pq_encode_with_err(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = M_SUB,
+) -> DataFrame:
+    """(id, s, code, qerr): ``pq_encode`` plus the winning codeword's exact
+    integer squared-L2 quantization error — the PQ analogue of the IVF
+    tier's winner-centroid cosine, and the drift signal streaming code
+    maintenance monitors (mean qerr grows when arriving vectors leave the
+    distribution the codebook was trained on). Same plan shape as
+    ``pq_encode``: one broadcast codebook join + a map-side-combinable
+    struct-min groupBy; the error rides the min struct for free."""
+    sub = subvectors(vectors, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
+    assigned = sub.join(F.broadcast(codebook), "s").select(
+        id_col, "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("dist")
+    )
+    return (
+        assigned.groupBy(id_col, "s")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"))
+        .select(
+            id_col,
+            "s",
+            F.col("best.code").alias("code"),
+            F.col("best.dist").alias("qerr"),
+        )
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     inverted_lists: DataFrame,
