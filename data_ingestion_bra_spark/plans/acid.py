@@ -340,3 +340,105 @@ def txlog_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txlog.read_snapshot(spark, view).select(
         "o_orderstatus", "n_rows", "sum_tp_e2"
     )
+
+
+def _restore_clone_dirs(sf_dir: str) -> tuple[str, str]:
+    base = _REPO_ROOT / ".data" / "restore_clone_demo" / Path(sf_dir).name
+    return str(base / "src"), str(base / "clone")
+
+
+def _ensure_restore_clone(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotently build the restore/clone demo (keys make replays
+    no-ops):
+
+    src:   v0 APPEND  orders rows with ``o_orderkey % 4 <= 1``
+           v1 DELETE  ``k % 8 = 1`` (copy-on-write rewrite)
+           v2 RESTORE to v0 (metadata-only undo of the delete)
+    clone: shallow clone of src@v1 (the deleted state, pinned)
+           c1 DELETE ``k % 4 = 0`` on the CLONE only
+    """
+    src, clone = _restore_clone_dirs(sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+    if txlog.committed_version(src, "rc-v0") is None:
+        txlog.commit_append(
+            orders.filter(F.col("k") % 4 <= 1), src, idempotency_key="rc-v0"
+        )
+    txlog.commit_delete(spark, src, "k % 8 = 1", idempotency_key="rc-v1")
+    txlog.restore(src, 0, idempotency_key="rc-v2")
+    if txlog.committed_version(clone, "rcc-v0") is None:
+        txlog.clone_shallow(src, clone, version=1, meta={"txn": "rcc-v0"})
+    txlog.commit_delete(spark, clone, "k % 4 = 0", idempotency_key="rcc-v1")
+    return src, clone
+
+
+def _label_fingerprint(df: DataFrame, label: str) -> DataFrame:
+    return df.agg(
+        F.lit(label).alias("label"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(k, s))),"
+                    " x -> concat(x.k, ':', x.s))"
+                ),
+            )
+        ).alias("content_md5"),
+    )
+
+
+@register(
+    "txlog_restore_clone",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s FROM orders
+      WHERE o_orderkey % 4 <= 1
+    ),
+    states AS (
+      SELECT 'src_restored_tip' AS label, k, s FROM base
+      UNION ALL SELECT 'src_v1', k, s FROM base WHERE k % 8 <> 1
+      UNION ALL SELECT 'clone_final', k, s FROM base
+        WHERE k % 8 <> 1 AND k % 4 <> 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           md5(string_agg(k || ':' || s, ',' ORDER BY k)) AS content_md5
+    FROM states GROUP BY label
+    """,
+    tags=("acid", "txlog", "restore", "clone", "sink"),
+)
+def txlog_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE + shallow CLONE through the transaction log
+    (``sinks/txlog.py:restore/clone_shallow``, the published Delta
+    RESTORE/CLONE semantics): the source appends, row-level-deletes, then
+    RESTOREs to v0 — a metadata-only commit re-referencing the deleted
+    state's immutable files; a shallow clone pins src@v1 (the deleted
+    state) by reference and then deletes further rows INDEPENDENTLY.
+
+    Fingerprinting three states proves the whole story at once: the
+    restored tip equals the original v0 rows exactly (restore undid the
+    delete without rewriting a byte), src@v1 still time-travels to the
+    deleted state (restore moved the tip, not history), and the clone's
+    final state composes the pinned v1 state with only the CLONE's own
+    delete (zero copy, zero interference — its copy-on-write rewrite
+    landed under the clone's directory while the source restored the very
+    rows the clone deleted).
+
+    Scale shape: restore and clone are each ONE KB-scale log write no
+    matter the table size — at 100 TB both stay O(files-in-log) metadata
+    operations; only the clone's own DELETE rewrites (its touched) files."""
+    src, clone = _ensure_restore_clone(spark, sf_dir)
+    parts = [
+        _label_fingerprint(
+            txlog.read_snapshot(spark, src), "src_restored_tip"
+        ),
+        _label_fingerprint(
+            txlog.read_snapshot(spark, src, version=1), "src_v1"
+        ),
+        _label_fingerprint(txlog.read_snapshot(spark, clone), "clone_final"),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out

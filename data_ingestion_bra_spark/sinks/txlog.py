@@ -340,6 +340,133 @@ def commit_overwrite_partition(
     )
 
 
+def restore(
+    table_dir: str,
+    to_version: int,
+    *,
+    meta: dict | None = None,
+    idempotency_key: str | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF (the published Delta semantics):
+    publish ONE new commit whose add set re-references the files live at
+    ``to_version`` that are no longer live, and whose remove set drops the
+    files live now that weren't live then. Data files are immutable, so a
+    restore is metadata-only — KBs of JSON, zero data rewritten, and the
+    versions between stay time-travelable (restore moves the TIP, it never
+    erases history). Raises ``FileNotFoundError`` if a needed historical
+    file was vacuumed (the same retention caveat the published RESTORE
+    documents), and ``CommitConflict`` if a concurrent data-changing
+    commit lands while restoring (a restore asserts the whole live set).
+
+    The change feed treats the restore commit like any rewrite: its
+    add/remove file diff yields exactly the row-level changes that undoing
+    the rolled-back versions implies."""
+    if idempotency_key is not None:
+        prior = committed_version(table_dir, idempotency_key)
+        if prior is not None:
+            return prior
+    target = snapshot(table_dir, to_version)
+    for e in target.entries:
+        p = os.path.join(table_dir, _entry_path(e))
+        if not os.path.exists(p):
+            raise FileNotFoundError(
+                f"cannot restore {table_dir} to v{to_version}:"
+                f" {p} no longer exists (vacuumed?)"
+            )
+    target_paths = {_entry_path(e) for e in target.entries}
+    live_now = {_entry_path(e) for e in snapshot(table_dir).entries}
+    add = [e for e in target.entries if _entry_path(e) not in live_now]
+    key_meta = {} if idempotency_key is None else {"txn": idempotency_key}
+    # Delta's RESTORE also rolls the schema back; later schema-carrying
+    # records win in table_schema, so re-stating the target's schema in
+    # the restore record is all it takes.
+    schema = table_schema(table_dir, to_version)
+    schema_meta = {"schema": schema} if schema else {}
+
+    def conflict_fn(rec: dict) -> bool:
+        if (
+            idempotency_key is not None
+            and rec.get("meta", {}).get("txn") == idempotency_key
+        ):
+            return True  # our key landed concurrently: work already done
+        return bool(rec.get("add") or rec.get("remove"))
+
+    try:
+        return _commit(
+            table_dir,
+            add=add,
+            remove_fn=lambda snap: [
+                f for f in snap.files if f not in target_paths
+            ],
+            conflict_fn=conflict_fn,
+            meta={
+                "op": "restore",
+                "restore_to": to_version,
+                **schema_meta,
+                **key_meta,
+                **(meta or {}),
+            },
+        )
+    except CommitConflict:
+        if idempotency_key is not None:
+            prior = committed_version(table_dir, idempotency_key)
+            if prior is not None:
+                return prior
+        raise
+
+
+def clone_shallow(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    version: int | None = None,
+    meta: dict | None = None,
+) -> int:
+    """Shallow CLONE (the published Delta semantics): create a NEW table
+    whose first commit references the source's live data files IN PLACE —
+    zero bytes copied, so cloning a 100 TB table costs one KB-scale log
+    write. The clone then evolves independently: its own commits stage
+    files under ``dst_dir/data`` and its DML/compaction never rewrites a
+    source file (files are immutable engine-wide), so the source is
+    structurally immune to anything done to the clone. ``vacuum`` on the
+    clone only scans the clone's own ``data/`` and cannot touch source
+    files; ``vacuum``/DML retention on the SOURCE can strand the clone's
+    references — the same documented caveat as the published shallow
+    clone.
+
+    Source files are referenced by absolute path; every reader/DML path
+    here resolves entries through ``os.path.join(table_dir, path)``, which
+    passes absolute paths through unchanged."""
+    if _read_log(dst_dir):
+        raise ValueError(f"clone target {dst_dir} is not empty")
+    src_snap = snapshot(src_dir, version)
+    if not src_snap.entries:
+        raise FileNotFoundError(f"txlog table {src_dir} is empty")
+    os.makedirs(dst_dir, exist_ok=True)
+    add = [
+        {
+            **(e if isinstance(e, dict) else {"path": e}),
+            "path": os.path.abspath(os.path.join(src_dir, _entry_path(e))),
+        }
+        for e in src_snap.entries
+    ]
+    schema = table_schema(src_dir, src_snap.version)
+    schema_meta = {"schema": schema} if schema else {}
+    return _commit(
+        dst_dir,
+        add=add,
+        remove_fn=lambda snap: [],
+        conflict_fn=lambda rec: True,  # any concurrent v0 wins; clone is not retryable
+        meta={
+            "op": "clone",
+            "source": os.path.abspath(src_dir),
+            "source_version": src_snap.version,
+            **schema_meta,
+            **(meta or {}),
+        },
+    )
+
+
 def vacuum(table_dir: str, *, min_age_seconds: float = 3600.0) -> list[str]:
     """Delete data files no snapshot we retain references — here: files not
     live in the LATEST snapshot AND not referenced by any log record's add

@@ -1,0 +1,135 @@
+"""RESTORE (roll the table tip back to an earlier version as a new
+metadata-only commit) and shallow CLONE (a new table referencing the
+source's files in place) — the remaining published-table-format verbs
+on top of ``sinks/txlog.py``."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_ingestion_bra_spark.sinks import txlog
+
+
+def _rows(spark, table_dir, version=None):
+    return {
+        (r["k"], r["v"])
+        for r in txlog.read_snapshot(spark, table_dir, version).collect()
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _build_timeline(spark, t):
+    txlog.commit_append(_df(spark, [(1, "a"), (2, "b")]), t)  # v0
+    txlog.commit_append(_df(spark, [(3, "c")]), t)  # v1
+    txlog.commit_delete(spark, t, "k = 2")  # v2
+    return t
+
+
+def test_restore_rolls_tip_back_metadata_only(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    assert _rows(spark, t) == {(1, "a"), (3, "c")}
+    data_files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data"))
+        for f in fs
+    }
+    v = txlog.restore(t, 1)
+    assert v == 3
+    # tip state == v1 state, byte-for-byte the same file set
+    assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
+    assert set(txlog.snapshot(t).files) == set(txlog.snapshot(t, 1).files)
+    # metadata-only: restore staged zero new data files
+    data_files_after = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data"))
+        for f in fs
+    }
+    assert data_files_after == data_files_before
+    # history intact: every prior version still time-travels
+    assert _rows(spark, t, version=2) == {(1, "a"), (3, "c")}
+    assert _rows(spark, t, version=0) == {(1, "a"), (2, "b")}
+
+
+def test_restore_change_feed_emits_the_undo(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    txlog.restore(t, 1)  # undoes the v2 delete of (2, 'b')
+    ch = txlog.read_changes(spark, t, 3, 3).collect()
+    assert {(r["k"], r["v"], r["_change_type"]) for r in ch} == {
+        (2, "b", "insert")
+    }
+
+
+def test_restore_is_idempotent_under_key(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    v = txlog.restore(t, 0, idempotency_key="undo-1")
+    assert txlog.restore(t, 0, idempotency_key="undo-1") == v
+    assert txlog.snapshot(t).version == v
+
+
+def test_restore_refuses_vacuumed_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    txlog.commit_delete(spark, t, "k = 1")  # v1 rewrites v0's file away
+    # erase v0's file manually (what a retention-bounded vacuum would do)
+    import shutil
+
+    v0_dir = os.path.dirname(os.path.join(t, txlog.snapshot(t, 0).files[0]))
+    shutil.rmtree(v0_dir)
+    with pytest.raises(FileNotFoundError, match="restore"):
+        txlog.restore(t, 0)
+
+
+def test_restore_rolls_schema_back(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append_checked(_df(spark, [(1, "a")]), t)
+    evolved = spark.createDataFrame([(2, "b", 7)], "k bigint, v string, extra bigint")
+    txlog.commit_append_checked(evolved, t, merge_schema=True)
+    assert "extra" in txlog.table_schema(t)
+    txlog.restore(t, 0)
+    assert "extra" not in txlog.table_schema(t)
+
+
+def test_clone_shallow_reads_source_state_without_copying(spark, tmp_path):
+    src = _build_timeline(spark, str(tmp_path / "src"))
+    dst = str(tmp_path / "dst")
+    v = txlog.clone_shallow(src, dst)
+    assert v == 0
+    assert _rows(spark, dst) == _rows(spark, src)
+    # zero bytes copied: the clone has no data directory of its own yet
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    # cloning an earlier version pins that state
+    dst1 = str(tmp_path / "dst1")
+    txlog.clone_shallow(src, dst1, version=0)
+    assert _rows(spark, dst1) == {(1, "a"), (2, "b")}
+
+
+def test_clone_evolves_independently_of_source(spark, tmp_path):
+    src = _build_timeline(spark, str(tmp_path / "src"))
+    dst = str(tmp_path / "dst")
+    txlog.clone_shallow(src, dst)
+    src_state = _rows(spark, src)
+    # DML on the clone: copy-on-write rewrite lands under the CLONE's data/
+    txlog.commit_delete(spark, dst, "k = 1")
+    txlog.commit_append(_df(spark, [(9, "z")]), dst)
+    assert _rows(spark, dst) == {(3, "c"), (9, "z")}
+    assert _rows(spark, src) == src_state
+    # and commits on the source don't leak into the clone
+    txlog.commit_append(_df(spark, [(8, "y")]), src)
+    assert (8, "y") not in _rows(spark, dst)
+    # vacuum on the clone never deletes source files
+    deleted = txlog.vacuum(dst, min_age_seconds=0)
+    assert deleted == []
+    assert _rows(spark, src) == src_state | {(8, "y")}
+
+
+def test_clone_target_must_be_empty(spark, tmp_path):
+    src = _build_timeline(spark, str(tmp_path / "src"))
+    dst = str(tmp_path / "dst")
+    txlog.clone_shallow(src, dst)
+    with pytest.raises(ValueError, match="not empty"):
+        txlog.clone_shallow(src, dst)
