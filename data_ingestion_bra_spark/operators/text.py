@@ -324,3 +324,56 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(red).alias("redacted_fp"),
         F.length(red).cast("bigint").alias("n_chars_redacted"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    (HF tokenizers' ``return_overflowing_tokens``/``stride`` semantics):
+    chunk ``j`` covers whitespace tokens ``[j*stride, j*stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap_tokens``, so
+    consecutive chunks share exactly ``overlap_tokens`` tokens and every
+    token lands in at least one chunk. ``1 + ceil(max(0, n_tokens -
+    chunk_tokens) / stride)`` chunks per doc; the final chunk may run
+    short (never emitted empty).
+
+    Returns (id, chunk_id, start_token, n_tokens, chunk_text). Pure
+    column algebra — split/sequence/explode/slice/array_join all run in
+    codegen on the scan; the only row growth is the chunk multiplicity
+    itself (corpus-linear, ~n_tokens/stride rows per doc), and no shuffle
+    is introduced, so at 100 TB chunking rides the ingest scan for free.
+
+    Exact-integer arithmetic (``div``) keeps the chunk count
+    reproducible across engines — the DuckDB twin replays the same
+    formula with ``//``.
+    """
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("need 0 <= overlap_tokens < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.expr(
+        f"1 + (greatest(0, size(split({text_col}, ' ')) - {chunk_tokens})"
+        f" + {stride - 1}) div {stride}"
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("toks"), start + 1, chunk_tokens)
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            start.cast("bigint").alias("start_token"),
+            F.size(piece).cast("bigint").alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

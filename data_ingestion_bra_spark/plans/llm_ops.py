@@ -3666,3 +3666,47 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq.pq_encode(emb, cb)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq.ivfpq_topk(queries, lists, cents, codes, cb, emb)
+
+
+@register(
+    "text_chunk_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n_tok,
+             1 + (greatest(0, len(toks) - 32) + 23) // 24 AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS start_token,
+           CAST(least(32, n_tok - chunk_id * 24) AS BIGINT) AS n_tokens,
+           array_to_string(
+             list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '
+           ) AS chunk_text
+    FROM c
+    """,
+    tags=("text", "chunking", "context-window", "llm-pipeline"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (``operators/text.py:
+    chunk_documents``): every document splits into 32-token chunks with an
+    8-token overlap (stride 24) — the context-window prep step every
+    training/RAG pipeline runs between curation and tokenization (HF
+    tokenizers' ``return_overflowing_tokens`` stride semantics). The
+    oracle replays the identical integer chunk-count formula and slice
+    bounds in DuckDB, so a hash match pins chunk boundaries, overlap
+    width, and the short final chunk exactly.
+
+    Scale shape: split/sequence/explode/slice run in codegen on the scan —
+    zero shuffles, row growth = the chunk multiplicity itself, so at
+    100 TB chunking is a free rider on the ingest pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=32, overlap_tokens=8)
