@@ -225,6 +225,17 @@ GATE_ORDER: tuple[str, ...] = (
     #      text/curation tiers, the pushdown plan-assertions in
     #      tests/test_plans.py keep the PushedFilters evidence; stays
     #      hash-verified below the window).
+    # Round-8b rotation (RESTORE + shallow CLONE get driver credit):
+    # IN:  txlog_restore_clone (metadata-only RESTORE to an earlier
+    #      version + zero-copy shallow clone evolving independently —
+    #      strictly more txlog surface than time travel alone, and its
+    #      fingerprints READ src@v1 after two later commits, so snapshot-
+    #      at-version resolution runs verbatim inside it).
+    # OUT: txlog_time_travel (family twin: the same read_snapshot(version=)
+    #      path is exercised by the gated restore/clone entry; stays
+    #      hash-verified below the window). text_chunk_overlap registers
+    #      below the window (sliding-window chunking semantics; its
+    #      explode/slice shape is adjacent to the gated BPE packing).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
@@ -261,7 +272,7 @@ GATE_ORDER: tuple[str, ...] = (
     "dedup_contamination_auto",
     "text_pack_sequences_bpe",
     "text_bpe_roundtrip",
-    "txlog_time_travel",
+    "txlog_restore_clone",
     "txlog_incremental_matview",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
