@@ -138,3 +138,94 @@ def contamination_check(
     else:
         raise ValueError(f"unknown contamination strategy: {strategy}")
     return _overlap(hits, min_overlap), strategy
+
+
+def positional_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """(doc, pos, shingle): stride-1 POSITIONAL token n-grams — the
+    doc-level check's shingle stream plus the 0-based token index, so a
+    hit can be mapped back to the exact region it came from. Same
+    scan-resident split/sequence/slice algebra as ``chunk_documents``;
+    row growth is ~n_tokens per doc and nothing shuffles here."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), (F.size("toks") - n).cast("bigint"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc",
+            "pos",
+            F.array_join(
+                F.slice(F.col("toks"), F.col("pos").cast("int") + 1, n), " "
+            ).alias("shingle"),
+        )
+    )
+
+
+def contamination_spans(
+    corpus_positional: DataFrame,
+    bench_shingles: DataFrame,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Span-level contamination AUDIT: where the doc-level check answers
+    "is this document contaminated?", this answers "which exact token
+    regions leaked?" — the evidence a curation pipeline needs to CUT the
+    benchmark text instead of dropping the whole document (the published
+    decontamination practice: GPT-3 appendix C removes 13-gram collision
+    WINDOWS, not documents).
+
+    ``corpus_positional`` is the (doc, pos, shingle) stream
+    (``positional_shingles``); ``bench_shingles`` the benchmark relation
+    with a ``shingle`` column (deduplicated + broadcast here — the
+    benchmark side is small by definition; above broadcast size the
+    caller routes the join through ``contamination_check``'s shuffled /
+    bloom shapes first and audits only flagged docs). Hit grams covering
+    tokens [pos, pos+n) merge into maximal spans with one gaps-and-islands
+    window per doc — the exact machinery of the ExactSubstr tier
+    (plans/llm_ops.py:dedup_repeated_passages), reused at token
+    granularity.
+
+    Returns (doc_id, span_start, span_end, span_len, n_grams) in token
+    coordinates. Scale shape: one broadcast hash join on the scan-resident
+    gram stream, then ONE window shuffle over the (tiny) hit subset —
+    |hits| tracks the leaked text, never the corpus."""
+    from pyspark.sql import Window
+
+    bset = bench_shingles.select("shingle").distinct()
+    hits = corpus_positional.join(F.broadcast(bset), "shingle").select(
+        F.col("doc").alias("doc_id"), "pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            (F.max("pos") + n - F.min("pos")).alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_grams")
+    )

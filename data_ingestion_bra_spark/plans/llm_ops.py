@@ -13,7 +13,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
-from data_ingestion_bra_spark.operators import bpe, dedup, graph, similarity, text
+from data_ingestion_bra_spark.operators import (
+    bpe,
+    contamination,
+    dedup,
+    graph,
+    similarity,
+    text,
+)
 from data_ingestion_bra_spark.plans.registry import register
 from data_ingestion_bra_spark.sources.tables import load_table
 
@@ -3710,3 +3717,65 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB chunking is a free rider on the ingest pass."""
     d = load_table(spark, sf_dir, "documents")
     return text.chunk_documents(d, chunk_tokens=32, overlap_tokens=8)
+
+
+_CONTAM_SPAN_ORACLE = f"""
+    WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+    pos_sh AS (
+      SELECT doc, CAST(i - 1 AS BIGINT) AS pos,
+             concat_ws(' ', {", ".join("toks[i+%d]" % j if j else "toks[i]" for j in range(8))}) AS shingle
+      FROM toks, unnest(generate_series(1, len(toks) - 7)) AS s(i)
+      WHERE len(toks) >= 8
+    ),
+    b AS (SELECT DISTINCT shingle FROM pos_sh WHERE doc < 100),
+    hits AS (
+      SELECT c.doc AS doc_id, c.pos FROM pos_sh c JOIN b USING (shingle)
+      WHERE c.doc >= 100
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM islands
+    GROUP BY doc_id, island
+    """
+
+
+@register(
+    "dedup_contamination_spans",
+    _CONTAM_SPAN_ORACLE,
+    tags=("dedup", "contamination", "spans", "llm-pipeline"),
+)
+def dedup_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination audit
+    (``operators/contamination.py:contamination_spans``): for every
+    training document sharing verbatim 8-gram shingles with the benchmark
+    set (docs < 100, as in the doc-level entries), report the exact
+    maximal TOKEN spans that leaked — the evidence needed to CUT the
+    benchmark text instead of dropping whole documents (GPT-3 appendix C
+    removes collision windows, not documents). Positional shingles join
+    the broadcast benchmark set; overlapping hit grams merge via the
+    ExactSubstr gaps-and-islands window, reused at token granularity.
+
+    Scale shape: scan-resident gram algebra + one broadcast join + one
+    window shuffle over the hit subset only — |hits| tracks the leaked
+    text, never the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
+    cand = contamination.positional_shingles(
+        d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8
+    )
+    return contamination.contamination_spans(cand, bench, n=8)
