@@ -3779,3 +3779,103 @@ def dedup_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") >= 100), "doc_id", "text", n=8
     )
     return contamination.contamination_spans(cand, bench, n=8)
+
+
+@register(
+    "text_cut_contaminated_spans",
+    _CONTAM_SPAN_ORACLE.replace(
+        """    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM islands
+    GROUP BY doc_id, island
+    """,
+        """,
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+      FROM islands GROUP BY doc_id, island
+    ),
+    tok_rows AS (
+      SELECT doc AS doc_id, CAST(i - 1 AS BIGINT) AS idx, toks[i] AS tok,
+             len(toks) AS n_tok
+      FROM toks, unnest(generate_series(1, len(toks))) s(i)
+      WHERE doc >= 100
+    ),
+    kept AS (
+      SELECT tr.doc_id, tr.idx, tr.tok, tr.n_tok,
+             NOT EXISTS (
+               SELECT 1 FROM spans sp
+               WHERE sp.doc_id = tr.doc_id
+                 AND tr.idx >= sp.span_start AND tr.idx < sp.span_end) AS keep
+      FROM tok_rows tr
+    )
+    SELECT doc_id,
+           CAST(MAX(n_tok) AS BIGINT) AS n_tokens_before,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_tokens_after,
+           CAST(MAX(n_tok) - COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_cut,
+           md5(COALESCE(string_agg(tok, ' ' ORDER BY idx)
+                        FILTER (WHERE keep), '')) AS clean_fp
+    FROM kept
+    GROUP BY doc_id
+    """,
+    ),
+    tags=("dedup", "contamination", "spans", "policy", "llm-pipeline"),
+)
+def text_cut_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination POLICY over the span audit: splice the leaked
+    token regions OUT of each training document (GPT-3 appendix C's
+    remove-the-collision-window practice) and fingerprint the cleaned
+    body. Spans aggregate to one array per contaminated doc (a tiny
+    relation), left-join the corpus, and a codegen ``filter`` lambda
+    drops tokens whose index falls inside any span — documents with no
+    spans pass through body-untouched.
+
+    The oracle rebuilds the cleaned text by anti-joining token rows
+    against the span intervals and re-aggregating in token order, so a
+    hash match pins the splice boundaries exactly (including docs cut to
+    nothing, fingerprinted as the empty string).
+
+    Scale shape: the span relation is bounded by the leaked text, so the
+    join broadcasts; the splice itself is scan-resident array algebra —
+    no shuffle beyond the audit's own window."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = dedup.doc_shingles(d.filter(F.col("doc_id") < 100), "doc_id", "text", n=8)
+    corpus = d.filter(F.col("doc_id") >= 100)
+    pos = contamination.positional_shingles(corpus, "doc_id", "text", n=8)
+    spans = (
+        contamination.contamination_spans(pos, bench, n=8)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+        )
+    )
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i.cast("bigint") >= s["span_start"])
+            & (i.cast("bigint") < s["span_end"]),
+        ),
+    )
+    return (
+        corpus.join(F.broadcast(spans), "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("spans"),
+                F.expr(
+                    "CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"
+                ),
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens_before"),
+            F.size(kept).cast("bigint").alias("n_tokens_after"),
+            (F.size(toks) - F.size(kept)).cast("bigint").alias("n_cut"),
+            F.md5(F.array_join(kept, " ")).alias("clean_fp"),
+        )
+    )
