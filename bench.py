@@ -1068,6 +1068,10 @@ EXTENDED_QUERIES = [
     "similarity_topk_ivfpq",
     "dedup_lsh_calibration",
     "corpus_dataset_card",
+    "txlog_restore_clone",
+    "text_chunk_overlap",
+    "dedup_contamination_spans",
+    "text_cut_contaminated_spans",
 ]
 
 
