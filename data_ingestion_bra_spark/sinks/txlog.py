@@ -509,6 +509,60 @@ def vacuum(table_dir: str, *, min_age_seconds: float = 3600.0) -> list[str]:
     return deleted
 
 
+def vacuum_retention(
+    table_dir: str,
+    *,
+    retain_versions: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> list[str]:
+    """Retention-bounded vacuum (the published Delta VACUUM semantics, with
+    a version horizon instead of a timestamp): keep exactly the files some
+    snapshot in the retained window ``[latest - retain_versions + 1,
+    latest]`` references; delete everything else under ``data/`` — both
+    files removed by commits before the horizon AND crashed-writer debris.
+    Time travel / RESTORE / CDF below the horizon stop working afterwards
+    (``restore`` and CDF reads surface it as FileNotFoundError — the same
+    documented trade the published formats make); the retained window
+    stays byte-identical.
+
+    A file is needed by some snapshot ``>= horizon`` iff it is live AT the
+    horizon or added after it, so one log replay computes the keep set.
+    ``min_age_seconds`` is the same in-flight-writer guard as ``vacuum``:
+    a commit about to publish has staged files but no log record yet."""
+    import shutil
+
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    records = _read_log(table_dir)
+    if not records:
+        return []
+    horizon = max(0, len(records) - retain_versions)
+    keep = {_entry_path(e) for e in snapshot(table_dir, horizon).entries}
+    for rec in records[horizon + 1 :]:
+        keep.update(_entry_path(e) for e in rec.get("add", []))
+    deleted: list[str] = []
+    now = time.time()
+    data_root = os.path.join(table_dir, "data")
+    if not os.path.isdir(data_root):
+        return []
+    for sub in os.listdir(data_root):
+        subdir = os.path.join(data_root, sub)
+        try:
+            age = now - os.path.getmtime(subdir)
+        except OSError:
+            continue  # raced with a concurrent vacuum/publish; skip
+        if age < min_age_seconds:
+            continue
+        for name in os.listdir(subdir):
+            rel = os.path.join("data", sub, name)
+            if name.endswith(".parquet") and rel not in keep:
+                os.remove(os.path.join(subdir, name))
+                deleted.append(rel)
+        if not os.listdir(subdir):
+            shutil.rmtree(subdir)
+    return deleted
+
+
 # ---------------------------------------------------------------------------
 # Row-level DML through the log (Delta Lake's copy-on-write pattern,
 # Armbrust et al. VLDB 2020 §3.2: DELETE/MERGE rewrite only the files that

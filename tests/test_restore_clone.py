@@ -133,3 +133,54 @@ def test_clone_target_must_be_empty(spark, tmp_path):
     txlog.clone_shallow(src, dst)
     with pytest.raises(ValueError, match="not empty"):
         txlog.clone_shallow(src, dst)
+
+
+def _data_files(t):
+    return {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+
+def test_vacuum_retention_drops_pre_horizon_files_only(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))  # v0, v1, v2(delete)
+    before = _rows(spark, t)
+    n_before = len(_data_files(t))
+    deleted = txlog.vacuum_retention(t, retain_versions=1, min_age_seconds=0)
+    # the DELETE at v2 rewrote the touched file: its pre-image is now gone
+    assert deleted, "expected the pre-rewrite file to be vacuumed"
+    assert len(_data_files(t)) == n_before - len(deleted)
+    # the retained tip is byte-identical
+    assert _rows(spark, t) == before
+    # history below the horizon is no longer restorable
+    with pytest.raises(FileNotFoundError):
+        txlog.restore(t, 1)
+    # idempotent: a second pass deletes nothing
+    assert txlog.vacuum_retention(t, retain_versions=1, min_age_seconds=0) == []
+
+
+def test_vacuum_retention_keeps_the_retained_window(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    txlog.vacuum_retention(t, retain_versions=2, min_age_seconds=0)
+    # v1 is inside the window: still readable and restorable
+    assert _rows(spark, t, version=1) == {(1, "a"), (2, "b"), (3, "c")}
+    txlog.restore(t, 1)
+    assert _rows(spark, t) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_vacuum_retention_also_removes_crashed_writer_debris(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    # staged-but-never-published files (crashed writer)
+    _df(spark, [(9, "junk")]).write.parquet(os.path.join(t, "data", "deadbeef"))
+    deleted = txlog.vacuum_retention(t, retain_versions=5, min_age_seconds=0)
+    assert any("deadbeef" in f for f in deleted)
+    assert _rows(spark, t) == {(1, "a")}
+
+
+def test_vacuum_retention_age_guard_spares_fresh_files(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    # everything on disk is younger than the guard: nothing deleted
+    assert txlog.vacuum_retention(t, retain_versions=1, min_age_seconds=3600) == []
