@@ -3879,3 +3879,80 @@ def text_cut_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(kept, " ")).alias("clean_fp"),
         )
     )
+
+
+@register(
+    "sample_upsample_epochs",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             {bpe.doc_token_count_sql("text", _BPE_MERGES)} AS n_tok
+      FROM documents
+    ),
+    tot AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS dom_tok FROM tok GROUP BY source),
+    m AS (SELECT CAST(MAX(dom_tok) AS BIGINT) AS max_tok FROM tot),
+    w AS (
+      SELECT t.doc_id, t.source, t.n_tok,
+             (m.max_tok // tot.dom_tok)
+             + CASE WHEN (('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 6))::BIGINT)::HUGEINT
+                         * tot.dom_tok
+                    < (m.max_tok % tot.dom_tok)::HUGEINT * 16777216
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM tok t JOIN tot USING (source), m
+    )
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(c AS INT) AS copy_id
+    FROM w, unnest(generate_series(1, n_copies)) s(c)
+    """,
+    tags=("sampling", "epochs", "upsampling", "llm-pipeline"),
+)
+def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-EPOCH upsampling with replacement — the complement of the
+    DoReMi downsampler: published training mixtures repeat high-value
+    sources for MORE than one epoch (LLaMA trains Wikipedia/Books for
+    ~2.45/2.14 epochs), which a keep/drop filter cannot express. Each
+    domain gets the fractional epoch weight w_d = max_domain_tokens /
+    domain_tokens (equal-token uniform target — a learned weight vector
+    plugs into the same arithmetic); every doc replicates floor(w_d)
+    times plus one extra copy decided by the deterministic hash-threshold
+    primitive, exact across engines by pure-integer div/mod and
+    decimal(38,0) cross-multiplication (no float epochs anywhere), so the
+    EXPECTED token contribution of every domain equals the largest
+    domain's. Emits (doc_id, source, n_tok, copy_id).
+
+    Scale shape: one partial-agg for the ~|domains|-row totals, broadcast
+    back, then a scan-resident sequence/explode — replication happens at
+    the scan, no shuffle grows with the copy count."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = bpe.doc_token_counts_dense(
+        d, ["doc_id", "source"], "text", _BPE_MERGES, out_col="n_tok"
+    )
+    tot = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("dom_tok"))
+        .withColumn(
+            "max_tok", F.max("dom_tok").over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    dec = "decimal(38,0)"
+    extra = (
+        h.cast(dec) * F.col("dom_tok").cast(dec)
+        < (F.col("max_tok") % F.col("dom_tok")).cast(dec)
+        * F.lit(16777216).cast(dec)
+    ).cast("int")
+    n_copies = F.expr("max_tok div dom_tok").cast("int") + extra
+    return (
+        tok.join(F.broadcast(tot), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_id"),
+        )
+        .select("doc_id", "source", "n_tok", F.col("copy_id").cast("int").alias("copy_id"))
+    )
