@@ -350,3 +350,69 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 4,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC boundary rule at token
+    granularity — Muthitacharoen et al. SOSP 2001): a chunk boundary
+    lands after token ``i`` iff the rolling hash of the last ``window``
+    tokens satisfies ``h % divisor == 0``, so boundaries move WITH the
+    content. That is what fixed-boundary chunk dedup structurally misses:
+    insert one token and every later fixed chunk's hash changes, while
+    CDC re-synchronizes at the next content boundary and all chunks past
+    the edit keep their fingerprints.
+
+    Expected chunk length ~``divisor`` tokens (each eligible position is
+    a boundary with probability 1/divisor). The rolling hash is the
+    engine-portable md5-hex-prefix integer used by every sampling
+    primitive here, so a SQL oracle replays boundaries bit-for-bit.
+
+    Returns (doc, chunk_no, fp, n_tokens) — one row per chunk, fp =
+    md5 of the space-joined chunk tokens.
+
+    Scale shape: posexplode at the scan, lag/cumsum windows + the chunk
+    groupBy all partition by doc — ONE shuffle class on the doc key (the
+    dedup_chunk_level precedent); the cross-doc duplicate count after it
+    shuffles only 32-byte fingerprints."""
+    from pyspark.sql import Window
+
+    if window < 2 or divisor < 2:
+        raise ValueError("need window >= 2 and divisor >= 2")
+    toks = F.split(F.col(text_col), " ")
+    rows = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    gram = F.concat_ws(
+        " ", *[F.lag("tok", k).over(w) for k in range(window - 1, 0, -1)], F.col("tok")
+    )
+    h = F.conv(F.substring(F.md5(gram), 1, 6), 16, 10).cast("bigint")
+    boundary = (
+        (F.col("pos") >= window - 1) & (h % divisor == 0)
+    ).cast("int")
+    flagged = rows.withColumn("boundary", boundary).withColumn(
+        "new_chunk", F.coalesce(F.lag("boundary").over(w), F.lit(0))
+    )
+    chunks = flagged.withColumn(
+        "chunk_no",
+        F.sum("new_chunk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return chunks.groupBy("doc", "chunk_no").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr(
+                    "transform(sort_array(collect_list(struct(pos, tok))),"
+                    " x -> x.tok)"
+                ),
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )

@@ -3956,3 +3956,77 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "n_tok", F.col("copy_id").cast("int").alias("copy_id"))
     )
+
+
+@register(
+    "dedup_cdc_chunks",
+    """
+    WITH t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+    r AS (
+      SELECT doc, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      FROM t, unnest(generate_series(1, len(toks))) s(i)
+    ),
+    g AS (
+      SELECT doc, pos, tok,
+             concat_ws(' ', lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+                       lag(tok, 1) OVER w, tok) AS gram
+      FROM r WINDOW w AS (PARTITION BY doc ORDER BY pos)
+    ),
+    b AS (
+      SELECT doc, pos, tok,
+             CASE WHEN pos >= 3
+                   AND ('0x' || substr(md5(gram), 1, 6))::BIGINT % 16 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM g
+    ),
+    nc AS (
+      SELECT doc, pos, tok,
+             COALESCE(lag(boundary) OVER (PARTITION BY doc ORDER BY pos), 0)
+               AS new_chunk
+      FROM b
+    ),
+    ch AS (
+      SELECT doc, pos, tok,
+             SUM(new_chunk) OVER (PARTITION BY doc ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS chunk_no
+      FROM nc
+    ),
+    agg AS (
+      SELECT doc, chunk_no,
+             md5(string_agg(tok, ',' ORDER BY pos)) AS fp,
+             COUNT(*) AS n
+      FROM ch GROUP BY doc, chunk_no
+    )
+    SELECT fp,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS n_tokens
+    FROM agg GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    tags=("dedup", "cdc", "chunking", "llm-pipeline"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup
+    (``operators/dedup.py:cdc_chunk_fingerprints``): chunk boundaries land
+    where a rolling 4-token hash hits ``% 16 == 0`` (LBFS/FastCDC at token
+    granularity), then duplicate chunks are counted across the corpus —
+    the boilerplate detector that, unlike the fixed-boundary chunk tier,
+    SURVIVES insertions: boundaries re-synchronize after an edit, so
+    shared passages at different offsets still collide on fingerprint
+    (pinned in tests/test_cdc.py; the oracle replays every boundary
+    decision bit-for-bit).
+
+    Scale shape: token explode at the scan; lag/cumsum/group windows all
+    partition by doc (one shuffle class); the final duplicate count
+    shuffles 32-byte fingerprints only."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunk_fingerprints(d, "doc_id", "text")
+    return (
+        ch.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc").cast("bigint").alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
