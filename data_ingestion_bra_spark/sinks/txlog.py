@@ -144,11 +144,11 @@ def read_snapshot(
     )
 
 
-def _file_stats(path: str) -> dict:
-    """Per-file min/max column stats from the parquet footer, computed
-    ONCE at commit time (writer-side, where the footer is page-cache-hot)
-    and stored in the log record — readers never touch footers again.
-    Only JSON-portable scalar types are recorded."""
+def _file_stats(path: str) -> tuple[dict, int]:
+    """Per-file (min/max column stats, row count) from the parquet footer,
+    computed ONCE at commit time (writer-side, where the footer is
+    page-cache-hot) and stored in the log record — readers never touch
+    footers again. Only JSON-portable scalar types are recorded."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -167,26 +167,86 @@ def _file_stats(path: str) -> dict:
             name = col.path_in_schema
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {name: [mins[name], maxs[name]] for name in mins}
+    return {name: [mins[name], maxs[name]] for name in mins}, md.num_rows
 
 
 def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
     """Stage the DataFrame as immutable parquet under ``data/<uuid>/``;
-    returns add-set entries (path + footer min/max stats + byte size, so
-    compaction planning later reads the LOG, not the object store).
-    Invisible to readers until a log record references them."""
+    returns add-set entries (path + footer min/max stats + byte size +
+    row count, so compaction planning AND metadata-only aggregates later
+    read the LOG, not the object store). Invisible to readers until a log
+    record references them."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(table_dir, rel_dir)
     df.write.parquet(out)
-    return [
-        {
-            "path": os.path.join(rel_dir, name),
-            "stats": _file_stats(os.path.join(out, name)),
-            "bytes": os.path.getsize(os.path.join(out, name)),
-        }
-        for name in sorted(os.listdir(out))
-        if name.endswith(".parquet")
-    ]
+    entries = []
+    for name in sorted(os.listdir(out)):
+        if not name.endswith(".parquet"):
+            continue
+        stats, num_rows = _file_stats(os.path.join(out, name))
+        entries.append(
+            {
+                "path": os.path.join(rel_dir, name),
+                "stats": stats,
+                "bytes": os.path.getsize(os.path.join(out, name)),
+                "rows": num_rows,
+            }
+        )
+    return entries
+
+
+def table_stats(
+    table_dir: str, version: int | None = None
+) -> dict[str, object]:
+    """Metadata-ONLY table statistics at ``version`` — the published
+    formats' log-answered aggregates (Delta/Iceberg serve COUNT(*) and
+    column MIN/MAX from commit metadata without touching a data file):
+    ``{"n_rows", "n_files", "n_bytes", "columns": {col: [min, max]}}``.
+
+    ``n_rows`` is exact when every live entry carries the commit-time
+    ``rows`` field and None otherwise (pre-field log records — the caller
+    falls back to a real count); column bounds cover only columns every
+    stats-carrying file recorded, and are RANGE bounds (min of mins / max
+    of maxs), not distinct-value claims. At 100 TB this reads KBs of
+    JSON — the same replay every snapshot resolution already does."""
+    snap = snapshot(table_dir, version)
+    n_rows: int | None = 0
+    n_bytes = 0
+    col_lo: dict = {}
+    col_hi: dict = {}
+    col_files: dict = {}
+    # zero-row files carry no footer stats and can't violate any bound;
+    # only files that may hold rows count toward column-bound coverage
+    n_relevant = 0
+    for e in snap.entries:
+        if not isinstance(e, dict) or "rows" not in e:
+            n_rows = None
+        elif n_rows is not None:
+            n_rows += int(e["rows"])
+        if isinstance(e, dict):
+            n_bytes += int(e.get("bytes", 0))
+            if e.get("rows") == 0:
+                continue
+            n_relevant += 1
+            for c, (lo, hi) in (e.get("stats") or {}).items():
+                if lo is None or hi is None:
+                    continue
+                col_files[c] = col_files.get(c, 0) + 1
+                col_lo[c] = lo if c not in col_lo else min(col_lo[c], lo)
+                col_hi[c] = hi if c not in col_hi else max(col_hi[c], hi)
+        else:
+            n_relevant += 1  # bare-string legacy entry: unknown coverage
+    columns = {
+        c: [col_lo[c], col_hi[c]]
+        for c in col_lo
+        if col_files[c] == n_relevant
+    }
+    return {
+        "n_rows": n_rows,
+        "n_files": len(snap.entries),
+        "n_bytes": n_bytes,
+        "columns": columns,
+    }
 
 
 def _try_publish(table_dir: str, version: int, record: dict) -> bool:

@@ -184,3 +184,38 @@ def test_vacuum_retention_age_guard_spares_fresh_files(spark, tmp_path):
     t = _build_timeline(spark, str(tmp_path / "tbl"))
     # everything on disk is younger than the guard: nothing deleted
     assert txlog.vacuum_retention(t, retain_versions=1, min_age_seconds=3600) == []
+
+
+def test_table_stats_answers_from_the_log_alone(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a"), (5, "b")]), t)
+    txlog.commit_append(_df(spark, [(9, "c")]), t)
+    st = txlog.table_stats(t)
+    assert st["n_rows"] == 3
+    assert st["columns"]["k"] == [1, 9]
+    # exactness survives DML and compaction (data_change:false keeps rows)
+    txlog.commit_delete(spark, t, "k = 5")
+    st2 = txlog.table_stats(t)
+    assert st2["n_rows"] == 2
+    assert st2["columns"]["k"] == [1, 9]
+    # version-pinned stats replay history
+    assert txlog.table_stats(t, version=0)["n_rows"] == 2
+    # metadata-only: stats survive the data files' deletion
+    import shutil
+
+    shutil.rmtree(os.path.join(t, "data"))
+    assert txlog.table_stats(t)["n_rows"] == 2
+
+
+def test_table_stats_pre_rows_field_records_degrade_to_none(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    # simulate a legacy log record whose entries lack the rows field
+    import json
+
+    p = os.path.join(t, txlog.LOG_DIR, f"{0:016d}.json")
+    rec = json.load(open(p))
+    for e in rec["add"]:
+        del e["rows"]
+    json.dump(rec, open(p, "w"))
+    assert txlog.table_stats(t)["n_rows"] is None
