@@ -812,6 +812,73 @@ def _pagerank_scale_bench(
     }
 
 
+def _skipping_bench(spark, sf_dir: str) -> dict:
+    """Measured payoff of log-side data skipping + OPTIMIZE ZORDER: one
+    txlog table of orders keys, version 0 = random 32-file layout,
+    version 1 = the SAME rows Z-ordered by (o_custkey, o_orderkey) — so
+    time travel compares the two layouts on identical data. For a ~5%
+    o_custkey range predicate, report files-scanned-after-prune (decided
+    from the LOG's harvested min/max, zero footer reads) and the filtered
+    count's wall clock for each layout. The random layout prunes nothing
+    (every file spans the key domain); the Z-ordered layout's tight
+    per-file rectangles are what make `read_snapshot(prune=...)` skip —
+    at 100 TB this ratio is the fraction of the corpus a selective query
+    never reads."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    t = str(
+        Path(__file__).resolve().parent
+        / ".data"
+        / "skipping_bench"
+        / Path(sf_dir).name
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    if txlog.committed_version(t, "skip-v0") is None:
+        txlog.commit_append(
+            orders.repartition(32), t, idempotency_key="skip-v0"
+        )
+    txlog.compact(
+        spark,
+        t,
+        n_files=32,
+        zorder_by=("o_custkey", "o_orderkey"),
+        idempotency_key="skip-v1",
+    )
+    st = txlog.table_stats(t)
+    ck_lo, ck_hi = st["columns"]["o_custkey"]
+    width = max(1, (ck_hi - ck_lo) // 20)
+    lo, hi = ck_lo + 10 * width, ck_lo + 11 * width
+    out: dict = {"predicate": {"col": "o_custkey", "lo": lo, "hi": hi}}
+    latest = txlog.snapshot(t).version
+    counts = {}
+    for label, ver in (("plain", 0), ("zorder", latest)):
+        entries = txlog.snapshot(t, ver).entries
+        pruned = [
+            e for e in entries if txlog._stats_overlap(e, "o_custkey", lo, hi)
+        ]
+        t0 = time.perf_counter()
+        n = (
+            txlog.read_snapshot(
+                spark, t, version=ver, prune=("o_custkey", lo, hi)
+            )
+            .filter((F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi))
+            .count()
+        )
+        counts[label] = n
+        out[label] = {
+            "files_total": len(entries),
+            "files_scanned": len(pruned),
+            "rows": n,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    # identical data in both layouts by construction; state it in the record
+    out["counts_equal"] = counts["plain"] == counts["zorder"]
+    return out
+
+
 def _acid_dml_bench(spark, sf_dir: str, *, passes: int = 3) -> dict:
     """Row-level DML through the transaction log, timed end to end at the
     headline SF: APPEND the orders table (multi-file), copy-on-write
@@ -1283,6 +1350,14 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             "SPARK_GRAFT_SKIP_ACID_DML",
             40,
             lambda: payload.__setitem__("acid_dml_bench", _acid_dml_bench(spark, sf_dir)),
+        ),
+        (
+            "skipping",
+            "SPARK_GRAFT_SKIP_SKIPPING",
+            50,
+            lambda: payload.__setitem__(
+                "skipping_bench", _skipping_bench(spark, sf_dir)
+            ),
         ),
         (
             "streaming",

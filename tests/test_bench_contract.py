@@ -103,3 +103,13 @@ def test_replica_dir_atomic_rebuild(monkeypatch):
         assert calls == [7]
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_skipping_bench_zorder_prunes_files(spark):
+    import bench
+
+    rec = bench._skipping_bench(spark, "/root/testdata/sf0.01")
+    assert rec["counts_equal"]
+    assert rec["plain"]["rows"] == rec["zorder"]["rows"] > 0
+    # the whole point: the z-ordered layout scans strictly fewer files
+    assert rec["zorder"]["files_scanned"] < rec["plain"]["files_scanned"]
