@@ -113,12 +113,71 @@ def _stats_overlap(entry, col: str, lo, hi) -> bool:
     return not (cmax < lo or cmin > hi)
 
 
+#: Bloom-index sizing: bits per distinct value (fpp ~1% at 10) and the
+#: double-hash probe count, fixed so log records are self-describing.
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_K = 7
+
+
+def _bloom_positions(value, m_bits: int) -> list[int]:
+    """The k bit positions for ``value`` under double hashing (Kirsch &
+    Mitzenmacher 2006: pos_i = h1 + i*h2 mod m). blake2b is stdlib,
+    stable across platforms/processes — a writer-built bitmap must probe
+    identically forever. Values hash by their string form (the same
+    canonical form both engines print), so int 5 and its re-read probe
+    agree."""
+    import hashlib
+
+    digest = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+    h1 = int.from_bytes(digest[:8], "big")
+    h2 = int.from_bytes(digest[8:], "big") | 1
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
+
+
+def _file_bloom(path: str, col: str) -> dict | None:
+    """Writer-side per-file bloom over ``col`` (the published formats'
+    bloom filter index): built ONCE at commit time from the just-written
+    local file (page-cache-hot), stored hex-encoded in the log entry.
+    ~``_BLOOM_BITS_PER_VALUE`` bits per distinct value rounded up to a
+    power of two, so a 100k-distinct-key file costs ~128 KB of log —
+    the price of answering point lookups with zero data-file reads."""
+    import pyarrow.parquet as pq
+
+    values = {
+        str(v) for v in pq.read_table(path, columns=[col])[col].to_pylist()
+        if v is not None
+    }
+    if not values:
+        return None
+    m_bits = 1 << max(10, (_BLOOM_BITS_PER_VALUE * len(values)).bit_length())
+    bits = bytearray(m_bits // 8)
+    for v in values:
+        for p in _bloom_positions(v, m_bits):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m_bits, "hex": bytes(bits).hex()}
+
+
+def _bloom_maybe_contains(entry, col: str, value) -> bool:
+    """True iff the file MAY contain ``col == value`` — entries without a
+    bloom for the column are kept (false positives allowed, false
+    negatives never: pruning is an optimization, not a filter)."""
+    blooms = entry.get("bloom") if isinstance(entry, dict) else None
+    if not blooms or col not in blooms:
+        return True
+    m_bits = blooms[col]["m"]
+    bits = bytes.fromhex(blooms[col]["hex"])
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions(value, m_bits)
+    )
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     *,
     prune: tuple[str, object, object] | None = None,
+    prune_eq: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot-isolated (optionally time-traveled) read.
 
@@ -126,12 +185,23 @@ def read_snapshot(
     committed min/max stats can't contain the range are dropped before
     Spark ever sees them (the Delta/Iceberg pattern — at 100 TB the file
     listing AND the skipping decisions come from KBs of log, zero footer
-    reads, zero object-store LISTs). The caller still applies the actual
-    row filter; pruning only shrinks the scan set."""
+    reads, zero object-store LISTs). ``prune_eq=(col, value)`` is the
+    point-lookup variant: min/max range first, then the per-file BLOOM
+    index for columns committed with ``bloom_cols`` — the skip that works
+    on high-cardinality keys whose ranges are wide. The caller still
+    applies the actual row filter; pruning only shrinks the scan set."""
     snap = snapshot(table_dir, version)
     entries = snap.entries
     if prune is not None:
         entries = [e for e in entries if _stats_overlap(e, *prune)]
+    if prune_eq is not None:
+        col, value = prune_eq
+        entries = [
+            e
+            for e in entries
+            if _stats_overlap(e, col, value, value)
+            and _bloom_maybe_contains(e, col, value)
+        ]
     if not snap.entries:
         raise FileNotFoundError(f"txlog table {table_dir} is empty")
     if not entries:  # every file pruned: empty frame with the table schema
@@ -170,12 +240,15 @@ def _file_stats(path: str) -> tuple[dict, int]:
     return {name: [mins[name], maxs[name]] for name in mins}, md.num_rows
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
+def _write_data_files(
+    df: DataFrame, table_dir: str, *, bloom_cols: tuple[str, ...] = ()
+) -> list[dict]:
     """Stage the DataFrame as immutable parquet under ``data/<uuid>/``;
     returns add-set entries (path + footer min/max stats + byte size +
-    row count, so compaction planning AND metadata-only aggregates later
-    read the LOG, not the object store). Invisible to readers until a log
-    record references them."""
+    row count + optional per-column bloom indexes, so compaction planning
+    AND metadata-only aggregates AND point-lookup skipping later read the
+    LOG, not the object store). Invisible to readers until a log record
+    references them."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     out = os.path.join(table_dir, rel_dir)
     df.write.parquet(out)
@@ -183,15 +256,20 @@ def _write_data_files(df: DataFrame, table_dir: str) -> list[dict]:
     for name in sorted(os.listdir(out)):
         if not name.endswith(".parquet"):
             continue
-        stats, num_rows = _file_stats(os.path.join(out, name))
-        entries.append(
-            {
-                "path": os.path.join(rel_dir, name),
-                "stats": stats,
-                "bytes": os.path.getsize(os.path.join(out, name)),
-                "rows": num_rows,
-            }
-        )
+        path = os.path.join(out, name)
+        stats, num_rows = _file_stats(path)
+        entry = {
+            "path": os.path.join(rel_dir, name),
+            "stats": stats,
+            "bytes": os.path.getsize(path),
+            "rows": num_rows,
+        }
+        blooms = {
+            c: b for c in bloom_cols if (b := _file_bloom(path, c)) is not None
+        }
+        if blooms:
+            entry["bloom"] = blooms
+        entries.append(entry)
     return entries
 
 
@@ -315,6 +393,7 @@ def commit_append(
     *,
     meta: dict | None = None,
     idempotency_key: str | None = None,
+    bloom_cols: tuple[str, ...] = (),
 ) -> int:
     """ACID append: new files only; never conflicts with anything.
 
@@ -331,7 +410,7 @@ def commit_append(
         prior = committed_version(table_dir, idempotency_key)
         if prior is not None:
             return prior
-    add = _write_data_files(df, table_dir)
+    add = _write_data_files(df, table_dir, bloom_cols=bloom_cols)
     key_meta = {} if idempotency_key is None else {"txn": idempotency_key}
 
     def conflict_fn(rec: dict) -> bool:
@@ -838,6 +917,7 @@ def compact(
     zorder_by: tuple[str, str] | None = None,
     meta: dict | None = None,
     idempotency_key: str | None = None,
+    bloom_cols: tuple[str, ...] = (),
 ) -> int | None:
     """OPTIMIZE-style compaction THROUGH the log: bin-pack every live file
     smaller than ``target_bytes`` into ~target-sized files and publish the
@@ -909,7 +989,7 @@ def compact(
     else:
         packed = src.coalesce(n_out)
         op_meta = {"op": "compact", "data_change": False}
-    add = _write_data_files(packed, table_dir)
+    add = _write_data_files(packed, table_dir, bloom_cols=bloom_cols)
     return _commit_rewrite(
         table_dir,
         add=add,

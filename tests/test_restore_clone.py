@@ -219,3 +219,66 @@ def test_table_stats_pre_rows_field_records_degrade_to_none(spark, tmp_path):
         del e["rows"]
     json.dump(rec, open(p, "w"))
     assert txlog.table_stats(t)["n_rows"] is None
+
+
+def test_bloom_index_prunes_point_lookups_without_false_negatives(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # 8 commits of disjoint key ranges -> 8+ files, wide min/max per file
+    # would still overlap nothing... so scramble: each commit holds keys
+    # congruent mod 8 — every file's [min, max] spans the whole domain and
+    # range pruning is useless; only the bloom can skip.
+    for r in range(8):
+        txlog.commit_append(
+            spark.createDataFrame(
+                [(k, f"v{k}") for k in range(r, 800, 8)], "k bigint, v string"
+            ).coalesce(1),
+            t,
+            bloom_cols=("k",),
+        )
+    snap = txlog.snapshot(t)
+    assert all("bloom" in e and "k" in e["bloom"] for e in snap.entries)
+    # no false negatives: every present key's owning file survives the probe
+    for k in (0, 5, 13, 794):
+        kept = [
+            e
+            for e in snap.entries
+            if txlog._bloom_maybe_contains(e, "k", k)
+        ]
+        got = {
+            r["k"]
+            for r in txlog.read_snapshot(spark, t, prune_eq=("k", k))
+            .filter(f"k = {k}")
+            .collect()
+        }
+        assert got == {k}
+        # and the probe actually skipped most files (fpp ~1% at 10 bits/val)
+        assert len(kept) <= 2, f"bloom kept {len(kept)}/8 files for k={k}"
+    # absent key: typically every file pruned; result is an empty frame
+    assert (
+        txlog.read_snapshot(spark, t, prune_eq=("k", 10_000))
+        .filter("k = 10000")
+        .count()
+        == 0
+    )
+
+
+def test_bloom_index_survives_compaction_rewrite(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for r in range(4):
+        txlog.commit_append(
+            spark.createDataFrame(
+                [(k, "x") for k in range(r, 400, 4)], "k bigint, v string"
+            ).coalesce(1),
+            t,
+            bloom_cols=("k",),
+        )
+    txlog.compact(spark, t, n_files=2, bloom_cols=("k",))
+    snap = txlog.snapshot(t)
+    assert all("bloom" in e for e in snap.entries)
+    got = {
+        r["k"]
+        for r in txlog.read_snapshot(spark, t, prune_eq=("k", 37))
+        .filter("k = 37")
+        .collect()
+    }
+    assert got == {37}
