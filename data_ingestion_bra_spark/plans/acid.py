@@ -119,6 +119,19 @@ def _ensure_dml_versions(spark: SparkSession, sf_dir: str) -> str:
     - v3 COMPACT (bin-pack; ``data_change: false`` — same rows)
     """
     table_dir = _dml_table_dir(sf_dir)
+    # self-heal a stale cache built by pre-`rows`-field commits: the
+    # metadata-stats entry needs every version's log-carried row count,
+    # and the builder keys would otherwise no-op forever on the old log
+    if (
+        txlog.committed_version(table_dir, "dml-v0") is not None
+        and any(
+            txlog.table_stats(table_dir, version=v)["n_rows"] is None
+            for v in range(len(txlog._read_log(table_dir)))
+        )
+    ):
+        import shutil
+
+        shutil.rmtree(table_dir)
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("s")
     )
@@ -442,3 +455,40 @@ def txlog_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in parts[1:]:
         out = out.unionAll(df)
     return out
+
+
+@register(
+    "txlog_metadata_stats",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 <= 1
+    ),
+    states AS (
+      SELECT g.v, k FROM (VALUES (0), (1), (2), (3)) g(v)
+      JOIN base ON NOT (g.v = 1 AND k % 8 = 1)
+    )
+    SELECT v AS version, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM states GROUP BY v
+    """,
+    tags=("acid", "txlog", "stats", "metadata", "sink"),
+)
+def txlog_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY row counts (``sinks/txlog.py:table_stats``): the DML
+    timeline's four versions — APPEND, copy-on-write DELETE, MERGE,
+    OPTIMIZE — answered per version from the commit log's footer-harvested
+    row counts, no data file touched (the Delta/Iceberg
+    stats-in-metadata pattern; a 100 TB COUNT(*) costs KBs of log JSON).
+    The oracle recomputes each version's intended cardinality from the raw
+    table, so a match proves the log arithmetic is exact through row-level
+    rewrites AND that compaction (v3, data_change:false) preserved the
+    count to the row.
+
+    The n_rows values arrive driver-side; the returned DataFrame is a
+    4-row literal frame (`createDataFrame` of log metadata — no data-plane
+    collect)."""
+    table_dir = _ensure_dml_versions(spark, sf_dir)
+    rows = [
+        (v, int(txlog.table_stats(table_dir, version=v)["n_rows"]))
+        for v in range(4)
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows bigint")
