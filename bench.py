@@ -1139,6 +1139,9 @@ EXTENDED_QUERIES = [
     "text_chunk_overlap",
     "dedup_contamination_spans",
     "text_cut_contaminated_spans",
+    "sample_upsample_epochs",
+    "dedup_cdc_chunks",
+    "txlog_metadata_stats",
 ]
 
 
