@@ -1041,3 +1041,59 @@ def jpeg_header_meta(df: DataFrame) -> DataFrame:
     factors, table counts) — route/filter on header facts at 100 TB and
     decode only the sampled subset."""
     return df.mapInPandas(jpeg_meta_batch_fn, schema=JPEG_META_SCHEMA)
+
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _dhash_from_pixels(w: int, h: int, ch: int, data: bytes) -> int:
+    """64-bit difference hash (dHash, the standard perceptual image
+    fingerprint): integer-grayscale the decoded pixels, nearest-neighbor
+    resample to a 9x8 grid (the SAME floor mapping as ``_png_resize``, so
+    an oracle can replay every sample), then bit (ty, tx) = 1 iff the
+    pixel is brighter than its right neighbor. All-integer — no float
+    luminance weights — so the hash is bit-exact across engines."""
+    bits = 0
+    for ty in range(8):
+        sy = ty * h // 8
+        row = sy * w * ch
+        g = []
+        for tx in range(9):
+            sx = tx * w // 9
+            px = data[row + sx * ch : row + sx * ch + ch]
+            g.append(sum(px[:3]) // min(ch, 3))
+        for tx in range(8):
+            if g[tx] > g[tx + 1]:
+                bits |= 1 << (ty * 8 + tx)
+    # signed two's-complement int64 (the xxhash64 convention): bit 63 is
+    # the sign, so the value round-trips Arrow/Spark LongType exactly
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: (doc_id, payload=PNG) in, 64-bit dHash out —
+    full real decode (CRC, inflate, de-filter) then the integer hash."""
+    from data_ingestion_bra_spark.operators import png as _png
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, ch, data = _png.decode_png(bytes(payload))
+            out.append((int(doc_id), w, h, _dhash_from_pixels(w, h, ch, data)))
+        yield pd.DataFrame(out, columns=["doc_id", "width", "height", "dhash"])
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual image fingerprints over a PNG payload column. Near-dup
+    IMAGE dedup then rides the existing Hamming machinery: band the 64
+    bits 4x16 (pigeonhole: hamming < 4 => at least one exact band match)
+    and equi-join buckets — identical shape to ``dedup.simhash_near_pairs``,
+    never an all-pairs comparison."""
+    return df.mapInPandas(image_dhash_batch_fn, schema=IMAGE_DHASH_SCHEMA)

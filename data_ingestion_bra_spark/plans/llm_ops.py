@@ -4030,3 +4030,65 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "multimodal_image_dhash",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(8 + doc_id % 8 AS BIGINT) AS w,
+                      CAST(8 + (doc_id // 8) % 8 AS BIGINT) AS h
+               FROM documents),
+    g AS (
+      SELECT doc_id, w, h, ty, tx,
+             (  (doc_id*31 + ((((ty*h)//8)*w + (tx*w)//9)*3 + 0)*7) % 256
+              + (doc_id*31 + ((((ty*h)//8)*w + (tx*w)//9)*3 + 1)*7) % 256
+              + (doc_id*31 + ((((ty*h)//8)*w + (tx*w)//9)*3 + 2)*7) % 256
+             ) // 3 AS gray
+      FROM d,
+           unnest(generate_series(0, 7)) a(ty),
+           unnest(generate_series(0, 8)) b(tx)
+    ),
+    bits AS (
+      SELECT l.doc_id, l.ty, l.tx,
+             CASE WHEN l.gray > r.gray THEN 1 ELSE 0 END AS bit
+      FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.ty = r.ty
+                        AND r.tx = l.tx + 1
+      WHERE l.tx < 8
+    )
+    , packed AS (
+      SELECT doc_id,
+             SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (ty*8 + tx)))
+               AS u
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(CASE WHEN p.u >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN p.u - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE p.u END AS BIGINT) AS dhash
+    FROM packed p JOIN d USING (doc_id)
+    """,
+    tags=("multimodal", "image", "dedup", "dhash", "real-decode", "mapInPandas"),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprints — MULTIMODAL dedup's first stage
+    (``operators/multimodal.py:image_dhash``): every doc's genuine PNG
+    container is fully decoded (CRC, inflate, all five de-filter paths)
+    and hashed with the standard 64-bit difference hash: integer
+    grayscale, nearest-neighbor 9x8 resample (the exact floor mapping the
+    resize op uses), bit = brighter-than-right-neighbor. All-integer, so
+    the oracle regenerates the synthetic pixels and replays every
+    grayscale/resample/compare decision bit-for-bit against what the real
+    decoder extracted from real PNG bytes.
+
+    Near-dup image pairing rides the existing Hamming machinery (4x16-bit
+    pigeonhole bands + bucket equi-join — dedup.simhash_near_pairs'
+    shape); robustness to re-encode/resize/brightness perturbations is
+    pinned in tests/test_image_dhash.py. Scale shape: one Arrow-batched
+    decode pass, 8 bytes of fingerprint per image shuffled thereafter."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_dhash(multimodal.synthesize_png(d))

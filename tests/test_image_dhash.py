@@ -1,0 +1,88 @@
+"""Perceptual image dedup (operators/multimodal.py:image_dhash)."""
+
+from __future__ import annotations
+
+from data_ingestion_bra_spark.operators import png as _png
+from data_ingestion_bra_spark.operators.multimodal import _dhash_from_pixels
+
+
+def _pixels(w, h, seed):
+    return bytes((seed * 31 + j * 7) % 256 for j in range(w * h * 3))
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _dhash_of_png(payload: bytes) -> int:
+    w, h, ch, data = _png.decode_png(payload)
+    return _dhash_from_pixels(w, h, ch, data)
+
+
+def test_reencode_with_different_filter_is_hash_identical():
+    pix = _pixels(16, 12, seed=5)
+    hashes = {
+        _dhash_of_png(_png.encode_png(16, 12, pix, channels=3, filter_type=f))
+        for f in range(5)
+    }
+    assert len(hashes) == 1  # same pixels, five containers, one fingerprint
+
+
+def test_small_brightness_shift_is_near_duplicate():
+    pix = _pixels(16, 12, seed=5)
+    brighter = bytes(min(255, b + 2) for b in pix)
+    h0 = _dhash_of_png(_png.encode_png(16, 12, pix, channels=3))
+    h1 = _dhash_of_png(_png.encode_png(16, 12, brighter, channels=3))
+    assert _hamming(h0, h1) <= 6  # uniform shift: only clamp-edge bits move
+
+
+def test_unrelated_images_are_far_apart():
+    h0 = _dhash_of_png(_png.encode_png(16, 12, _pixels(16, 12, seed=5), channels=3))
+    h1 = _dhash_of_png(_png.encode_png(16, 12, _pixels(16, 12, seed=1009), channels=3))
+    assert _hamming(h0, h1) >= 16  # random bits land near 32/64
+
+
+def test_banded_pairing_finds_the_near_dup(spark):
+    # the Hamming pairing shape: 4x16-bit bands, bucket equi-join —
+    # pigeonhole guarantees a shared band for hamming < 4
+    from pyspark.sql import functions as F
+
+    pix = _pixels(16, 12, seed=5)
+    brighter = bytes(min(255, b + 2) for b in pix)
+    rows = [
+        (1, _dhash_of_png(_png.encode_png(16, 12, pix, channels=3))),
+        (2, _dhash_of_png(_png.encode_png(16, 12, brighter, channels=3))),
+        (3, _dhash_of_png(_png.encode_png(16, 12, _pixels(16, 12, 1009), channels=3))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    bands = df.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("dhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    )
+    got = {(r["x"], r["y"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got

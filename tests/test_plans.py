@@ -77,6 +77,7 @@ PYTHON_ALLOWED = {
     # real video containers: ISO-BMFF (MP4) box walk, header-only — same
     # zero-decode contract as the JPEG metadata tier
     "multimodal_video_mp4_meta",
+    "multimodal_image_dhash",
     "grouped_map_rank_per_lang",
 }
 
