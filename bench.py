@@ -1142,6 +1142,7 @@ EXTENDED_QUERIES = [
     "sample_upsample_epochs",
     "dedup_cdc_chunks",
     "txlog_metadata_stats",
+    "multimodal_image_dhash",
 ]
 
 
