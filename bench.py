@@ -1143,6 +1143,7 @@ EXTENDED_QUERIES = [
     "dedup_cdc_chunks",
     "txlog_metadata_stats",
     "multimodal_image_dhash",
+    "multimodal_video_dhash",
 ]
 
 

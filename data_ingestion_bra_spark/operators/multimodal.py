@@ -1097,3 +1097,60 @@ def image_dhash(df: DataFrame) -> DataFrame:
     and equi-join buckets — identical shape to ``dedup.simhash_near_pairs``,
     never an all-pairs comparison."""
     return df.mapInPandas(image_dhash_batch_fn, schema=IMAGE_DHASH_SCHEMA)
+
+
+VIDEO_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def gif_frame_dhash_batch_fn(every_n: int):
+    """mapInPandas worker factory: (doc_id, payload=GIF) in, one 64-bit
+    dHash per SAMPLED frame out — container walk picks the frame set,
+    only those frames LZW-decode, palette maps indices to integer gray,
+    and ``_dhash_from_pixels`` runs with ch=1 over the gray buffer (the
+    identical grid/compare arithmetic as the still-image hash)."""
+    from data_ingestion_bra_spark.operators import gif as _gif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                meta = _gif.parse_gif_meta(p)
+                want = set(range(0, meta.n_frames, every_n))
+                _, palette, frames = _gif.decode_gif_frames(p, want)
+                for fr in frames:
+                    # integer gray per pixel: mean of the palette triple
+                    gray = bytes(
+                        (
+                            palette[3 * idx]
+                            + palette[3 * idx + 1]
+                            + palette[3 * idx + 2]
+                        )
+                        // 3
+                        for idx in fr.pixels
+                    )
+                    out.append(
+                        (
+                            int(doc_id),
+                            fr.index,
+                            _dhash_from_pixels(meta.width, meta.height, 1, gray),
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "dhash"])
+
+    return fn
+
+
+def gif_frame_dhash(df: DataFrame, *, every_n: int = 2) -> DataFrame:
+    """Per-frame perceptual fingerprints over a GIF payload column — the
+    VIDEO leg of multimodal dedup: near-dup videos share most sampled
+    frame hashes, so pairing is a (dhash) equi-join + per-pair shared-
+    frame count, never pixels and never all-pairs. Unsampled frames are
+    never decompressed."""
+    return df.mapInPandas(gif_frame_dhash_batch_fn(every_n), schema=VIDEO_DHASH_SCHEMA)

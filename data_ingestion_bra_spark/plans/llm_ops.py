@@ -4092,3 +4092,57 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.image_dhash(multimodal.synthesize_png(d))
+
+
+@register(
+    "multimodal_video_dhash",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(4 + doc_id % 5 AS BIGINT) AS w,
+                      CAST(4 + (doc_id // 5) % 5 AS BIGINT) AS h,
+                      CAST(2 + doc_id % 7 AS BIGINT) AS nf
+               FROM documents),
+    fr AS (SELECT doc_id, w, h, f
+           FROM d, unnest(generate_series(0, nf - 1)) t(f)
+           WHERE f % 2 = 0),
+    g AS (SELECT doc_id, f, ty, tx,
+                 ((doc_id*31 + f*17
+                   + ((((ty*h)//8)*w + (tx*w)//9))*7) % 16) * 17 AS gray
+          FROM fr,
+               unnest(generate_series(0, 7)) a(ty),
+               unnest(generate_series(0, 8)) b(tx)),
+    bits AS (SELECT l.doc_id, l.f, l.ty, l.tx,
+                    CASE WHEN l.gray > r.gray THEN 1 ELSE 0 END AS bit
+             FROM g l JOIN g r ON l.doc_id = r.doc_id AND l.f = r.f
+                               AND l.ty = r.ty AND r.tx = l.tx + 1
+             WHERE l.tx < 8),
+    packed AS (SELECT doc_id, f,
+                      SUM(CAST(bit AS HUGEINT)
+                          * (CAST(1 AS HUGEINT) << (ty*8 + tx))) AS u
+               FROM bits GROUP BY doc_id, f)
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN u - CAST(18446744073709551616 AS HUGEINT)
+                     ELSE u END AS BIGINT) AS dhash
+    FROM packed
+    """,
+    tags=("multimodal", "video", "dedup", "dhash", "real-decode", "mapInPandas"),
+)
+def multimodal_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual fingerprints — the VIDEO leg of multimodal
+    dedup (``operators/multimodal.py:gif_frame_dhash``): every doc's
+    genuine animated-GIF container is walked for its frame set, every 2nd
+    frame (and ONLY those) LZW-decodes, the palette maps indices to
+    integer gray, and each sampled frame gets the same all-integer 64-bit
+    dHash as the still-image tier. Near-dup videos share most sampled
+    frame hashes, so pairing is a dhash equi-join + shared-frame count —
+    8 bytes per sampled frame is all that shuffles, pixels never do.
+
+    The oracle regenerates the synthetic frames and replays the
+    grid/compare/pack arithmetic bit-for-bit against what the real
+    decoder extracted from real GIF bytes."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.gif_frame_dhash(multimodal.synthesize_gif(d), every_n=2)

@@ -86,3 +86,47 @@ def test_banded_pairing_finds_the_near_dup(spark):
     got = {(r["x"], r["y"]) for r in pairs}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_video_near_dup_shares_frame_hashes(spark):
+    # doc 2 = doc 1's frames with one new frame prepended; doc 3 unrelated.
+    # A dhash equi-join must pair (1, 2) on their shared frames only.
+    from data_ingestion_bra_spark.operators import gif as _gif
+    from data_ingestion_bra_spark.operators.multimodal import (
+        GIF_PALETTE,
+        gif_frame_dhash,
+    )
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    def frame(seed):
+        return bytes((seed * 31 + j * 7) % 16 for j in range(8 * 8))
+
+    # frame pixels depend on seed mod 16 (the palette size), so the three
+    # docs' seed sets are chosen disjoint mod 16: {5,6,7,8}, {9}, {12,11,14}
+    shared = [frame(s) for s in (5, 6, 7, 8)]
+    payloads = {
+        1: _gif.encode_gif(8, 8, shared, GIF_PALETTE, delays_cs=[4] * 4),
+        2: _gif.encode_gif(8, 8, [frame(9)] + shared, GIF_PALETTE, delays_cs=[4] * 5),
+        3: _gif.encode_gif(8, 8, [frame(s) for s in (60, 75, 30)], GIF_PALETTE, delays_cs=[4] * 3),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(payloads), "payload": [payloads[k] for k in payloads]}
+        )
+    )
+    h = gif_frame_dhash(df, every_n=1)
+    pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.dhash") == F.col("b.dhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .agg(F.countDistinct("a.dhash").alias("shared"))
+        .collect()
+    )
+    got = {(r["x"], r["y"]): r["shared"] for r in pairs}
+    assert got.get((1, 2)) == 4  # all four shared frames found
+    assert (1, 3) not in got and (2, 3) not in got

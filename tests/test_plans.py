@@ -78,6 +78,7 @@ PYTHON_ALLOWED = {
     # zero-decode contract as the JPEG metadata tier
     "multimodal_video_mp4_meta",
     "multimodal_image_dhash",
+    "multimodal_video_dhash",
     "grouped_map_rank_per_lang",
 }
 
