@@ -1144,6 +1144,7 @@ EXTENDED_QUERIES = [
     "txlog_metadata_stats",
     "multimodal_image_dhash",
     "multimodal_video_dhash",
+    "multimodal_audio_fingerprint",
 ]
 
 

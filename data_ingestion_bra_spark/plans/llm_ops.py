@@ -4146,3 +4146,51 @@ def multimodal_video_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.gif_frame_dhash(multimodal.synthesize_gif(d), every_n=2)
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS nf
+               FROM documents),
+    s AS (SELECT doc_id, nf, i,
+                 CAST(((doc_id*7919 + i*131) % 4096) - 2048 AS BIGINT) AS smp,
+                 CAST(((doc_id*7919 + (i+1)*131) % 4096) - 2048 AS BIGINT) AS nxt,
+                 (i*16) // nf AS w
+          FROM d, unnest(generate_series(0, nf - 1)) t(i)),
+    wagg AS (SELECT doc_id, nf, w,
+                    SUM(ABS(smp)) AS e,
+                    SUM(CASE WHEN i < nf - 1 AND (smp < 0) <> (nxt < 0)
+                             THEN 1 ELSE 0 END) AS zc
+             FROM s GROUP BY doc_id, nf, w),
+    bits AS (SELECT l.doc_id, l.nf,
+                    CASE WHEN l.e > r.e
+                         THEN CAST(1 AS BIGINT) << CAST(l.w AS INT)
+                         ELSE 0 END
+                  + CASE WHEN l.zc > r.zc
+                         THEN CAST(1 AS BIGINT) << CAST(15 + l.w AS INT)
+                         ELSE 0 END AS b
+             FROM wagg l JOIN wagg r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+             WHERE l.w < 15)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(SUM(b) AS BIGINT) AS afp
+    FROM bits GROUP BY doc_id, nf
+    """,
+    tags=("multimodal", "audio", "dedup", "fingerprint", "real-decode", "mapInPandas"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprints — the AUDIO leg of multimodal dedup
+    (``operators/multimodal.py:wav_audio_fingerprint``): every doc's
+    genuine RIFF/WAVE container fully decodes and hashes to a 30-bit
+    contour fingerprint (16-window energy + zero-crossing difference
+    bits — the time-domain integer variant of the published robust audio
+    hash, Haitsma & Kalker 2002, whose bits are band-energy differences).
+    Pairing is an equi-join on the fingerprint or the banded-Hamming
+    machinery; 4 bytes per clip shuffle, samples never do. The oracle
+    regenerates the PCM and replays every window sum and comparison
+    bit-for-bit against what the real decoder extracted."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.wav_audio_fingerprint(multimodal.synthesize_wav(d))

@@ -130,3 +130,30 @@ def test_video_near_dup_shares_frame_hashes(spark):
     got = {(r["x"], r["y"]): r["shared"] for r in pairs}
     assert got.get((1, 2)) == 4  # all four shared frames found
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_audio_fingerprint_robustness():
+    # contour hashing keys on signal STRUCTURE (which windows are louder /
+    # busier), so the fixtures need envelopes — a flat sawtooth has a flat
+    # contour and every clip would look alike, correctly.
+    from data_ingestion_bra_spark.operators.multimodal import _audio_fingerprint
+
+    def clip(envelope, n=512):
+        # deterministic oscillation under a per-window amplitude envelope
+        return [
+            (envelope[i * 16 // n]) * (1 if (i // 3) % 2 == 0 else -1)
+            for i in range(n)
+        ]
+
+    rising = clip([50 * (w + 1) for w in range(16)])
+    falling = clip([50 * (16 - w) for w in range(16)])
+    a = _audio_fingerprint(rising)
+    assert a == _audio_fingerprint(list(rising))
+    # uniform gain change preserves the contour exactly
+    assert _audio_fingerprint([s // 2 for s in rising]) == a
+    # a small additive wobble moves at most a few near-tie bits
+    wobble = [s + (1 if i % 7 == 0 else 0) for i, s in enumerate(rising)]
+    assert bin(a ^ _audio_fingerprint(wobble)).count("1") <= 3
+    # an opposite envelope flips the energy-contour bits wholesale
+    far = a ^ _audio_fingerprint(falling)
+    assert bin(far).count("1") >= 10

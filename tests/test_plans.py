@@ -79,6 +79,7 @@ PYTHON_ALLOWED = {
     "multimodal_video_mp4_meta",
     "multimodal_image_dhash",
     "multimodal_video_dhash",
+    "multimodal_audio_fingerprint",
     "grouped_map_rank_per_lang",
 }
 
