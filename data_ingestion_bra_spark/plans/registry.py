@@ -236,6 +236,17 @@ GATE_ORDER: tuple[str, ...] = (
     #      hash-verified below the window). text_chunk_overlap registers
     #      below the window (sliding-window chunking semantics; its
     #      explode/slice shape is adjacent to the gated BPE packing).
+    # Round-8c rotation (perceptual multimodal dedup gets driver credit):
+    # IN:  multimodal_image_dhash (real PNG decode -> all-integer 64-bit
+    #      difference hash, the image/audio/video near-dup triad's anchor —
+    #      a NEW capability class: fingerprints for media dedup, not
+    #      container features).
+    # OUT: multimodal_video_gif_frames (its sampled-frame LZW-decode
+    #      surface runs VERBATIM inside the below-window
+    #      multimodal_video_dhash — same container walk, same selective
+    #      decode — and the gated wav_decode/jpeg_roundtrip keep real
+    #      containers in-window; stays hash-verified below the window,
+    #      along with the new video/audio fingerprint legs).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
@@ -264,7 +275,7 @@ GATE_ORDER: tuple[str, ...] = (
     # hash-verified in the full-catalog report.
     "multimodal_image_jpeg_roundtrip",
     "multimodal_audio_wav_decode",
-    "multimodal_video_gif_frames",
+    "multimodal_image_dhash",
     "curation_gopher_pipeline",
     "incremental_merge_upsert",
     "scd2_event_type_history",
