@@ -340,3 +340,103 @@ def doc_token_counts_dense(
             .alias(out_col),
         )
     )
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE merge (a, b) -> "ab" to a symbol array, greedy
+    left-to-right non-overlapping — the canonical BPE apply step
+    (tools/train_bpe.py:apply_merge), as a scan-resident fold:
+    state = (out, prev); prev==a and cur==b emit the merged symbol,
+    otherwise prev flushes and cur becomes the new prev."""
+    a_lit, b_lit = F.lit(a), F.lit(b)
+    folded = F.aggregate(
+        syms,
+        F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, s: F.when(
+            acc["prev"].eqNullSafe(a_lit) & (s == b_lit),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc["prev"].isNull(), acc["out"])
+                .otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+                .alias("out"),
+                s.alias("prev"),
+            )
+        ),
+        lambda acc: F.when(
+            acc["prev"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["prev"]))),
+    )
+    return folded
+
+
+def train_bpe_distributed(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 32,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """DISTRIBUTED BPE training (Sennrich et al. 2016) — the trainer run
+    IN-ENGINE, so a 100 TB corpus learns its own tokenizer without the
+    text ever leaving the cluster:
+
+    - the corpus is touched ONCE: whitespace words -> one groupBy into
+      the (word, freq) VOCABULARY relation, persisted; every iteration
+      after that runs over the vocab (distinct words), whose size tracks
+      the language, not the corpus;
+    - each merge step: explode the vocab's adjacent symbol pairs
+      (freq-weighted, partial-aggregable groupBy), take the argmax with
+      the offline trainer's exact tie-break (count desc, then
+      lexicographically smallest pair — a ONE-ROW collect, control plane
+      only), then apply the merge to every word with a scan-resident
+      fold (``_merge_pair_expr``);
+    - the symbol column localCheckpoints every ``checkpoint_every``
+      merges — the same bounded-plan-depth lesson as
+      ``_apply_merges_batched``.
+
+    Bit-identical to the pure-Python reference trainer
+    (``tools/train_bpe.py:train``) on the same vocabulary, including tie
+    breaks and the no-pair-occurs-twice stop rule — pinned by
+    ``tests/test_bpe_train_distributed.py``."""
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), _WS_CLASS + "+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for k in range(n_merges):
+        pairs = (
+            vocab.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        # the reference trainer's stop rule: no pair occurs twice
+        if not pairs or pairs[0]["cnt"] < 2:
+            break
+        a, b = pairs[0]["a"], pairs[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(_merge_pair_expr(F.col("syms"), a, b).alias("syms"), "freq")
+        if (k + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges
