@@ -404,7 +404,7 @@ def train_bpe_distributed(
     Bit-identical to the pure-Python reference trainer
     (``tools/train_bpe.py:train``) on the same vocabulary, including tie
     breaks and the no-pair-occurs-twice stop rule — pinned by
-    ``tests/test_bpe_train_distributed.py``."""
+    ``tests/test_trainers_distributed.py``."""
     vocab = (
         docs.select(F.explode(F.split(F.col(text_col), _WS_CLASS + "+")).alias("w"))
         .filter(F.col("w") != "")

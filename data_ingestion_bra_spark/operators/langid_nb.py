@@ -124,3 +124,91 @@ def langid_nb(
         "n_grams",
         *[f"s_{lang}_md" for lang in langs],
     )
+
+
+def train_langid_nb_distributed(
+    labeled: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_k_per_lang: int = 64,
+    scale: int = 1000,
+) -> dict:
+    """DISTRIBUTED trainer for the NB langid model — the committed weight
+    table retrained in-engine over a labeled corpus of any size
+    (``tools/train_langid_nb.py`` is the tiny-corpus offline twin; this is
+    bit-identical to it on the same input, pinned in
+    ``tests/test_trainers_distributed.py``).
+
+    Distributed part (everything corpus-sized): normalize + positional
+    trigram explode are scan-resident; ONE groupBy yields per-(lang, gram)
+    counts with the FIRST-OCCURRENCE position carried as min(pos) — the
+    tie-break ``Counter.most_common`` applies implicitly via insertion
+    order, made explicit so retraining is bit-reproducible at any
+    parallelism. Control plane (vocab-sized, ≤ top_k × langs rows): top-K
+    per lang, Laplace log-weight arithmetic, identical to the offline
+    trainer's.
+
+    Returns the same dict shape the runtime loads
+    (``load_nb_model``): {model, scale, langs, defaults, weights}."""
+    import math
+
+    from pyspark.sql import Window
+
+    grams = (
+        labeled.select(lang_col, normalize_expr(text_col).alias("norm"))
+        .filter(F.length("norm") >= 3)
+        .select(
+            lang_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(norm) - 2),"
+                    " i -> struct(substring(norm, i, 3) AS g, i AS pos))"
+                )
+            ).alias("t"),
+        )
+        .groupBy(lang_col, "t.g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("t.pos").alias("first_pos"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("n"), F.asc("first_pos"), F.asc("g")
+    )
+    ranked = grams.withColumn("rk", F.row_number().over(w))
+    rows = ranked.collect()  # vocab-scale: |langs| x |distinct grams| of the
+    # NORMALIZED alphabet (27 symbols -> <= 27^3 rows/lang), never the corpus
+    langs = sorted({r[lang_col] for r in rows})
+    counts = {
+        lang: {r["g"]: r["n"] for r in rows if r[lang_col] == lang}
+        for lang in langs
+    }
+    vocab: set[str] = set()
+    for lang in langs:
+        top = sorted(
+            (r for r in rows if r[lang_col] == lang), key=lambda r: r["rk"]
+        )[:top_k_per_lang]
+        vocab.update(r["g"] for r in top)
+    vocab_sorted = sorted(vocab)
+    v = len(vocab_sorted)
+    defaults = {}
+    for lang in langs:
+        n_total = sum(counts[lang].values())
+        defaults[lang] = round(scale * math.log(1 / (n_total + v + 1)))
+    weights = []
+    for g in vocab_sorted:
+        row: dict[str, object] = {"g": g}
+        for lang in langs:
+            n_total = sum(counts[lang].values())
+            row[lang] = round(
+                scale * math.log((counts[lang].get(g, 0) + 1) / (n_total + v + 1))
+            )
+        weights.append(row)
+    return {
+        "model": "char-trigram multinomial naive bayes",
+        "scale": scale,
+        "langs": langs,
+        "defaults": defaults,
+        "weights": weights,
+    }

@@ -190,3 +190,84 @@ def passes_lm_expr(
     n = F.greatest(F.size(F.split(norm, " ")) - 1, F.lit(0))
     avg = avg_nll_milli_expr(c, model=model)
     return (norm != "") & (n > 0) & (avg <= F.lit(int(keep_max_avg_nll_milli)))
+
+
+def train_ngram_lm_distributed(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    lambda_pct: int = 75,
+    scale: int = 1000,
+) -> dict:
+    """DISTRIBUTED trainer for the interpolated bigram LM — the committed
+    weight table retrained in-engine over a corpus of any size
+    (``tools/train_ngram_lm.py`` is the tiny-corpus offline twin;
+    bit-identical on the same input, pinned in
+    ``tests/test_trainers_distributed.py``).
+
+    Distributed part (corpus-sized): normalize + token explode for
+    unigrams, and a WITHIN-DOCUMENT positional zip for bigrams (the
+    offline trainer counts per corpus before summing for exactly this
+    reason — no spurious bigram across document seams); two
+    partial-aggregable groupBys. Control plane (vocab-sized): the
+    Laplace + interpolation log arithmetic on the collected count
+    tables, identical to the offline trainer's.
+
+    Returns the dict shape ``load_lm`` reads: {model, scale, lambda_e2,
+    oov_lp, uni, bi}."""
+    import math
+
+    lam = lambda_pct / 100.0
+    toks = (
+        docs.select(normalize_expr(F.col(text_col)).alias("norm"))
+        .filter(F.col("norm") != "")
+        .select(F.split("norm", " ").alias("toks"))
+    )
+    uni_rows = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    bi_rows = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1),"
+                    " (t, i) -> struct(t AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    uni = {r["w"]: r["n"] for r in uni_rows}
+    v = len(uni)
+    n_total = sum(uni.values())
+
+    def p_uni(w: str) -> float:
+        return (uni[w] + 1) / (n_total + v + 1)
+
+    p_unk = 1 / (n_total + v + 1)
+    return {
+        "model": "word-bigram interpolated LM (CCNet-style perplexity filter)",
+        "scale": scale,
+        "lambda_e2": lambda_pct,
+        "oov_lp": round(scale * math.log((1 - lam) * p_unk)),
+        "uni": [
+            {"w": w, "blp": round(scale * math.log((1 - lam) * p_uni(w)))}
+            for w in sorted(uni)
+        ],
+        "bi": [
+            {
+                "g": f"{r['w1']} {r['w2']}",
+                "lp": round(
+                    scale
+                    * math.log(lam * r["n"] / uni[r["w1"]] + (1 - lam) * p_uni(r["w2"]))
+                ),
+            }
+            for r in sorted(bi_rows, key=lambda r: (r["w1"], r["w2"]))
+        ],
+    }

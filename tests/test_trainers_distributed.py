@@ -1,5 +1,6 @@
-"""Distributed BPE training (operators/bpe.py:train_bpe_distributed) —
-bit-identical to the pure-Python reference trainer, tie-breaks included."""
+"""In-engine distributed trainers (BPE merges, NB langid weights, bigram
+LM weights) — each bit-identical to its pure-Python offline twin on the
+same input, tie-breaks and stop rules included."""
 
 from __future__ import annotations
 
@@ -62,3 +63,35 @@ def test_stops_when_no_pairs_remain(spark):
     # single-char words only: zero adjacent pairs from the start
     df = spark.createDataFrame([("a b c",)], "text string")
     assert train_bpe_distributed(df, n_merges=5) == []
+
+
+def test_langid_nb_distributed_matches_committed_model(spark):
+    # the committed weight table IS the offline trainer's output on the
+    # shared corpus — retraining in-engine must reproduce it bit-for-bit
+    from train_langid_nb import CORPUS
+
+    from data_ingestion_bra_spark.operators.langid_nb import (
+        load_nb_model,
+        train_langid_nb_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(lang, txt) for lang, txt in CORPUS.items()], "lang string, text string"
+    )
+    assert train_langid_nb_distributed(df) == load_nb_model()
+
+
+def test_ngram_lm_distributed_matches_committed_model(spark):
+    from train_langid_nb import CORPUS
+
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        load_lm,
+        train_ngram_lm_distributed,
+    )
+
+    # one row per corpus: bigrams never cross document (= corpus) seams,
+    # matching the offline trainer's per-corpus counting
+    df = spark.createDataFrame(
+        [(txt,) for _, txt in sorted(CORPUS.items())], "text string"
+    )
+    assert train_ngram_lm_distributed(df) == load_lm()
