@@ -139,8 +139,9 @@ def _file_bloom(path: str, col: str) -> dict | None:
     bloom filter index): built ONCE at commit time from the just-written
     local file (page-cache-hot), stored hex-encoded in the log entry.
     ~``_BLOOM_BITS_PER_VALUE`` bits per distinct value rounded up to a
-    power of two, so a 100k-distinct-key file costs ~128 KB of log —
-    the price of answering point lookups with zero data-file reads."""
+    power of two — a 100k-distinct-key file is a 128 KB bitmap, ~256 KB
+    as hex in the log: the price of answering point lookups with zero
+    data-file reads, which is why the index is opt-in per column."""
     import pyarrow.parquet as pq
 
     values = {
