@@ -879,6 +879,47 @@ def _skipping_bench(spark, sf_dir: str) -> dict:
     return out
 
 
+def _trainer_bench(spark, sf_dir: str) -> dict:
+    """In-engine trainer evidence (r8): wall clock for retraining each
+    committed model artifact over the headline-SF documents table —
+    distributed BPE (the iterative one: per-merge cost = a vocab-relation
+    pair groupBy + a 1-row argmax), NB langid (one counting groupBy), and
+    the bigram LM (two counting groupBys). Each trainer's output is
+    pytest-pinned bit-identical to its offline twin; this section prices
+    the 'retrain on the cluster' story."""
+    from data_ingestion_bra_spark.operators.bpe import train_bpe_distributed
+    from data_ingestion_bra_spark.operators.langid_nb import (
+        train_langid_nb_distributed,
+    )
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        train_ngram_lm_distributed,
+    )
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out: dict = {"corpus": sf_dir, "n_docs": docs.count()}
+    t0 = time.perf_counter()
+    merges = train_bpe_distributed(docs, n_merges=96)
+    out["bpe_96_merges"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_merges": len(merges),
+    }
+    t0 = time.perf_counter()
+    nb = train_langid_nb_distributed(docs, lang_col="lang")
+    out["langid_nb"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_weights": len(nb["weights"]),
+    }
+    t0 = time.perf_counter()
+    lm = train_ngram_lm_distributed(docs)
+    out["ngram_lm"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_uni": len(lm["uni"]),
+        "n_bi": len(lm["bi"]),
+    }
+    return out
+
+
 def _acid_dml_bench(spark, sf_dir: str, *, passes: int = 3) -> dict:
     """Row-level DML through the transaction log, timed end to end at the
     headline SF: APPEND the orders table (multi-file), copy-on-write
@@ -1385,6 +1426,14 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
         ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
+        (
+            "trainers",
+            "SPARK_GRAFT_SKIP_TRAINERS",
+            150,
+            lambda: payload.__setitem__(
+                "trainer_bench", _trainer_bench(spark, sf_dir)
+            ),
+        ),
         ("sf10_scaling", None if sf10 else "1", 150, sf10_section),
         ("semdedup_scale", "SPARK_GRAFT_SKIP_SEMDEDUP", 500, semdedup),
         (
