@@ -376,6 +376,24 @@ def _commit(
     raise CommitConflict(f"gave up after {max_retries} commit attempts")
 
 
+def checkpoint_scoped_query_id(prefix: str, checkpoint_dir: str) -> str:
+    """The idempotency-key namespace for a streaming writer, derived from
+    its CHECKPOINT: ``<prefix>-<md5(abspath(checkpoint))[:12]>``.
+
+    Epoch ids are only unique within one checkpoint lineage — a stream
+    restarted with a FRESH checkpoint renumbers epochs from 0, so a
+    constant query_id would collide its new epoch-0 key with the old
+    run's and silently no-op a batch that now covers MORE source data
+    (data loss). Scoping the key to the checkpoint gives exactly the
+    published transactional-writer semantics: restarts from the same
+    checkpoint stay idempotent, a new checkpoint is a new consumer that
+    legitimately reprocesses."""
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()
+    return f"{prefix}-{digest[:12]}"
+
+
 def committed_version(table_dir: str, idempotency_key: str | None) -> int | None:
     """Version of the commit that carried ``idempotency_key``, or None.
     A None key matches nothing (records without a 'txn' field must not

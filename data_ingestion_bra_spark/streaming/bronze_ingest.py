@@ -110,6 +110,11 @@ def acid_batch_writer(
     """foreachBatch writer that lands each micro-batch as ONE ACID txlog
     commit, exactly-once across epoch replays: the idempotency key
     ``<query_id>:<epoch>`` makes a replayed epoch a no-op (the Delta
+    pattern). CONTRACT: query_id must be unique per CHECKPOINT lineage —
+    epoch ids renumber from 0 under a fresh checkpoint, so a constant id
+    would collide with the old run's keys and silently no-op batches that
+    now cover more source data; derive it with
+    ``txlog.checkpoint_scoped_query_id`` (the Delta
     transactional-writer pattern), so restarts re-running the last epoch
     cannot duplicate rows — a guarantee the directory sink gets from
     deterministic overwrite paths and the txlog sink gets from the log

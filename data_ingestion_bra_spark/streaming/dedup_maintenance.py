@@ -57,7 +57,7 @@ def dedup_maintenance_writer(
     store_dir: str,
     flags_dir: str,
     *,
-    query_id: str = "dedup",
+    query_id: str = "dedup",  # MUST be checkpoint-unique: see txlog.checkpoint_scoped_query_id
     band_size: int = 4,
     num_hashes: int = 16,
 ) -> Callable[[DataFrame, int], None]:

@@ -169,8 +169,16 @@ def start_ivf_maintenance(
     **writer_kwargs,
 ):
     """Start the maintenance stream over a vector source (same schema as
-    the embeddings table)."""
+    the embeddings table). ``query_id`` (via writer_kwargs) defaults to a
+    CHECKPOINT-scoped id — see ``txlog.checkpoint_scoped_query_id`` for
+    why a constant id loses data across a checkpoint reset."""
+    from data_ingestion_bra_spark.sinks import txlog as _txlog
+
     os.makedirs(Path(log_path).parent, exist_ok=True)
+    writer_kwargs.setdefault(
+        "query_id",
+        _txlog.checkpoint_scoped_query_id("ivf-maintenance", checkpoint_dir),
+    )
     writer = vectors_stream.writeStream.foreachBatch(
         ivf_maintenance_writer(
             centroids,

@@ -35,12 +35,22 @@ def bronze_to_silver(
     *,
     checkpoint_dir: str,
     transform,
-    query_id: str = "silver-hop",
+    query_id: str | None = None,
     available_now: bool = True,
     ignore_changes: bool = False,
 ):
     """Start the hop; returns the StreamingQuery. ``transform(df) -> df``
-    runs per epoch on the new bronze rows."""
+    runs per epoch on the new bronze rows.
+
+    ``query_id`` defaults to a CHECKPOINT-scoped id
+    (``txlog.checkpoint_scoped_query_id``): epoch numbers are only unique
+    within one checkpoint lineage, so a constant id would collide a fresh
+    checkpoint's epoch 0 with the old run's and silently drop the new
+    batch's extra bronze rows. Same-checkpoint restarts stay idempotent;
+    a fresh checkpoint is a new consumer and reprocesses (the published
+    streaming-source semantics)."""
+    if query_id is None:
+        query_id = txlog.checkpoint_scoped_query_id("silver-hop", checkpoint_dir)
     spark.dataSource.register(TxlogStreamDataSource)
     reader = spark.readStream.format("txlog_stream").option("path", bronze_dir)
     if ignore_changes:

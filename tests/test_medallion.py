@@ -55,7 +55,12 @@ def test_hop_applies_transform_exactly_once_across_restarts(spark, tmp_path):
     assert _silver_rows(spark, silver) == {(1, "a b c d"), (3, "x y z w v")}
 
 
-def test_replayed_epoch_is_a_noop_in_the_silver_log(spark, tmp_path):
+def test_fresh_checkpoint_never_loses_new_bronze_data(spark, tmp_path):
+    # THE key-collision hazard (round-8 review finding): epoch ids
+    # renumber from 0 under a fresh checkpoint, so a constant query_id
+    # would see its new epoch-0 key already committed and silently DROP
+    # the bronze rows added since — the checkpoint-scoped default makes a
+    # fresh checkpoint a new consumer instead.
     bronze, silver = str(tmp_path / "bronze"), str(tmp_path / "silver")
     txlog.commit_append(_docs(spark, [(1, "p q r s")]), bronze)
     q = medallion.bronze_to_silver(
@@ -63,12 +68,22 @@ def test_replayed_epoch_is_a_noop_in_the_silver_log(spark, tmp_path):
         transform=_gate,
     )
     q.awaitTermination(120)
-    # a SECOND hop with a FRESH checkpoint re-reads bronze from v0 and
-    # replays epoch 0 — the sink's idempotency key must swallow it
+    assert _silver_rows(spark, silver) == {(1, "p q r s")}
+    # bronze advances, then a hop with a FRESH checkpoint runs: its epoch
+    # 0 covers v0..v1 — the new rows MUST land (duplicates of v0's rows
+    # are the documented reprocessing trade of abandoning a checkpoint)
+    txlog.commit_append(_docs(spark, [(2, "u v w x")]), bronze)
     q = medallion.bronze_to_silver(
         spark, bronze, silver, checkpoint_dir=str(tmp_path / "cp2"),
         transform=_gate,
     )
     q.awaitTermination(120)
-    assert _silver_rows(spark, silver) == {(1, "p q r s")}
-    assert txlog.snapshot(silver).version == 0
+    assert (2, "u v w x") in _silver_rows(spark, silver)
+    # while a replay under the SAME checkpoint lineage stays a no-op
+    n_versions = txlog.snapshot(silver).version
+    q = medallion.bronze_to_silver(
+        spark, bronze, silver, checkpoint_dir=str(tmp_path / "cp2"),
+        transform=_gate,
+    )
+    q.awaitTermination(120)
+    assert txlog.snapshot(silver).version == n_versions
