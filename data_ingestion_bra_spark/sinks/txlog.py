@@ -535,6 +535,19 @@ def restore(
     live_now = {_entry_path(e) for e in snapshot(table_dir).entries}
     add = [e for e in target.entries if _entry_path(e) not in live_now]
     key_meta = {} if idempotency_key is None else {"txn": idempotency_key}
+
+    def remove_fn(snap: Snapshot) -> list[str]:
+        # A restore asserts the WHOLE live set, and the add set above was
+        # derived from live_now — so the snapshot actually being committed
+        # against must still BE live_now. _commit re-derives removes from
+        # the current snapshot on every attempt; a commit that landed in
+        # the read-to-publish window (before our first publish, where
+        # conflict_fn never runs) would otherwise be silently undone.
+        if {_entry_path(e) for e in snap.entries} != live_now:
+            raise CommitConflict(
+                f"concurrent commit landed while restoring {table_dir}"
+            )
+        return [f for f in snap.files if f not in target_paths]
     # Delta's RESTORE also rolls the schema back; later schema-carrying
     # records win in table_schema, so re-stating the target's schema in
     # the restore record is all it takes.
@@ -553,9 +566,7 @@ def restore(
         return _commit(
             table_dir,
             add=add,
-            remove_fn=lambda snap: [
-                f for f in snap.files if f not in target_paths
-            ],
+            remove_fn=remove_fn,
             conflict_fn=conflict_fn,
             meta={
                 "op": "restore",

@@ -282,3 +282,30 @@ def test_bloom_index_survives_compaction_rewrite(spark, tmp_path):
         .collect()
     }
     assert got == {37}
+
+
+def test_restore_refuses_commit_landed_in_read_to_publish_window(spark, tmp_path, monkeypatch):
+    # a commit landing AFTER restore reads the live set but BEFORE its
+    # first publish attempt must raise, not be silently undone (the
+    # round-8 review's read-to-publish race)
+    t = _build_timeline(spark, str(tmp_path / "tbl"))
+    real_commit = txlog._commit
+    racer = _df(spark, [(9, "raced")])
+    fired = []
+
+    def commit_with_race(table_dir, **kw):
+        # simulate the interleaving ONCE: the racer lands between
+        # restore's live_now read (already taken) and the commit loop —
+        # restore the real _commit first or the racer's own append would
+        # recurse through this patch
+        monkeypatch.setattr(txlog, "_commit", real_commit)
+        if not fired:
+            fired.append(1)
+            txlog.commit_append(racer, table_dir)
+        return real_commit(table_dir, **kw)
+
+    monkeypatch.setattr(txlog, "_commit", commit_with_race)
+    with pytest.raises(txlog.CommitConflict, match="restoring"):
+        txlog.restore(t, 0)
+    # the racer's append survived untouched
+    assert (9, "raced") in _rows(spark, t)
