@@ -1064,11 +1064,15 @@ def _dhash_from_pixels(w: int, h: int, ch: int, data: bytes) -> int:
     for ty in range(8):
         sy = ty * h // 8
         row = sy * w * ch
+        # luminance uses COLOR channels only: 1 for gray / gray+alpha
+        # (ch 1-2), 3 for RGB / RGBA — averaging alpha in would hash an
+        # opaque gray+alpha re-encode away from its grayscale original
+        n_color = 1 if ch <= 2 else 3
         g = []
         for tx in range(9):
             sx = tx * w // 9
             px = data[row + sx * ch : row + sx * ch + ch]
-            g.append(sum(px[:3]) // min(ch, 3))
+            g.append(sum(px[:n_color]) // n_color)
         for tx in range(8):
             if g[tx] > g[tx + 1]:
                 bits |= 1 << (ty * 8 + tx)

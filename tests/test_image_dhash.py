@@ -157,3 +157,24 @@ def test_audio_fingerprint_robustness():
     # an opposite envelope flips the energy-contour bits wholesale
     far = a ^ _audio_fingerprint(falling)
     assert bin(far).count("1") >= 10
+
+
+def test_gray_alpha_reencode_hashes_like_the_grayscale_original():
+    # opaque gray+alpha must fingerprint identically to plain grayscale —
+    # averaging the alpha byte into luminance would split true duplicates
+    # (round-8 review finding)
+    gray = bytes((5 * 31 + j * 7) % 256 for j in range(16 * 12))
+    ga = bytes(b for v in gray for b in (v, 255))
+    h_gray = _dhash_of_png(_png.encode_png(16, 12, gray, channels=1))
+    h_ga = _dhash_of_png(_png.encode_png(16, 12, ga, channels=2))
+    assert h_gray == h_ga
+    # and RGBA with opaque alpha matches plain RGB
+    rgb = _pixels(16, 12, seed=5)
+    rgba = bytes(
+        b
+        for i in range(0, len(rgb), 3)
+        for b in (rgb[i], rgb[i + 1], rgb[i + 2], 255)
+    )
+    assert _dhash_of_png(_png.encode_png(16, 12, rgb, channels=3)) == _dhash_of_png(
+        _png.encode_png(16, 12, rgba, channels=4)
+    )
