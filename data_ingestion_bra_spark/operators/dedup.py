@@ -405,9 +405,12 @@ def cdc_chunk_fingerprints(
         F.sum("new_chunk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return chunks.groupBy("doc", "chunk_no").agg(
+        # space-joined: tokens come from splitting on spaces, so ' ' is the
+        # one separator that cannot occur inside a token — a ',' join made
+        # ['foo,','bar'] and ['foo',',bar'] collide (round-8 review)
         F.md5(
             F.concat_ws(
-                ",",
+                " ",
                 F.expr(
                     "transform(sort_array(collect_list(struct(pos, tok))),"
                     " x -> x.tok)"

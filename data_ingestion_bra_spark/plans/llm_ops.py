@@ -3993,7 +3993,7 @@ def sample_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
       SELECT doc, chunk_no,
-             md5(string_agg(tok, ',' ORDER BY pos)) AS fp,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
              COUNT(*) AS n
       FROM ch GROUP BY doc, chunk_no
     )
