@@ -727,7 +727,10 @@ def vacuum_retention(
             if name.endswith(".parquet") and rel not in keep:
                 os.remove(os.path.join(subdir, name))
                 deleted.append(rel)
-        if not os.listdir(subdir):
+        # Spark always leaves _SUCCESS/.crc markers, so "empty" means "no
+        # parquet survives" — a bare listdir check would never fire and
+        # husk directories would accumulate forever (round-8 review)
+        if not any(n.endswith(".parquet") for n in os.listdir(subdir)):
             shutil.rmtree(subdir)
     return deleted
 

@@ -309,3 +309,13 @@ def test_restore_refuses_commit_landed_in_read_to_publish_window(spark, tmp_path
         txlog.restore(t, 0)
     # the racer's append survived untouched
     assert (9, "raced") in _rows(spark, t)
+
+
+def test_vacuum_retention_removes_husk_directories(spark, tmp_path):
+    t = _build_timeline(spark, str(tmp_path / "tbl"))  # v2 delete rewrote a file
+    txlog.vacuum_retention(t, retain_versions=1, min_age_seconds=0)
+    # no directory may survive holding only _SUCCESS/.crc markers
+    data_root = os.path.join(t, "data")
+    for sub in os.listdir(data_root):
+        files = os.listdir(os.path.join(data_root, sub))
+        assert any(n.endswith(".parquet") for n in files), f"husk dir {sub}: {files}"
