@@ -150,12 +150,13 @@ def pq_encode(
     m: int = M_SUB,
 ) -> DataFrame:
     """(id, s, code): each vector compressed to ``m`` codes — one
-    broadcast codebook join + the struct-min groupBy."""
-    sub = subvectors(vectors, id_col=id_col, vec_col=vec_col, dim=dim, m=m)
-    assigned = sub.join(F.broadcast(codebook), "s").select(
-        id_col, "s", "code", _isq_dist(F.col("sub"), F.col("cvec")).alias("dist")
-    )
-    return _argmin_code(assigned, id_col)
+    broadcast codebook join + the struct-min groupBy. Thin projection of
+    ``pq_encode_with_err`` so the batch and streaming-maintenance encode
+    paths cannot diverge (the maintenance equality tests depend on the
+    codes being identical)."""
+    return pq_encode_with_err(
+        vectors, codebook, id_col=id_col, vec_col=vec_col, dim=dim, m=m
+    ).drop("qerr")
 
 
 def adc_topk(
