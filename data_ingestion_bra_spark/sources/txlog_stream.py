@@ -37,7 +37,7 @@ stream start) unless ``.schema(...)`` overrides.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -118,14 +118,16 @@ class TxlogStreamReader(DataSourceStreamReader):
         # commits skipped) reads as one empty partition.
         return parts or [_FilePartition("", start["version"])]
 
-    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+    def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
         import pyarrow.parquet as pq
 
         names = [f.name for f in self._schema.fields]
-        table = pq.read_table(partition.path, columns=names)
-        return iter(zip(*[table[n].to_pylist() for n in names]))
+        # yield Arrow RecordBatches directly (the Python DataSource API
+        # accepts them): the data stays Arrow end to end instead of
+        # round-tripping every value through Python objects + pickle
+        return iter(pq.read_table(partition.path, columns=names).to_batches())
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; the log is immutable
