@@ -136,18 +136,22 @@ def train_langid_nb_distributed(
 ) -> dict:
     """DISTRIBUTED trainer for the NB langid model — the committed weight
     table retrained in-engine over a labeled corpus of any size
-    (``tools/train_langid_nb.py`` is the tiny-corpus offline twin; this is
-    bit-identical to it on the same input, pinned in
-    ``tests/test_trainers_distributed.py``).
+    (``tools/train_langid_nb.py`` is the tiny-corpus offline twin).
 
     Distributed part (everything corpus-sized): normalize + positional
     trigram explode are scan-resident; ONE groupBy yields per-(lang, gram)
-    counts with the FIRST-OCCURRENCE position carried as min(pos) — the
-    tie-break ``Counter.most_common`` applies implicitly via insertion
-    order, made explicit so retraining is bit-reproducible at any
-    parallelism. Control plane (vocab-sized, ≤ top_k × langs rows): top-K
-    per lang, Laplace log-weight arithmetic, identical to the offline
-    trainer's.
+    counts with a deterministic top-K tie-break: count desc, then the
+    gram's earliest WITHIN-document first-occurrence position, then the
+    gram itself — bit-reproducible at any parallelism and any document
+    order. When each language is a single document (the committed-corpus
+    case) this coincides exactly with ``Counter.most_common``'s
+    insertion-order tie-break, so retraining reproduces the committed
+    table byte-for-byte (pinned in ``tests/test_trainers_distributed.py``);
+    on multi-document languages the offline twin's tie order depends on
+    document CONCATENATION order — not meaningful distributed — so ties
+    there may legitimately pick a different equal-count gram. Control
+    plane (vocab-sized, ≤ top_k × langs rows): top-K per lang, Laplace
+    log-weight arithmetic, identical to the offline trainer's.
 
     Returns the same dict shape the runtime loads
     (``load_nb_model``): {model, scale, langs, defaults, weights}."""
