@@ -1181,11 +1181,15 @@ def commit_append_checked(
     meta: dict | None = None,
     idempotency_key: str | None = None,
 ) -> int:
-    """``commit_append`` with schema enforcement: validates against the
-    log-recorded table schema (raising ``SchemaMismatch`` on type changes
-    or unrequested new columns) and records the post-commit schema in the
-    commit record — O(columns) JSON, zero data reads."""
+    """``commit_append`` with schema AND constraint enforcement: validates
+    against the log-recorded table schema (raising ``SchemaMismatch`` on
+    type changes or unrequested new columns), validates the batch against
+    every active CHECK constraint (``ConstraintViolation`` — one
+    aggregate over the BATCH, never the table), and records the
+    post-commit schema in the commit record — O(columns) JSON beyond the
+    batch pass, zero table reads."""
     schema = check_schema(df, table_dir, merge_schema=merge_schema)
+    check_constraints(df, table_dir)
     return commit_append(
         df,
         table_dir,
@@ -1217,3 +1221,100 @@ def read_snapshot_merged(
         ]
         df = df.select(cols)
     return df
+
+
+class ConstraintViolation(Exception):
+    """Raised when a write contains rows failing a table CHECK constraint."""
+
+
+def add_constraint(
+    table_dir: str, name: str, expr_sql: str, *, meta: dict | None = None
+) -> int:
+    """ADD CONSTRAINT (the published Delta CHECK-constraint semantics):
+    record a named boolean SQL expression in the log; every subsequent
+    CHECKED write must satisfy it row-wise. Adding the constraint is a
+    metadata-only commit — like the published behavior it does NOT
+    validate existing data (callers wanting that run one filtered count
+    first). Constraint names are unique; re-adding an existing name
+    raises."""
+    if name in table_constraints(table_dir):
+        raise ValueError(f"constraint {name!r} already exists on {table_dir}")
+    os.makedirs(table_dir, exist_ok=True)
+    return _commit(
+        table_dir,
+        add=[],
+        remove_fn=lambda snap: [],
+        conflict_fn=lambda rec: (
+            rec.get("meta", {}).get("constraint", {}).get("name") == name
+        ),
+        meta={
+            "op": "add_constraint",
+            "data_change": False,
+            "constraint": {"name": name, "expr": expr_sql},
+            **(meta or {}),
+        },
+    )
+
+
+def drop_constraint(table_dir: str, name: str) -> int:
+    """DROP CONSTRAINT: metadata-only commit removing the named check."""
+    if name not in table_constraints(table_dir):
+        raise ValueError(f"no constraint {name!r} on {table_dir}")
+    return _commit(
+        table_dir,
+        add=[],
+        remove_fn=lambda snap: [],
+        conflict_fn=lambda rec: False,
+        meta={
+            "op": "drop_constraint",
+            "data_change": False,
+            "drop_constraint": name,
+        },
+    )
+
+
+def table_constraints(
+    table_dir: str, version: int | None = None
+) -> dict[str, str]:
+    """Active CHECK constraints at ``version`` as {name: expr_sql} —
+    resolved from the log alone (adds minus drops, in commit order)."""
+    records = _read_log(table_dir)
+    if version is not None:
+        records = records[: version + 1]
+    out: dict[str, str] = {}
+    for rec in records:
+        m = rec.get("meta", {})
+        c = m.get("constraint")
+        if c:
+            out[c["name"]] = c["expr"]
+        d = m.get("drop_constraint")
+        if d:
+            out.pop(d, None)
+    return out
+
+
+def check_constraints(df: DataFrame, table_dir: str) -> None:
+    """Validate a write batch against the table's CHECK constraints: ONE
+    aggregate pass over the BATCH (never the table) counting violators of
+    every constraint at once; raises ``ConstraintViolation`` naming each
+    failed constraint with its violation count."""
+    from pyspark.sql import functions as F
+
+    cons = table_constraints(table_dir)
+    if not cons:
+        return
+    # the SQL-standard (and published Delta) CHECK rule: a row violates
+    # only when the expression is literally FALSE — NULL satisfies
+    aggs = [
+        F.sum(F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1).otherwise(0)).alias(
+            name
+        )
+        for name, expr in cons.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {name: int(row[name]) for name in cons if row[name] and row[name] > 0}
+    if bad:
+        raise ConstraintViolation(
+            f"write violates CHECK constraints on {table_dir}: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        )

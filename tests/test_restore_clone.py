@@ -319,3 +319,43 @@ def test_vacuum_retention_removes_husk_directories(spark, tmp_path):
     for sub in os.listdir(data_root):
         files = os.listdir(os.path.join(data_root, sub))
         assert any(n.endswith(".parquet") for n in files), f"husk dir {sub}: {files}"
+
+
+def test_check_constraints_enforced_on_checked_writes(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append_checked(_df(spark, [(1, "a")]), t)
+    txlog.add_constraint(t, "k_positive", "k > 0")
+    txlog.add_constraint(t, "v_nonempty", "length(v) > 0")
+    # satisfying write passes; the constraint commits are metadata-only
+    txlog.commit_append_checked(_df(spark, [(2, "b")]), t)
+    assert _rows(spark, t) == {(1, "a"), (2, "b")}
+    # violating write fails LOUD, names the constraint, commits nothing
+    import pytest as _pytest
+
+    with _pytest.raises(txlog.ConstraintViolation, match="k_positive \\(1 rows\\)"):
+        txlog.commit_append_checked(_df(spark, [(-5, "x"), (3, "y")]), t)
+    assert _rows(spark, t) == {(1, "a"), (2, "b")}
+    # NULL satisfies a CHECK (the SQL-standard / published rule)
+    null_row = spark.createDataFrame([(None, "z")], "k bigint, v string")
+    txlog.commit_append_checked(null_row, t)
+    # drop: the write that failed now lands
+    txlog.drop_constraint(t, "k_positive")
+    txlog.commit_append_checked(_df(spark, [(-5, "x")]), t)
+    assert (-5, "x") in _rows(spark, t)
+    # time-travel the constraint set itself
+    assert "k_positive" in txlog.table_constraints(t, version=2)
+    assert "k_positive" not in txlog.table_constraints(t)
+    # duplicate names refused; unknown drops refused
+    with _pytest.raises(ValueError, match="already exists"):
+        txlog.add_constraint(t, "v_nonempty", "true")
+    with _pytest.raises(ValueError, match="no constraint"):
+        txlog.drop_constraint(t, "nope")
+
+
+def test_constraint_commits_are_invisible_to_cdf_and_stream(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(_df(spark, [(1, "a")]), t)
+    v = txlog.add_constraint(t, "k_positive", "k > 0")
+    # data_change: false -> the change feed window over it is empty
+    ch = txlog.read_changes(spark, t, v, v)
+    assert ch.count() == 0
