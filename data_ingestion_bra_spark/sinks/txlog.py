@@ -906,13 +906,19 @@ def commit_upsert(
     Conflict semantics are WriteSerializable (the lakehouse default): a
     concurrent rewrite of a touched file conflicts; concurrent plain
     appends do not — keys appended concurrently are NOT deduped against
-    this merge's source."""
+    this merge's source.
+
+    CHECK constraints are enforced on the SOURCE (the only rows a merge
+    can introduce — survivors of rewritten files were already valid), the
+    published behavior: constrained tables reject violating merges before
+    any file stages."""
     from pyspark.sql import functions as F
 
     if idempotency_key is not None:
         prior = committed_version(table_dir, idempotency_key)
         if prior is not None:
             return prior
+    check_constraints(source, table_dir)
     snap = snapshot(table_dir)
     keys = source.select(key).distinct()
     touched, _ = _touched_files(
