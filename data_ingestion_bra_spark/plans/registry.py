@@ -247,14 +247,39 @@ GATE_ORDER: tuple[str, ...] = (
     #      decode — and the gated wav_decode/jpeg_roundtrip keep real
     #      containers in-window; stays hash-verified below the window,
     #      along with the new video/audio fingerprint legs).
+    # Round-9 rotation (round-8 verdict item 1: the never-driver-gated
+    # families get independent CORRECTNESS rows; every displaced entry was
+    # driver-verified green in CORRECTNESS_r08 and keeps a gated family
+    # rep):
+    # IN:  similarity_topk_ivfpq, multimodal_video_dhash,
+    #      multimodal_audio_fingerprint, dedup_cdc_chunks, text_bm25_topk,
+    #      curation_web_pipeline, txlog_change_feed, web_warc_parse.
+    # OUT: similarity_topk_ivf (the gated IVFPQ serve path composes the
+    #      same IVF cell-prune stage; brute-force stays gated),
+    #      dedup_semantic_semdedup (embedding-similarity family keeps
+    #      bruteforce + IVFPQ gated; SemDeDup r5b..r8-verified),
+    #      multimodal_image_jpeg_roundtrip (image tier keeps the real-PNG
+    #      dhash gated; JPEG codec stays pytest-verified),
+    #      multimodal_audio_wav_decode (the gated audio fingerprint
+    #      decodes the same RIFF PCM containers and hashes further),
+    #      text_pack_sequences_bpe (BPE family keeps text_bpe_roundtrip
+    #      gated — same trained merges, inverse direction),
+    #      text_html_extract (runs VERBATIM as a stage of the gated
+    #      curation_web_pipeline),
+    #      web_url_parse_normalize (same: a stage of the gated web
+    #      pipeline; web family also keeps pagerank gated),
+    #      txlog_restore_clone (r8-verified; txlog family keeps
+    #      incremental_matview gated and gains the CDF entry).
+    # All eight displaced entries stay registered + hash-verified in the
+    # committed full-catalog report (ORACLE_FULL_r09).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
     "dedup_simhash_full",
-    "dedup_semantic_semdedup",
+    "dedup_cdc_chunks",
     "similarity_topk_bruteforce",
-    "similarity_topk_ivf",
+    "similarity_topk_ivfpq",
     "sample_weighted_by_domain",
     # duplicate-CLUSTER collapse stays gated through the split entry
     # (its oracle embeds the same component closure); text_token_counts is
@@ -267,23 +292,23 @@ GATE_ORDER: tuple[str, ...] = (
     # exercised by the gated exact-dedup/curation pipelines, and the
     # fingerprint query stays hash-verified below the window.
     "text_quality_model",
-    "text_html_extract",
+    "curation_web_pipeline",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_image_jpeg_roundtrip",
-    "multimodal_audio_wav_decode",
+    "multimodal_video_dhash",
+    "multimodal_audio_fingerprint",
     "multimodal_image_dhash",
     "curation_gopher_pipeline",
     "incremental_merge_upsert",
     "scd2_event_type_history",
     "dedup_contamination_bloom",
     "dedup_contamination_auto",
-    "text_pack_sequences_bpe",
+    "text_bm25_topk",
     "text_bpe_roundtrip",
-    "txlog_restore_clone",
+    "txlog_change_feed",
     "txlog_incremental_matview",
     "corpus_domain_mixture",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
@@ -313,7 +338,7 @@ GATE_ORDER: tuple[str, ...] = (
     "window_range_frame_trailing30d",
     # Function suites + subqueries + TPC-H-shape joins.
     "web_link_pagerank",
-    "web_url_parse_normalize",
+    "web_warc_parse",
     "map_funcs_suite",
     "subqueries_suite",
     "sole_returning_suppliers",

@@ -90,6 +90,34 @@ def refresh_agg_view(
     *,
     key_cols: tuple[str, ...],
     sum_cols: tuple[str, ...] = (),
+    conflict_retries: int = 1,
+) -> dict:
+    """Bring the aggregate view up to the source's current version,
+    retrying once on a lost publish race (round-8 ADVICE fix): the
+    concurrent winner may have read an OLDER ``src_version`` than this
+    attempt, so dropping the delta outright could leave the view lagging
+    for a one-shot caller. The retry re-reads ``last_applied_version`` —
+    if the winner was in fact fresher the retry no-ops (``cur == last``),
+    otherwise it applies exactly the remaining window. Only after
+    ``conflict_retries`` consecutive lost races does the call return
+    ``{"refreshed": False, "conflict": True}``."""
+    result: dict = {"refreshed": False, "conflict": True}
+    for _ in range(conflict_retries + 1):
+        result = _refresh_attempt(
+            spark, source_dir, view_dir, key_cols=key_cols, sum_cols=sum_cols
+        )
+        if not result.get("conflict"):
+            return result
+    return result
+
+
+def _refresh_attempt(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    *,
+    key_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
 ) -> dict:
     """Bring the aggregate view up to the source's current version by
     applying only the change feed since the last refresh.
@@ -105,9 +133,11 @@ def refresh_agg_view(
     matched no rows) yields an empty change feed: the refresh still commits,
     carrying the state forward unchanged but advancing ``src_version`` so
     the window never re-scans (round-7 ADVICE fix — this used to raise).
-    A refresh that loses a concurrent publish race returns ``{"refreshed":
+    An attempt that loses a concurrent publish race returns ``{"refreshed":
     False, "conflict": True}`` instead of raising ``CommitConflict``; the
-    next call re-reads ``last_applied_version`` and self-heals.
+    public ``refresh_agg_view`` re-reads ``last_applied_version`` and
+    retries so a winner that read an older source version cannot leave a
+    one-shot caller with a lagging view.
     """
     cur = source_version(source_dir)
     last = last_applied_version(view_dir)

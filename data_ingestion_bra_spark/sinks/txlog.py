@@ -119,16 +119,41 @@ _BLOOM_BITS_PER_VALUE = 10
 _BLOOM_K = 7
 
 
+def _bloom_canonical(value) -> str:
+    """Canonical string form for bloom hashing. Numerically-equal probes of
+    different Python types (int 5 vs float 5.0 vs Decimal('5')) MUST hash
+    identically: the bloom contract is false-positives-only, and a
+    type-mismatched probe that hashes differently becomes a silent false
+    NEGATIVE — read_snapshot(prune_eq=...) would prune files that do
+    contain matching rows. Integral numerics collapse to the int form;
+    other numerics to the float repr (a lossy Decimal→float collapse can
+    only ADD false positives, which the contract allows). bool stays
+    distinct from int 1/0 (Python quirk: bool is an int subclass)."""
+    import decimal
+
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, float):
+        return str(int(value)) if value.is_integer() else repr(value)
+    if isinstance(value, decimal.Decimal):
+        if value.is_finite() and value == value.to_integral_value():
+            return str(int(value))
+        return repr(float(value))
+    return str(value)
+
+
 def _bloom_positions(value, m_bits: int) -> list[int]:
     """The k bit positions for ``value`` under double hashing (Kirsch &
     Mitzenmacher 2006: pos_i = h1 + i*h2 mod m). blake2b is stdlib,
     stable across platforms/processes — a writer-built bitmap must probe
-    identically forever. Values hash by their string form (the same
-    canonical form both engines print), so int 5 and its re-read probe
-    agree."""
+    identically forever. Values hash by ``_bloom_canonical`` so the
+    build-side value and any numerically-equal probe agree regardless of
+    Python type."""
     import hashlib
 
-    digest = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+    digest = hashlib.blake2b(
+        _bloom_canonical(value).encode(), digest_size=16
+    ).digest()
     h1 = int.from_bytes(digest[:8], "big")
     h2 = int.from_bytes(digest[8:], "big") | 1
     return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
@@ -145,7 +170,8 @@ def _file_bloom(path: str, col: str) -> dict | None:
     import pyarrow.parquet as pq
 
     values = {
-        str(v) for v in pq.read_table(path, columns=[col])[col].to_pylist()
+        _bloom_canonical(v)
+        for v in pq.read_table(path, columns=[col])[col].to_pylist()
         if v is not None
     }
     if not values:
@@ -354,14 +380,21 @@ def _commit(
     conflict_fn,
     meta: dict,
     max_retries: int = 20,
+    validate_fn=None,
 ) -> int:
     """Optimistic-concurrency commit loop. ``remove_fn(snapshot)`` derives
     the remove set against the CURRENT snapshot at each attempt;
     ``conflict_fn(record)`` says whether a concurrently-landed record
-    invalidates this commit (→ re-derive and retry)."""
+    invalidates this commit (→ re-derive and retry). ``validate_fn(snap)``
+    runs before EVERY publish attempt against the snapshot the commit
+    would land on — the hook checked-write paths use to detect a
+    concurrently-landed metadata change (ADD/DROP CONSTRAINT) that their
+    pre-staging validation could not have seen; it raises to abort."""
     seen = len(_read_log(table_dir))
     for _ in range(max_retries):
         snap = snapshot(table_dir)
+        if validate_fn is not None:
+            validate_fn(snap)
         version = snap.version + 1
         record = {"add": add, "remove": remove_fn(snap), "meta": meta}
         if _try_publish(table_dir, version, record):
@@ -413,6 +446,7 @@ def commit_append(
     meta: dict | None = None,
     idempotency_key: str | None = None,
     bloom_cols: tuple[str, ...] = (),
+    _validate_fn=None,
 ) -> int:
     """ACID append: new files only; never conflicts with anything.
 
@@ -447,6 +481,7 @@ def commit_append(
             remove_fn=lambda snap: [],
             conflict_fn=conflict_fn,
             meta={"op": "append", **key_meta, **(meta or {})},
+            validate_fn=_validate_fn,
         )
     except CommitConflict:
         # Only an idempotent append may translate the conflict into success —
@@ -796,6 +831,7 @@ def _commit_rewrite(
     touched: list[str],
     meta: dict,
     idempotency_key: str | None,
+    validate_fn=None,
 ) -> int:
     """Publish a copy-on-write rewrite: remove ``touched``, add ``add``.
     File-level conflict rule (the published formats' WriteSerializable
@@ -829,6 +865,7 @@ def _commit_rewrite(
             remove_fn=remove_fn,
             conflict_fn=conflict_fn,
             meta={**key_meta, **meta},
+            validate_fn=validate_fn,
         )
     except CommitConflict:
         if idempotency_key is not None:
@@ -909,41 +946,65 @@ def commit_upsert(
     this merge's source.
 
     CHECK constraints are enforced on the SOURCE (the only rows a merge
-    can introduce — survivors of rewritten files were already valid), the
-    published behavior: constrained tables reject violating merges before
-    any file stages."""
+    can introduce — survivors of rewritten files were already valid):
+    constrained tables reject violating merges before any file stages. A
+    constraint referencing a table column ABSENT from the source schema is
+    skipped rather than raised on (round-8 ADVICE fix — the published
+    behavior validates the post-merge image, and the columns a merge
+    cannot write were already valid in every survivor row). As with
+    checked appends, the constraint set is re-verified at each publish
+    attempt: a concurrently-landed ADD/DROP CONSTRAINT re-validates the
+    source and retries instead of publishing under an unchecked rule."""
     from pyspark.sql import functions as F
 
     if idempotency_key is not None:
         prior = committed_version(table_dir, idempotency_key)
         if prior is not None:
             return prior
-    check_constraints(source, table_dir)
-    snap = snapshot(table_dir)
-    keys = source.select(key).distinct()
-    touched, _ = _touched_files(
-        spark,
-        table_dir,
-        snap,
-        lambda df: df.join(F.broadcast(keys), key, "left_semi"),
-    )
-    cols = source.columns
-    if touched:
-        survivors = (
-            spark.read.parquet(*[os.path.join(table_dir, t) for t in touched])
-            .join(F.broadcast(keys), key, "left_anti")
-            .select(cols)
+    for _ in range(3):
+        expected = table_constraints(table_dir)
+        check_constraints(
+            source, table_dir, constraints=expected, skip_unresolvable=True
         )
-        new_data = survivors.unionAll(source.select(cols))
-    else:
-        new_data = source.select(cols)
-    add = _write_data_files(new_data, table_dir)
-    return _commit_rewrite(
-        table_dir,
-        add=add,
-        touched=touched,
-        meta={"op": "upsert", "key": key, **(meta or {})},
-        idempotency_key=idempotency_key,
+
+        def validate_fn(snap, _expected=expected):
+            if table_constraints(table_dir, snap.version) != _expected:
+                raise _ConstraintSetChanged(table_dir)
+
+        snap = snapshot(table_dir)
+        keys = source.select(key).distinct()
+        touched, _ = _touched_files(
+            spark,
+            table_dir,
+            snap,
+            lambda df: df.join(F.broadcast(keys), key, "left_semi"),
+        )
+        cols = source.columns
+        if touched:
+            survivors = (
+                spark.read.parquet(
+                    *[os.path.join(table_dir, t) for t in touched]
+                )
+                .join(F.broadcast(keys), key, "left_anti")
+                .select(cols)
+            )
+            new_data = survivors.unionAll(source.select(cols))
+        else:
+            new_data = source.select(cols)
+        add = _write_data_files(new_data, table_dir)
+        try:
+            return _commit_rewrite(
+                table_dir,
+                add=add,
+                touched=touched,
+                meta={"op": "upsert", "key": key, **(meta or {})},
+                idempotency_key=idempotency_key,
+                validate_fn=validate_fn,
+            )
+        except _ConstraintSetChanged:
+            continue
+    raise CommitConflict(
+        f"constraint set kept changing under the upsert in {table_dir}"
     )
 
 
@@ -1193,14 +1254,37 @@ def commit_append_checked(
     every active CHECK constraint (``ConstraintViolation`` — one
     aggregate over the BATCH, never the table), and records the
     post-commit schema in the commit record — O(columns) JSON beyond the
-    batch pass, zero table reads."""
-    schema = check_schema(df, table_dir, merge_schema=merge_schema)
-    check_constraints(df, table_dir)
-    return commit_append(
-        df,
-        table_dir,
-        meta={"schema": schema, **(meta or {})},
-        idempotency_key=idempotency_key,
+    batch pass, zero table reads.
+
+    Concurrency (round-8 ADVICE fix, the published Delta rule that
+    metadata changes conflict with in-flight transactions): the constraint
+    set active at VALIDATION time is re-checked against the snapshot each
+    publish attempt would land on; a concurrently-landed ADD/DROP
+    CONSTRAINT aborts the attempt, the batch re-validates against the NEW
+    set, and the append retries — so a batch can never publish under a
+    constraint it was not checked against. A failed attempt's staged files
+    are unreferenced debris that ``vacuum`` removes."""
+    for _ in range(3):
+        expected = table_constraints(table_dir)
+        schema = check_schema(df, table_dir, merge_schema=merge_schema)
+        check_constraints(df, table_dir, constraints=expected)
+
+        def validate_fn(snap, _expected=expected):
+            if table_constraints(table_dir, snap.version) != _expected:
+                raise _ConstraintSetChanged(table_dir)
+
+        try:
+            return commit_append(
+                df,
+                table_dir,
+                meta={"schema": schema, **(meta or {})},
+                idempotency_key=idempotency_key,
+                _validate_fn=validate_fn,
+            )
+        except _ConstraintSetChanged:
+            continue
+    raise CommitConflict(
+        f"constraint set kept changing under the checked write in {table_dir}"
     )
 
 
@@ -1231,6 +1315,11 @@ def read_snapshot_merged(
 
 class ConstraintViolation(Exception):
     """Raised when a write contains rows failing a table CHECK constraint."""
+
+
+class _ConstraintSetChanged(Exception):
+    """Internal: a checked write lost the race to a concurrent ADD/DROP
+    CONSTRAINT; the caller re-validates against the new set and retries."""
 
 
 def add_constraint(
@@ -1299,14 +1388,38 @@ def table_constraints(
     return out
 
 
-def check_constraints(df: DataFrame, table_dir: str) -> None:
+def check_constraints(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    constraints: dict[str, str] | None = None,
+    skip_unresolvable: bool = False,
+) -> None:
     """Validate a write batch against the table's CHECK constraints: ONE
     aggregate pass over the BATCH (never the table) counting violators of
     every constraint at once; raises ``ConstraintViolation`` naming each
-    failed constraint with its violation count."""
+    failed constraint with its violation count.
+
+    ``constraints`` pins an explicit set (the checked-commit paths pass
+    the set they will re-verify at publish time). ``skip_unresolvable``
+    (round-8 ADVICE fix, the MERGE-source case): a constraint referencing
+    a table column ABSENT from ``df`` is skipped instead of raising
+    ``AnalysisException`` — the published behavior validates the
+    post-merge image, and survivor rows of rewritten files were already
+    valid, so a source-side check of an unresolvable expression has
+    nothing real to reject. Resolution is analysis-only (no job)."""
     from pyspark.sql import functions as F
 
-    cons = table_constraints(table_dir)
+    cons = table_constraints(table_dir) if constraints is None else constraints
+    if skip_unresolvable:
+        resolved = {}
+        for name, expr in cons.items():
+            try:
+                df.select(F.expr(expr))
+            except Exception:
+                continue
+            resolved[name] = expr
+        cons = resolved
     if not cons:
         return
     # the SQL-standard (and published Delta) CHECK rule: a row violates

@@ -55,6 +55,14 @@ class TxlogStreamDataSource(DataSource):
         return "txlog_stream"
 
     def schema(self) -> StructType:
+        """Stream schema for a schema-EVOLVED table (round-8 ADVICE fix):
+        prefer the log-recorded post-evolution schema (authoritative column
+        set, the ``read_snapshot_merged`` source of truth); tables without
+        schema-carrying commits fall back to the UNION of the live files'
+        Arrow schemas — never just the first file, whose age would either
+        drop newer columns or crash older files mid-batch. Footer reads are
+        live-file-count bounded, one stream start only."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -62,8 +70,22 @@ class TxlogStreamDataSource(DataSource):
         snap = txlog.snapshot(table_dir)
         if not snap.entries:
             raise ValueError(f"txlog_stream: {table_dir} has no data yet")
-        first = os.path.join(table_dir, snap.files[0])
-        return from_arrow_schema(pq.ParquetFile(first).schema_arrow)
+        unified = pa.unify_schemas(
+            [
+                pq.ParquetFile(os.path.join(table_dir, f)).schema_arrow
+                for f in snap.files
+            ]
+        )
+        # the log-recorded column set is authoritative where present
+        # (dropped/extra physical columns never leak); types come from the
+        # Arrow union. Pure-pyarrow on purpose: schema() runs inside the
+        # data-source worker where no SparkSession exists.
+        recorded = txlog.table_schema(table_dir)
+        if recorded:
+            unified = pa.schema(
+                [unified.field(c) for c in recorded if c in unified.names]
+            )
+        return from_arrow_schema(unified)
 
     def streamReader(self, schema: StructType) -> "TxlogStreamReader":
         return TxlogStreamReader(schema, self.options)
@@ -121,13 +143,31 @@ class TxlogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return iter(())
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
 
-        names = [f.name for f in self._schema.fields]
-        # yield Arrow RecordBatches directly (the Python DataSource API
-        # accepts them): the data stays Arrow end to end instead of
-        # round-tripping every value through Python objects + pickle
-        return iter(pq.read_table(partition.path, columns=names).to_batches())
+        # Per-file null-fill for schema evolution (round-8 ADVICE fix):
+        # a pre-evolution file is missing the newer columns — read only the
+        # columns it HAS, null-fill the rest at the target type, and emit
+        # every batch in the stream schema's column order. yield Arrow
+        # RecordBatches directly (the Python DataSource API accepts them):
+        # the data stays Arrow end to end instead of round-tripping every
+        # value through Python objects + pickle.
+        target = to_arrow_schema(self._schema)
+        have = set(pq.ParquetFile(partition.path).schema_arrow.names)
+        tbl = pq.read_table(
+            partition.path, columns=[n for n in target.names if n in have]
+        )
+        cols = {
+            f.name: (
+                tbl[f.name].cast(f.type)
+                if f.name in have
+                else pa.nulls(len(tbl), type=f.type)
+            )
+            for f in target
+        }
+        return iter(pa.table(cols, schema=target).to_batches())
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the checkpoint; the log is immutable

@@ -231,3 +231,30 @@ def test_losing_publish_race_returns_conflict_not_raise(tmp_path, spark, monkeyp
     r2 = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
     assert r2["refreshed"] is True
     assert _view(spark, view) == _expected(spark, src)
+
+
+def test_lost_race_retries_and_applies_remaining_window(tmp_path, spark, monkeypatch):
+    """Round-8 ADVICE: the publish-race winner may have read an OLDER
+    src_version than the loser; dropping the loser's delta outright could
+    leave a one-shot caller with a lagging view. refresh_agg_view now
+    re-reads last_applied_version and retries once — the view converges in
+    a single public call even when the first publish attempt loses."""
+    from data_ingestion_bra_spark.sinks import matview as mv
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    txlog.commit_append(_rows(spark, [(1, 10, "a"), (2, 20, "b")]), src)
+
+    real = mv.commit_overwrite_partition
+    calls = {"n": 0}
+
+    def loses_first_race(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise txlog.CommitConflict("concurrent refresh won the race")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mv, "commit_overwrite_partition", loses_first_race)
+    r = refresh_agg_view(spark, src, view, key_cols=("grp",), sum_cols=("v",))
+    assert r["refreshed"] is True and calls["n"] == 2
+    assert _view(spark, view) == _expected(spark, src)

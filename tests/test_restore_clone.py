@@ -359,3 +359,80 @@ def test_constraint_commits_are_invisible_to_cdf_and_stream(spark, tmp_path):
     # data_change: false -> the change feed window over it is empty
     ch = txlog.read_changes(spark, t, v, v)
     assert ch.count() == 0
+
+
+def test_concurrent_add_constraint_conflicts_with_inflight_checked_write(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 ADVICE: a batch validated against the OLD constraint set
+    must not publish after a concurrent ADD CONSTRAINT lands (the
+    published rule: metadata changes conflict with in-flight txns). The
+    checked write re-validates against the NEW set — a now-violating batch
+    is rejected, a still-valid batch retries through."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    txlog.commit_append_checked(_df(spark, [(1, "a")]), t)
+
+    real_publish = txlog._try_publish
+    state = {"landed": False}
+
+    def constraint_lands_first(table_dir, version, record):
+        # squeeze ADD CONSTRAINT in between the append's validation and
+        # its first publish attempt (once; the constraint's own publish
+        # goes through this shim too, guarded by the flag)
+        if (
+            not state["landed"]
+            and record.get("meta", {}).get("op") == "append"
+        ):
+            state["landed"] = True
+            txlog.add_constraint(t, "k_small", "k < 100")
+        return real_publish(table_dir, version, record)
+
+    monkeypatch.setattr(txlog, "_try_publish", constraint_lands_first)
+    with _pytest.raises(txlog.ConstraintViolation, match="k_small"):
+        txlog.commit_append_checked(_df(spark, [(500, "big")]), t)
+    # nothing published: the table holds exactly the first commit's rows
+    assert _rows(spark, t) == {(1, "a")}
+
+    # same race with a batch that SATISFIES the new constraint: the write
+    # re-validates and retries through to a successful commit
+    state["landed"] = False
+    txlog.drop_constraint(t, "k_small")
+    state["landed"] = False
+    monkeypatch.setattr(txlog, "_try_publish", constraint_lands_first)
+    txlog.commit_append_checked(_df(spark, [(50, "ok")]), t)
+    assert (50, "ok") in _rows(spark, t)
+    assert "k_small" in txlog.table_constraints(t)
+
+
+def test_upsert_skips_constraints_on_absent_source_columns(spark, tmp_path):
+    """Round-8 ADVICE: commit_upsert validates CHECK constraints against
+    the merge SOURCE; a constraint referencing a table column absent from
+    the source schema used to raise AnalysisException even for valid
+    merges. It is now skipped (the published behavior validates the
+    post-merge image; columns a merge cannot write were already valid in
+    every survivor row) while resolvable constraints stay enforced."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    full = spark.createDataFrame(
+        [(1, "a", 10)], "k bigint, v string, w bigint"
+    )
+    txlog.commit_append_checked(full, t)
+    txlog.add_constraint(t, "w_positive", "w > 0")
+    txlog.add_constraint(t, "k_positive", "k > 0")
+
+    # source lacks w: w_positive is unresolvable on it -> skipped, merge ok
+    src = spark.createDataFrame([(2, "b")], "k bigint, v string")
+    txlog.commit_upsert(spark, t, src, "k")
+    got = {
+        (r["k"], r["v"])
+        for r in txlog.read_snapshot_merged(spark, t).collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
+
+    # resolvable constraints still reject a violating source
+    bad = spark.createDataFrame([(-1, "x")], "k bigint, v string")
+    with _pytest.raises(txlog.ConstraintViolation, match="k_positive"):
+        txlog.commit_upsert(spark, t, bad, "k")

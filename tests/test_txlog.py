@@ -286,3 +286,40 @@ def test_delta_export_replays_every_version(spark, tmp_path):
     files2 = delta_export.export_delta_log(t)
     assert len(files2) == 4
     assert sorted(delta_export.replay_delta_log(t)) == sorted(txlog.snapshot(t).files)
+
+
+def test_bloom_prune_eq_probe_type_canonicalization(spark, tmp_path):
+    """Round-8 ADVICE (medium): a numerically equal probe of a different
+    Python type (int 5 vs float 5.0 vs Decimal('5')) must hash to the same
+    bloom positions — a type-mismatched probe that missed the bitmap was a
+    silent FALSE NEGATIVE, pruning files that do contain matching rows."""
+    import decimal
+
+    t = str(tmp_path / "tbl")
+    txlog.commit_append(
+        _df(spark, [(5, "a"), (7, "b")]).coalesce(1), t, bloom_cols=("k",)
+    )
+    entry = txlog.snapshot(t).entries[0]
+    # every numerically-equal probe form hits the int-built bitmap
+    assert txlog._bloom_maybe_contains(entry, "k", 5)
+    assert txlog._bloom_maybe_contains(entry, "k", 5.0)
+    assert txlog._bloom_maybe_contains(entry, "k", decimal.Decimal("5"))
+    assert txlog._bloom_maybe_contains(entry, "k", decimal.Decimal("5.0"))
+    # and the full read path keeps the file for a float probe of an int col
+    kept = txlog.read_snapshot(spark, t, prune_eq=("k", 5.0))
+    assert {(r["k"], r["v"]) for r in kept.collect()} == {(5, "a"), (7, "b")}
+    # pruning still works: an absent value (any type form) drops the file
+    assert not txlog._bloom_maybe_contains(entry, "k", 6)
+    assert not txlog._bloom_maybe_contains(entry, "k", 6.0)
+    assert txlog.read_snapshot(spark, t, prune_eq=("k", 6)).count() == 0
+
+    # the mirror direction: float-valued column probed with an int
+    tf = str(tmp_path / "tblf")
+    fdf = spark.createDataFrame([(5.0, "a"), (2.5, "b")], "x double, v string")
+    txlog.commit_append(fdf.coalesce(1), tf, bloom_cols=("x",))
+    fe = txlog.snapshot(tf).entries[0]
+    assert txlog._bloom_maybe_contains(fe, "x", 5)
+    assert txlog._bloom_maybe_contains(fe, "x", 2.5)
+    assert not txlog._bloom_maybe_contains(fe, "x", 3)
+    # bool stays distinct from int 1 (Python bool-is-int quirk)
+    assert txlog._bloom_canonical(True) != txlog._bloom_canonical(1)

@@ -99,3 +99,37 @@ def test_stream_matches_snapshot_for_append_only_tables(registered, tmp_path):
         (r["k"], r["v"]) for r in txlog.read_snapshot(spark, t).collect()
     }
     assert set(got) == snap and len(got) == len(snap)
+
+
+def test_schema_evolved_table_streams_with_null_fill(registered, tmp_path):
+    """Round-8 ADVICE: stream schema used to come from the FIRST live file
+    and read() projected every file to it — on a schema-evolved table,
+    pre-evolution files crashed the batch (missing column) or newer
+    columns were silently dropped. The stream schema is now the
+    log-recorded (or unified) schema and each file null-fills what it
+    lacks, exactly like read_snapshot_merged."""
+    spark = registered
+    t, cp = str(tmp_path / "tbl"), str(tmp_path / "cp")
+    txlog.commit_append_checked(_df(spark, [(1, "a")]), t)  # old: k, v
+    evolved = spark.createDataFrame(
+        [(2, "b", 99)], "k bigint, v string, extra bigint"
+    )
+    txlog.commit_append_checked(evolved, t, merge_schema=True)
+
+    got: list = []
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", t)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, epoch: got.extend(
+                (r["k"], r["v"], r["extra"]) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the pre-evolution row arrives null-filled, the new row intact
+    assert sorted(got) == [(1, "a", None), (2, "b", 99)]
