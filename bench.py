@@ -917,6 +917,24 @@ def _trainer_bench(spark, sf_dir: str) -> dict:
         "n_uni": len(lm["uni"]),
         "n_bi": len(lm["bi"]),
     }
+    # pruned retrain (r9): min_count/top_k bound the driver collect inside
+    # the aggregation — the row counts below are the PROOF the driver
+    # footprint is capped regardless of corpus vocabulary size (retained
+    # weights stay bit-identical; pruned words fall back to oov_lp)
+    # caps chosen BELOW the fixture's true table sizes so the bound
+    # provably binds in the recorded numbers (kept < full), not just in
+    # the API: the synthetic corpus has ~31 unigrams / ~931 bigrams
+    t0 = time.perf_counter()
+    lmp = train_ngram_lm_distributed(
+        docs, min_count=2, top_k=24, top_k_bigrams=256
+    )
+    out["ngram_lm_pruned"] = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "n_uni": len(lmp["uni"]),
+        "n_bi": len(lmp["bi"]),
+        "full_vocab": lmp["pruning"]["full_vocab"],
+        "caps": {"min_count": 2, "top_k": 24, "top_k_bigrams": 256},
+    }
     return out
 
 

@@ -198,6 +198,9 @@ def train_ngram_lm_distributed(
     *,
     lambda_pct: int = 75,
     scale: int = 1000,
+    min_count: int = 1,
+    top_k: int | None = None,
+    top_k_bigrams: int | None = None,
 ) -> dict:
     """DISTRIBUTED trainer for the interpolated bigram LM — the committed
     weight table retrained in-engine over a corpus of any size
@@ -213,6 +216,20 @@ def train_ngram_lm_distributed(
     Laplace + interpolation log arithmetic on the collected count
     tables, identical to the offline trainer's.
 
+    Driver-footprint bound (round-8 verdict item 2 — at a real corpus the
+    distinct-bigram count is ~10^8-10^9 and an unpruned collect is a
+    driver OOM): ``min_count`` filters and ``top_k``/``top_k_bigrams``
+    cap the unigram/bigram tables INSIDE Spark (count-desc, token-asc
+    deterministic tie-break via TakeOrderedAndProject — a distributed
+    top-k, never a single-partition window) before anything reaches the
+    driver. The published CCNet LM this models is itself pruned, and the
+    pruning here is semantically free in the same way: the Laplace
+    normalizers (V, N) are computed from FULL-corpus scalar aggregates,
+    so every RETAINED entry's weight is bit-identical to the unpruned
+    model's and pruned words simply fall back to ``oov_lp``. Defaults
+    (min_count=1, no caps) reproduce the offline twin byte-for-byte;
+    active pruning is recorded in the model dict under ``"pruning"``.
+
     Returns the dict shape ``load_lm`` reads: {model, scale, lambda_e2,
     oov_lp, uni, bi}."""
     import math
@@ -223,13 +240,25 @@ def train_ngram_lm_distributed(
         .filter(F.col("norm") != "")
         .select(F.split("norm", " ").alias("toks"))
     )
-    uni_rows = (
+    pruned = min_count > 1 or top_k is not None or top_k_bigrams is not None
+    uni_df = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
-    bi_rows = (
+    # full-corpus normalizers as ONE scalar row — never a vocab collect
+    tot = uni_df.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("n").alias("n_total")
+    ).first()
+    v, n_total = int(tot["v"]), int(tot["n_total"])
+    if min_count > 1:
+        uni_df = uni_df.filter(F.col("n") >= min_count)
+    if top_k is not None:
+        uni_df = uni_df.orderBy(F.desc("n"), F.asc("w")).limit(top_k)
+    uni_rows = uni_df.collect()
+    uni = {r["w"]: r["n"] for r in uni_rows}
+
+    bi_df = (
         toks.filter(F.size("toks") >= 2)
         .select(
             F.explode(
@@ -241,17 +270,45 @@ def train_ngram_lm_distributed(
         )
         .groupBy("b.w1", "b.w2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
     )
-    uni = {r["w"]: r["n"] for r in uni_rows}
-    v = len(uni)
-    n_total = sum(uni.values())
+    if pruned:
+        # a bigram is representable only when BOTH words survive in the
+        # retained unigram vocab (its lp needs uni[w1]; scoring falls back
+        # to the interpolated-unigram term otherwise) — two broadcast
+        # semi-joins against the already-bounded vocab
+        spark = docs.sparkSession
+        kept = spark.createDataFrame([(w,) for w in sorted(uni)], "w string")
+        bi_df = bi_df.join(
+            F.broadcast(kept), bi_df["w1"] == kept["w"], "left_semi"
+        ).join(F.broadcast(kept), bi_df["w2"] == kept["w"], "left_semi")
+    if min_count > 1:
+        bi_df = bi_df.filter(F.col("n") >= min_count)
+    if top_k_bigrams is not None:
+        bi_df = bi_df.orderBy(
+            F.desc("n"), F.asc("w1"), F.asc("w2")
+        ).limit(top_k_bigrams)
+    bi_rows = bi_df.collect()
 
     def p_uni(w: str) -> float:
         return (uni[w] + 1) / (n_total + v + 1)
 
     p_unk = 1 / (n_total + v + 1)
+    pruning_meta = (
+        {
+            "pruning": {
+                "min_count": min_count,
+                "top_k": top_k,
+                "top_k_bigrams": top_k_bigrams,
+                "full_vocab": v,
+                "kept_unigrams": len(uni),
+                "kept_bigrams": len(bi_rows),
+            }
+        }
+        if pruned
+        else {}
+    )
     return {
+        **pruning_meta,
         "model": "word-bigram interpolated LM (CCNet-style perplexity filter)",
         "scale": scale,
         "lambda_e2": lambda_pct,

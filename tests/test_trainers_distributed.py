@@ -95,3 +95,85 @@ def test_ngram_lm_distributed_matches_committed_model(spark):
         [(txt,) for _, txt in sorted(CORPUS.items())], "text string"
     )
     assert train_ngram_lm_distributed(df) == load_lm()
+
+
+def test_ngram_lm_pruned_training_bounds_driver_rows(spark):
+    """Round-8 verdict item 2: min_count/top_k prune INSIDE the
+    aggregation, the Laplace normalizers (V, N) stay full-corpus scalars —
+    so every retained entry is bit-identical to the unpruned model's and
+    the driver only ever receives a bounded table."""
+    from train_langid_nb import CORPUS
+
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        train_ngram_lm_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(txt,) for _, txt in sorted(CORPUS.items())], "text string"
+    )
+    full = train_ngram_lm_distributed(df)
+    pruned = train_ngram_lm_distributed(
+        df, min_count=2, top_k=20, top_k_bigrams=50
+    )
+    # bounds hold and are recorded in the model
+    assert len(pruned["uni"]) <= 20 and len(pruned["bi"]) <= 50
+    p = pruned["pruning"]
+    assert p["min_count"] == 2 and p["top_k"] == 20
+    assert p["kept_unigrams"] == len(pruned["uni"])
+    assert p["kept_bigrams"] == len(pruned["bi"])
+    assert p["full_vocab"] == len(full["uni"])
+    # retained entries are an EXACT subset of the unpruned model
+    full_uni = {e["w"]: e["blp"] for e in full["uni"]}
+    for e in pruned["uni"]:
+        assert full_uni[e["w"]] == e["blp"]
+    full_bi = {e["g"]: e["lp"] for e in full["bi"]}
+    for e in pruned["bi"]:
+        assert full_bi[e["g"]] == e["lp"]
+    # OOV floor unchanged (full-corpus normalizers)
+    assert pruned["oov_lp"] == full["oov_lp"]
+    # every kept bigram's words survive in the kept unigram vocab
+    kept_w = {e["w"] for e in pruned["uni"]}
+    for e in pruned["bi"]:
+        w1, w2 = e["g"].split(" ")
+        assert w1 in kept_w and w2 in kept_w
+    # the unpruned default records no pruning key (byte-parity with the
+    # committed model)
+    assert "pruning" not in full
+
+
+def test_ngram_lm_pruned_keeps_perplexity_ordering(spark):
+    """Quality guard for the pruning: the docs the FULL model ranks as
+    lowest-perplexity keep the same relative order under a pruned model
+    (weights of retained entries are identical; only rare words degrade
+    to the OOV floor)."""
+    from train_langid_nb import CORPUS
+
+    from data_ingestion_bra_spark.operators.ngram_lm import (
+        avg_nll_milli_expr,
+        train_ngram_lm_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(txt,) for _, txt in sorted(CORPUS.items())], "text string"
+    )
+    full = train_ngram_lm_distributed(df)
+    pruned = train_ngram_lm_distributed(df, top_k=25, top_k_bigrams=60)
+    probe = spark.createDataFrame(
+        [
+            ("pt-ish", "de que para os dados e a tabela"),
+            ("en-ish", "the data and the table of the rows"),
+            ("junk", "zzq xkw vvp qqj zzt"),
+        ],
+        "tag string, text string",
+    )
+
+    def scores(model):
+        rows = probe.select(
+            "tag", avg_nll_milli_expr(F.col("text"), model=model).alias("s")
+        ).collect()
+        return {r["tag"]: r["s"] for r in rows}
+
+    sf, sp = scores(full), scores(pruned)
+    # junk stays worst under both; relative order of the real docs holds
+    assert max(sf, key=sf.get) == "junk" and max(sp, key=sp.get) == "junk"
+    assert (sf["pt-ish"] < sf["en-ish"]) == (sp["pt-ish"] < sp["en-ish"])
