@@ -87,3 +87,126 @@ def test_fresh_checkpoint_never_loses_new_bronze_data(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert txlog.snapshot(silver).version == n_versions
+
+
+def _gold_state(spark, gold):
+    return {
+        (r["lang"], r["n_rows"], r["sum_nchar"])
+        for r in txlog.read_snapshot(spark, gold).collect()
+    }
+
+
+def _docs3(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def _gate3(df):
+    return df.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3).withColumn(
+        "nchar", F.length("text")
+    )
+
+
+def _batch_gold(spark, bronze):
+    """Oracle: gold recomputed FROM SCRATCH as one batch plan over bronze."""
+    full = _gate3(txlog.read_snapshot(spark, bronze))
+    return {
+        (r["lang"], r["n_rows"], r["sum_nchar"])
+        for r in full.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("nchar").cast("bigint").alias("sum_nchar"),
+        )
+        .collect()
+    }
+
+
+def test_three_tier_medallion_replay_exactly_once(spark, tmp_path):
+    """Round-8 verdict item 4: bronze→silver→gold composed end to end —
+    crash/restart between and after hops, gold always equals the batch
+    recomputation, and no epoch / change-feed window double-applies."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    cp = str(tmp_path / "cp")
+
+    txlog.commit_append(
+        _docs3(
+            spark,
+            [(1, "pt", "um dois tres quatro"), (2, "pt", "curto"),
+             (3, "en", "one two three")],
+        ),
+        bronze,
+    )
+    # full pipeline: gold == batch recomputation over bronze
+    r1 = medallion.bronze_to_gold(
+        spark, bronze, silver, gold,
+        checkpoint_dir=cp, transform=_gate3,
+        key_cols=("lang",), sum_cols=("nchar",),
+    )
+    assert r1["refreshed"] is True
+    assert _gold_state(spark, gold) == _batch_gold(spark, bronze)
+
+    # crash BETWEEN the hops: new bronze lands, hop 1 runs, the gold
+    # refresh "crashes" (never called). Re-running the composed pipeline
+    # must heal: silver not double-applied, gold converges.
+    txlog.commit_append(
+        _docs3(spark, [(4, "en", "four five six seven"), (5, "en", "no")]),
+        bronze,
+    )
+    q = medallion.bronze_to_silver(
+        spark, bronze, silver, checkpoint_dir=cp, transform=_gate3
+    )
+    q.awaitTermination(120)
+    silver_v_after_hop1 = txlog.snapshot(silver).version
+    r2 = medallion.bronze_to_gold(
+        spark, bronze, silver, gold,
+        checkpoint_dir=cp, transform=_gate3,
+        key_cols=("lang",), sum_cols=("nchar",),
+    )
+    # hop 1 re-ran but had nothing new: silver log did not advance
+    assert txlog.snapshot(silver).version == silver_v_after_hop1
+    assert r2["refreshed"] is True
+    assert _gold_state(spark, gold) == _batch_gold(spark, bronze)
+
+    # crash AFTER everything (pure replay): the whole pipeline no-ops
+    gold_v = txlog.snapshot(gold).version
+    r3 = medallion.bronze_to_gold(
+        spark, bronze, silver, gold,
+        checkpoint_dir=cp, transform=_gate3,
+        key_cols=("lang",), sum_cols=("nchar",),
+    )
+    assert r3["refreshed"] is False
+    assert txlog.snapshot(gold).version == gold_v
+    assert txlog.snapshot(silver).version == silver_v_after_hop1
+
+    # a third bronze wave incl. rows that change an existing gold key:
+    # the incremental path must equal the from-scratch batch aggregate
+    txlog.commit_append(
+        _docs3(spark, [(6, "pt", "cinco seis sete oito nove")]), bronze
+    )
+    r4 = medallion.bronze_to_gold(
+        spark, bronze, silver, gold,
+        checkpoint_dir=cp, transform=_gate3,
+        key_cols=("lang",), sum_cols=("nchar",),
+    )
+    assert r4["refreshed"] is True
+    assert _gold_state(spark, gold) == _batch_gold(spark, bronze)
+    # exactly-once evidence in the LOGS: every silver commit carries a
+    # distinct epoch key, every gold refresh a distinct silver version
+    import json as _json
+    import os as _os
+
+    def _metas(table):
+        log = _os.path.join(table, txlog.LOG_DIR)
+        out = []
+        for f in sorted(_os.listdir(log)):
+            if f.endswith(".json"):
+                out.append(_json.load(open(_os.path.join(log, f))).get("meta", {}))
+        return out
+
+    silver_epochs = [m["txn"] for m in _metas(silver) if "txn" in m]
+    assert len(silver_epochs) == len(set(silver_epochs))
+    gold_srcs = [
+        m["src_version"] for m in _metas(gold) if "src_version" in m
+    ]
+    assert len(gold_srcs) == len(set(gold_srcs))
