@@ -680,6 +680,124 @@ def _ivf_build_bench(spark, sf_dirs: list[tuple[str, str]]) -> dict:
     return out
 
 
+def _ivfpq_serve_bench(spark, sf_dirs: list[tuple[str, str]]) -> dict:
+    """Composed IVF-PQ+R serve-path accuracy/cost beyond fixture scale
+    (round-8 verdict item 7): for the same 10 queries, wall clock +
+    recall@10 under three strategies — exact brute force (the floor and
+    the cosine truth), IVF full-vector scoring, and the composed IVFPQ+R
+    (cell prune × compressed-domain ADC × exact shortlist re-rank).
+    Recall is measured against each family's OWN exact ordering (cosine
+    for brute/IVF, integer L2 for IVFPQ's re-rank metric) so the number
+    isolates the approximation, not the metric change. Index build costs
+    are excluded — this section prices the QUERY path, ivf_build_bench
+    prices construction."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.operators import pq, similarity
+    from data_ingestion_bra_spark.operators.similarity import quantize_expr
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    out: dict = {}
+    for label, d in sf_dirs:
+        emb = load_table(spark, d, "embeddings")
+        emb.persist()
+        n_vec = emb.count()
+        q_df = emb.filter(F.col("vec_id") < 10)
+
+        t0 = time.perf_counter()
+        bf_rows = similarity.brute_force_topk(q_df, emb, k=10).collect()
+        bf_sec = time.perf_counter() - t0
+        cos_truth = {(r["query_id"], r["cand_id"]) for r in bf_rows}
+
+        # exact integer-L2 truth for the IVFPQ re-rank metric
+        qv = q_df.select(
+            F.col("vec_id").alias("query_id"),
+            quantize_expr(F.col("embedding")).alias("qv"),
+        )
+        cv = emb.select(
+            F.col("vec_id").alias("cand_id"),
+            quantize_expr(F.col("embedding")).alias("cv"),
+        )
+        l2 = (
+            F.broadcast(qv)
+            .crossJoin(cv)
+            .filter(F.col("query_id") != F.col("cand_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                F.aggregate(
+                    F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+            )
+        )
+        from pyspark.sql.window import Window as _W
+
+        wl = _W.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("cand_id").asc()
+        )
+        l2_truth = {
+            (r["query_id"], r["cand_id"])
+            for r in l2.withColumn("rk", F.row_number().over(wl))
+            .filter(F.col("rk") <= 10)
+            .collect()
+        }
+
+        cents, lists = similarity.load_or_build_ivf_index(
+            spark, emb, d, n_centroids=16, n_iter=1, train_sample_rate=0.5
+        )
+        lists.persist().count()
+        t0 = time.perf_counter()
+        ivf_got = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.ivf_topk(
+                emb,
+                n_probe=4,
+                query_ids=list(range(10)),
+                k=10,
+                centroids=cents,
+                assignments=lists,
+            ).collect()
+        }
+        ivf_sec = time.perf_counter() - t0
+
+        cb = pq.pq_train(emb)
+        codes = pq.pq_encode(emb, cb)
+        codes.persist().count()
+
+        def _pack(sec: float, got: set | None, truth: set) -> dict:
+            row = {"sec": round(sec, 3), "per_query_ms": round(sec * 100, 1)}
+            if got is not None:
+                row["recall_at_10"] = round(len(got & truth) / len(truth), 3)
+            return row
+
+        out[label] = {
+            "n_vectors": n_vec,
+            "bruteforce": _pack(bf_sec, None, cos_truth),
+            "ivf_nprobe4": _pack(ivf_sec, ivf_got, cos_truth),
+        }
+        # shortlist sweep: the re-rank is exact, so recall is bounded by
+        # ADC shortlist quality — record the accuracy/cost knob, not one
+        # arbitrary point
+        for short in (40, 100):
+            t0 = time.perf_counter()
+            pq_got = {
+                (r["query_id"], r["cand_id"])
+                for r in pq.ivfpq_topk(
+                    q_df, lists, cents, codes, cb, emb,
+                    n_probe=4, shortlist=short, k_top=10,
+                ).collect()
+            }
+            out[label][f"ivfpq_r_nprobe4_short{short}"] = _pack(
+                time.perf_counter() - t0, pq_got, l2_truth
+            )
+        codes.unpersist()
+        lists.unpersist()
+        emb.unpersist()
+    return out
+
+
 def _synthetic_merges(depth: int, base: list[tuple[str, str]]) -> list[tuple[str, str]]:
     """Deterministically extend the committed 96-merge table to ``depth``
     entries for the chain-depth stress bench. Chains of ≤48 growing symbols
@@ -1293,6 +1411,31 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         payload["value_sf1"] = round(sum(t1.values()), 3)
         payload["sf1"] = sf1
 
+    # Cross-sf evidence that FITS the driver's budget (round-8 verdict
+    # item 8: the official r08 artifact skipped every scale section under
+    # the 1500 s window). One sf1 point each for the three I/O-sensitive
+    # rows — cheap enough to run early, per-point guarded so one failure
+    # degrades to a named error instead of killing the artifact.
+    def scale_probe() -> None:
+        probe: dict[str, float] = {}
+        for name in (
+            "dedup_simhash_full",
+            "dedup_contamination_auto",
+            "text_perplexity_lm",
+        ):
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            try:
+                _materialize(queries[name](spark, sf1))
+            except Exception as exc:  # noqa: BLE001 - keep the section alive
+                payload.setdefault("errors", []).append(
+                    f"scale_probe:{name}: {type(exc).__name__}: {exc}"[:500]
+                )
+                continue
+            probe[name] = round(time.perf_counter() - t0, 3)
+        payload["scale_probe_sf1"] = probe
+
     # Third scale point: FULL-corpus banded LLM-tier paths (no doc_id caps)
     # timed at sf0.1 / 10x / 100x so per-query scaling factors are measured,
     # not argued. Budgeted + round-robin (all queries get sample 1 before any
@@ -1385,6 +1528,11 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         if points:
             payload["ivf_build_bench"] = _ivf_build_bench(spark, points)
 
+    def ivfpq_serve() -> None:
+        points = ([("sf1", sf1)] if sf1 else []) + ([("sf10", sf10)] if sf10 else [])
+        if points:
+            payload["ivfpq_serve_bench"] = _ivfpq_serve_bench(spark, points)
+
     def pagerank_scale() -> None:
         # Domain-scale PageRank evidence (round-7 verdict item 7): a
         # synthesized ~1M-node/10M-edge hash graph, per-iteration seconds.
@@ -1410,6 +1558,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("headline", None, 90, headline),
         ("extended", "SPARK_GRAFT_SKIP_EXTENDED", 140, extended),
         ("sf1", None if sf1 else "1", 130, sf1_section),
+        ("scale_probe", None if sf1 else "1", 120, scale_probe),
         (
             "acid_dml",
             "SPARK_GRAFT_SKIP_ACID_DML",
@@ -1443,6 +1592,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 130, bpe_bench),
         ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
         ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
+        ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
         (
             "trainers",
