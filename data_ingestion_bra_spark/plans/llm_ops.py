@@ -478,6 +478,160 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_hybrid_rrf",
+    "WITH "
+    + _VEC_CTE
+    + r""",
+    tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS t
+      FROM documents
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz_n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM tok q JOIN tok c ON q.t = c.t AND q.doc_id <> c.doc_id
+      WHERE q.doc_id < 4
+      GROUP BY q.doc_id, c.doc_id
+    ),
+    jac AS (
+      SELECT query_id, cand_id,
+             (i * 10000) // (sq.sz_n + sc.sz_n - i) AS jac_e4
+      FROM inter
+      JOIN sz sq ON sq.doc_id = query_id
+      JOIN sz sc ON sc.doc_id = cand_id
+    ),
+    lexr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY jac_e4 DESC, cand_id) AS lex_rank
+      FROM jac QUALIFY lex_rank <= 20
+    ),
+    vs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             """
+    + _COS_E4.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    + """ AS cos_e4
+      FROM (SELECT * FROM n WHERE vec_id < 4) q
+      JOIN n c ON q.vec_id <> c.vec_id
+    ),
+    vecr AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_e4 DESC, cand_id) AS vec_rank
+      FROM vs QUALIFY vec_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, v2.query_id) AS query_id,
+             COALESCE(l.cand_id, v2.cand_id) AS cand_id,
+             COALESCE(1000000 // (60 + l.lex_rank), 0)
+               + COALESCE(1000000 // (60 + v2.vec_rank), 0) AS rrf_e6,
+             COALESCE(l.lex_rank, 0) AS lex_rank,
+             COALESCE(v2.vec_rank, 0) AS vec_rank
+      FROM lexr l
+      FULL OUTER JOIN vecr v2
+        ON l.query_id = v2.query_id AND l.cand_id = v2.cand_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, rrf_e6, lex_rank, vec_rank,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_e6 DESC, cand_id) AS rank
+      FROM fused QUALIFY rank <= 10
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, cand_id,
+           CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM ranked
+    """,
+    tags=("similarity", "search", "rrf", "hybrid", "llm-pipeline"),
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher SIGIR 2009, the standard RAG-stack fusion; k=60 per the
+    paper): a LEXICAL leg (distinct-token Jaccard vs the query document,
+    top-20) and a VECTOR leg (exact integer-cosine top-20 over the aligned
+    embeddings) fuse per (query, candidate) as
+    ``sum(1e6 div (60 + rank))`` — all BIGINT, so the oracle replays both
+    legs and the fusion bit-for-bit. Query-by-example over doc_ids < 4.
+
+    Scale shape: the lexical leg's pair generation is a token equi-join
+    whose cost tracks posting-list sizes (query side filtered first), the
+    vector leg broadcasts 4 query vectors (the allow-listed exact
+    baseline; swap in ivfpq_topk for the ANN serve path at corpus scale),
+    and the fusion itself is a |legs|-bounded full-outer equi-join on
+    (query, cand) followed by a per-query top-10 window — nothing in the
+    fusion touches text or vectors again."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+        ).alias("t"),
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz_n"))
+    q = tok.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    inter = (
+        q.join(tok.withColumnRenamed("doc_id", "cand_id"), "t")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    jac = (
+        inter.join(sz.withColumnRenamed("doc_id", "query_id"), "query_id")
+        .withColumnRenamed("sz_n", "nq")
+        .join(sz.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .withColumn("jac_e4", F.expr("i * 10000 div (nq + sz_n - i)"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("jac_e4").desc(), F.col("cand_id").asc()
+    )
+    lexr = (
+        jac.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+    vecr = (
+        similarity.brute_force_topk(
+            emb.filter(F.col("vec_id") < 4), emb, k=20
+        )
+        .select("query_id", "cand_id", F.col("rank").alias("vec_rank"))
+    )
+    fused = (
+        lexr.join(vecr, ["query_id", "cand_id"], "full_outer")
+        .withColumn(
+            "rrf_e6",
+            F.coalesce(F.expr("1000000 div (60 + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + vec_rank)"), F.lit(0)),
+        )
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(0)))
+        .withColumn("vec_rank", F.coalesce("vec_rank", F.lit(0)))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "cand_id",
+            F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+        )
+    )
+
+
 def _kmeans_oracle_ctes(n_iter: int, train_sample_rate: float | None = None):
     """Shared unrolled-Lloyd CTE generator for every oracle that needs the
     trained k-means centroids (IVF top-k, SemDeDup): seed = first 8 vectors,

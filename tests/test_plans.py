@@ -120,7 +120,11 @@ def test_no_python_udfs_in_any_query(spark, name):
 #    TOTAL); the per-document tables join only by equi-keys.
 #  - similarity_topk_ivfpq: same broadcast-centroid assignment shape as
 #    similarity_topk_ivf for the query-side cell probe (|queries| × k).
+#  - similarity_hybrid_rrf: its vector leg IS similarity_topk_bruteforce's
+#    broadcast-queries exact baseline (4 query vectors × corpus); the
+#    lexical leg and the fusion are pure equi-joins.
 BNLJ_ALLOWED = {
+    "similarity_hybrid_rrf",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
     "similarity_topk_ivfpq",
