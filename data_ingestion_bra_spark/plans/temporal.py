@@ -295,3 +295,93 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_current",
     )
+
+
+@register(
+    "events_drift_tv",
+    """
+    WITH cnt AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, CAST(SUM(n) AS BIGINT) AS nd FROM cnt GROUP BY day),
+    shifted AS (SELECT day + 1 AS day, event_type, n FROM cnt),
+    grid AS (
+      SELECT COALESCE(c.day, s.day) AS day,
+             COALESCE(c.n, 0) AS n_cur, COALESCE(s.n, 0) AS n_prev
+      FROM cnt c
+      FULL OUTER JOIN shifted s
+        ON c.day = s.day AND c.event_type = s.event_type
+    )
+    SELECT strftime(g.day, '%Y-%m-%d') AS day,
+           tc.nd AS n_events,
+           tp.nd AS n_prev_events,
+           CAST(SUM(ABS(g.n_cur * tp.nd - g.n_prev * tc.nd)) * 10000
+                  // (2 * tc.nd * tp.nd) AS BIGINT) AS tv_e4
+    FROM grid g
+    JOIN tot tc ON tc.day = g.day
+    JOIN tot tp ON tp.day = g.day - 1
+    GROUP BY g.day, tc.nd, tp.nd
+    """,
+    tags=("temporal", "drift", "monitoring", "data-quality"),
+)
+def events_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift monitor: day-over-day TOTAL-VARIATION distance of the
+    event-type mix — TV(p, q) = max-over-events |p(A) - q(A)| = half the
+    L1 gap, THE standard alarm metric for 'today's data stopped looking
+    like yesterday's' in a production ingest pipeline (distribution-shift
+    monitoring; integer-exact unlike PSI/KL whose ln() is not
+    bit-portable across engines). Computed without ever materializing a
+    probability: tv_e4 = sum|n_cur*N_prev - n_prev*N_cur| * 1e4 div
+    (2*N_cur*N_prev), all BIGINT, so the oracle replays it exactly.
+    Missing categories on either day enter as zero via the full-outer
+    category grid (a mix change INTO a brand-new event type counts).
+
+    Scale shape: one groupBy(day, type) partial-agg over the scan, a
+    |days|x|types|-sized self-join on the shifted day key, and a
+    |days|-row output — the corpus is touched once. Fixed-point range:
+    safe to ~3e6 events/day (num*1e4 < 2^63); beyond that, lift to the
+    e2 scale or normalize per-term. day-1 join (not a window lag) keeps
+    calendar gaps honest: a missing day yields no row rather than
+    comparing across the gap."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cnt.groupBy("day").agg(F.sum("n").cast("bigint").alias("nd"))
+    shifted = cnt.select(
+        F.date_add("day", 1).alias("day"),
+        "event_type",
+        F.col("n").alias("n_prev"),
+    )
+    grid = (
+        cnt.withColumnRenamed("n", "n_cur")
+        .join(shifted, ["day", "event_type"], "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_prev", F.lit(0)).alias("n_prev"),
+        )
+    )
+    tc = tot.withColumnRenamed("nd", "n_events")
+    tp = tot.select(
+        F.date_add("day", 1).alias("day"), F.col("nd").alias("n_prev_events")
+    )
+    return (
+        grid.join(tc, "day")
+        .join(tp, "day")
+        .groupBy("day", "n_events", "n_prev_events")
+        .agg(
+            F.expr(
+                "CAST(sum(abs(n_cur * n_prev_events - n_prev * n_events))"
+                " * 10000 div (2 * n_events * n_prev_events) AS BIGINT)"
+            ).alias("tv_e4")
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_prev_events",
+            "tv_e4",
+        )
+    )
