@@ -210,3 +210,90 @@ def test_three_tier_medallion_replay_exactly_once(spark, tmp_path):
         m["src_version"] for m in _metas(gold) if "src_version" in m
     ]
     assert len(gold_srcs) == len(set(gold_srcs))
+
+
+def test_gdpr_erasure_across_all_three_tiers(spark, tmp_path):
+    """Right-to-be-forgotten through the lakehouse: erasure is row-level
+    DML at EACH tier (the streaming hop is append-only by design and
+    refuses rewrites — the published ignoreChanges trade), then the gold
+    aggregate self-heals through the silver change feed's delete rows.
+    Asserts the subject is gone at every tier, gold equals the batch
+    recomputation, and the erased rows are physically removable (vacuum
+    after retention, time travel notwithstanding)."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    cp = str(tmp_path / "cp")
+
+    txlog.commit_append(
+        _docs3(
+            spark,
+            [
+                (1, "pt", "um dois tres quatro"),
+                (2, "pt", "cinco seis sete oito"),
+                (3, "en", "one two three four"),
+            ],
+        ),
+        bronze,
+    )
+    medallion.bronze_to_gold(
+        spark, bronze, silver, gold,
+        checkpoint_dir=cp, transform=_gate3,
+        key_cols=("lang",), sum_cols=("nchar",),
+    )
+
+    # the erasure: DML at bronze and silver (subject doc_id = 2), then the
+    # gold refresh picks up silver's delete change rows
+    _, n_b = txlog.commit_delete(spark, bronze, "doc_id = 2")
+    _, n_s = txlog.commit_delete(spark, silver, "doc_id = 2")
+    assert (n_b, n_s) == (1, 1)
+    r = medallion.silver_to_gold(
+        spark, silver, gold, key_cols=("lang",), sum_cols=("nchar",)
+    )
+    assert r["refreshed"] is True
+
+    # gone at every tier
+    for t in (bronze, silver):
+        assert (
+            txlog.read_snapshot(spark, t)
+            .filter(F.col("doc_id") == 2)
+            .count()
+            == 0
+        )
+    assert _gold_state(spark, gold) == _batch_gold(spark, bronze)
+    # pt aggregate shrank to doc 1 only (the deletion reached gold)
+    pt = [g for g in _gold_state(spark, gold) if g[0] == "pt"]
+    assert pt == [("pt", 1, len("um dois tres quatro"))]
+
+    # the NEXT streaming hop must not resurrect the subject: the delete
+    # rewrote bronze files, and an append-only stream refuses rewrites —
+    # so erasure pipelines run the hop with ignore_changes (the rewrite's
+    # surviving rows may re-emit, the documented duplicate trade) and rely
+    # on tier-local DML. Assert the SUBJECT specifically never reappears.
+    txlog.commit_append(
+        _docs3(spark, [(4, "en", "five six seven eight")]), bronze
+    )
+    q = medallion.bronze_to_silver(
+        spark, bronze, silver, checkpoint_dir=cp, transform=_gate3,
+        ignore_changes=True,
+    )
+    q.awaitTermination(120)
+    assert (
+        txlog.read_snapshot(spark, silver)
+        .filter(F.col("doc_id") == 2)
+        .count()
+        == 0
+    )
+    # physical erasure: after retention-free vacuum, no live or dead file
+    # under bronze still contains the subject's bytes
+    txlog.vacuum_retention(bronze, retain_versions=1, min_age_seconds=0)
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    data_root = _os.path.join(bronze, "data")
+    for sub, _dirs, files in _os.walk(data_root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                t = _pq.read_table(_os.path.join(sub, fn))
+                assert 2 not in set(t["doc_id"].to_pylist())
