@@ -272,13 +272,25 @@ GATE_ORDER: tuple[str, ...] = (
     #      incremental_matview gated and gains the CDF entry).
     # All eight displaced entries stay registered + hash-verified in the
     # committed full-catalog report (ORACLE_FULL_r09).
+    # Round-9b rotation (the session's two NEW capability classes get
+    # driver credit):
+    # IN:  similarity_hybrid_rrf (hybrid lexical+vector retrieval fused by
+    #      integer Reciprocal Rank Fusion — the RAG-stack serving shape),
+    #      events_drift_tv (day-over-day total-variation drift of the
+    #      event-type mix — ingest distribution-shift monitoring).
+    # OUT: similarity_topk_bruteforce (the hybrid entry's vector leg IS
+    #      brute_force_topk verbatim and its oracle embeds the same
+    #      cosine CTE; stays hash-verified below the window),
+    #      events_tumbling_hourly (tumbling semantics stay gated through
+    #      events_session_windows + the asof entry, and the streaming
+    #      twins stay pytest-verified; stays hash-verified below).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
     "dedup_simhash_full",
     "dedup_cdc_chunks",
-    "similarity_topk_bruteforce",
+    "similarity_hybrid_rrf",
     "similarity_topk_ivfpq",
     "sample_weighted_by_domain",
     # duplicate-CLUSTER collapse stays gated through the split entry
@@ -344,7 +356,7 @@ GATE_ORDER: tuple[str, ...] = (
     "sole_returning_suppliers",
     "order_count_distribution",
     # Temporal + headline TPC-H shapes.
-    "events_tumbling_hourly",
+    "events_drift_tv",
     "events_session_windows",
     "events_asof_purchase_click",
     "shipping_priority_top10",
