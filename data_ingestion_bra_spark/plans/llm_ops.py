@@ -1503,6 +1503,51 @@ def text_term_stats_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_heavy_hitters",
+    r"""
+    WITH toks AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS shingle
+      FROM toks WHERE len(toks) >= 3
+    ),
+    cnt AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY shingle),
+    ranked AS (
+      SELECT shingle, n, ROW_NUMBER() OVER (ORDER BY n DESC, shingle) AS rank
+      FROM cnt
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, shingle, n FROM ranked WHERE rank <= 25
+    """,
+    tags=("text", "heavy-hitters", "sketch", "llm-pipeline"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 most frequent word 3-grams WITHOUT a full distinct-key
+    shuffle — the frequent-items primitive (boilerplate detection, hot-URL
+    audits, over-represented passages) for key domains too large to
+    groupBy directly.
+
+    Plan shape (operators/freq.py): scan 1 builds per-partition
+    Misra–Gries summaries inside an Arrow-batched mapInPandas — at most
+    ``capacity`` weighted counters per partition leave the executors, so
+    the shuffled volume is capacity x n_partitions rows no matter how many
+    distinct n-grams the corpus has (the multiset shingle relation here is
+    62% distinct at sf0.01 — the unbounded-domain regime). Scan 2 recounts
+    only the candidate union exactly (broadcast LEFT SEMI + partial-agg
+    groupBy) and ranks with the deterministic (n desc, shingle asc)
+    tie-break. The MG mergeability bound (Agarwal et al., PODS 2012)
+    guarantees every key with true count > N/(capacity+1) survives scan 1,
+    so the output IS the exact top-k whenever the k-th count clears that
+    bar — capacity=16384 clears it at every fixture sf (asserted with
+    margin in tests/test_freq.py), which is what lets the plain exact-SQL
+    oracle replay this bit-for-bit."""
+    from data_ingestion_bra_spark.operators.freq import heavy_hitters_exact_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False).select("shingle")
+    return heavy_hitters_exact_topk(sh, "shingle", 25, capacity=16384)
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,

@@ -81,6 +81,10 @@ PYTHON_ALLOWED = {
     "multimodal_video_dhash",
     "multimodal_audio_fingerprint",
     "grouped_map_rank_per_lang",
+    # frequent-items: the Misra-Gries summary pass is per-partition state
+    # over an unbounded key domain — the documented mapInPandas case; only
+    # capacity-bounded summaries leave the executors (operators/freq.py)
+    "text_heavy_hitters",
 }
 
 
