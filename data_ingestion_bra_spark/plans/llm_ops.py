@@ -3461,6 +3461,78 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_temperature_multilingual",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_tokens
+      FROM per
+    )
+    SELECT lang, n_docs, n_tokens, sqrt_tokens,
+           CAST(sqrt_tokens * 1000000 // SUM(sqrt_tokens) OVER () AS BIGINT)
+             AS weight_e6,
+           CAST(sqrt_tokens * 1000000 // SUM(sqrt_tokens) OVER ()
+                  * SUM(n_tokens) OVER () // (n_tokens * 100) AS BIGINT)
+             AS boost_e4
+    FROM s
+    """,
+    tags=("sampling", "multilingual", "mixture", "llm-pipeline"),
+)
+def sample_temperature_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights — the public
+    exponential-smoothing policy (p_l proportional to (n_l)^alpha) that mC4 /
+    XLM-R use to keep low-resource languages from vanishing under
+    proportional sampling; alpha = 0.5 here (temperature tau = 2), the
+    mC4 setting, expressed as sqrt so the arithmetic stays engine-portable:
+    IEEE-754 requires correctly-rounded sqrt, so FLOOR(SQRT(bigint)) is
+    bit-identical across Spark and DuckDB — no pow(), whose libm
+    implementations are NOT bit-portable. weight_e6 is the per-language
+    sampling probability (fixed-point 1e6), boost_e4 the up/down-sampling
+    factor vs proportional (>1e4 means the language is upsampled); both
+    integer floor-division chains replayed exactly by the oracle.
+
+    Scale shape: one partial-aggregable groupBy(lang) over the scan; the
+    sqrt/normalize windows run over the |langs|-sized aggregate (tens of
+    rows at any corpus size). Fixed-point range: weight_e6 * n_tokens-total
+    must fit int64 — safe to ~9e12 total tokens; lift the two window
+    products to DECIMAL(38,0) beyond that."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).cast("bigint").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    s = (
+        per.withColumn(
+            "sqrt_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint"),
+        )
+        .withColumn("sum_s", F.sum("sqrt_tokens").over(w_all))
+        .withColumn("n_total", F.sum("n_tokens").over(w_all))
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "sqrt_tokens",
+        F.expr("CAST(sqrt_tokens * 1000000 div sum_s AS BIGINT)").alias("weight_e6"),
+        F.expr(
+            "CAST(sqrt_tokens * 1000000 div sum_s * n_total div (n_tokens * 100)"
+            " AS BIGINT)"
+        ).alias("boost_e4"),
+    )
+
+
+@register(
     "sample_weighted_by_domain",
     rf"""
     WITH tok AS (
