@@ -342,3 +342,68 @@ def connected_components(
     if not converged and algorithm == "auto":
         return star_contraction_components(edges, src=src, dst=dst)
     return labels
+
+
+def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation (the
+    "compact-forward" scheme, Latapy 2008; Suri & Vassilvitskii WWW'11 for
+    the MapReduce form). Input is an arbitrary directed multigraph; it is
+    first canonicalized to distinct undirected edges with self-loops
+    dropped.
+
+    Every edge is oriented from its lower to its higher endpoint in the
+    total order (degree, node id), so each triangle has exactly one vertex
+    with two out-edges and is enumerated exactly once as a wedge
+    (x -> y1, x -> y2 with y1 before y2) closed by the oriented edge
+    (y1 -> y2). The orientation bound is the whole scale story: out-degree
+    under degree ordering is O(sqrt(|E|)) — on a power-law web graph the
+    hub's millions of neighbors become IN-edges, so the wedge self-join is
+    sum(out_deg^2) = O(|E|^1.5) worst-case instead of the hub-degree^2
+    blowup a naive id-ordering suffers. All joins are equi-joins; counts
+    are exact BIGINT, so a plain canonical a<b<c triple-join oracle replays
+    the result exactly.
+
+    Returns (node, degree, n_triangles) for every node of the canonical
+    graph (zero-triangle nodes included — the auditing use case wants the
+    zeros)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    ed = e.join(du, "u").join(dv, "v")
+    before = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(before, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(before, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(before, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_y"),
+    )
+    e1 = o.select("x", F.col("y").alias("y1"), F.col("deg_y").alias("dy1"))
+    e2 = o.select("x", F.col("y").alias("y2"), F.col("deg_y").alias("dy2"))
+    wedges = e1.join(e2, "x").filter(
+        (F.col("dy1") < F.col("dy2"))
+        | ((F.col("dy1") == F.col("dy2")) & (F.col("y1") < F.col("y2")))
+    )
+    closing = o.select(F.col("x").alias("y1"), F.col("y").alias("y2"))
+    tris = wedges.join(closing, ["y1", "y2"]).select("x", "y1", "y2")
+    per_node = (
+        tris.select(F.explode(F.array("x", "y1", "y2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )

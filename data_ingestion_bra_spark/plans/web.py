@@ -558,6 +558,60 @@ def web_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank(edges, "s", "t", damping_e9=_PR_DAMPING, n_iter=5)
 
 
+@register(
+    "web_link_triangles",
+    """
+    WITH raw AS (
+      SELECT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS t FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM raw WHERE s <> t
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """,
+    tags=("web", "graph", "triangles", "quality-signal"),
+)
+def web_link_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain triangle counts over the same synthesized link graph as
+    ``web_link_pagerank`` — the local-clustering signal (link farms and
+    spam rings are triangle-dense; organic link neighborhoods are sparse)
+    used alongside PageRank as a web-curation quality prior.
+
+    operators/graph.py:triangle_counts runs the degree-ordered-orientation
+    scheme: each triangle is enumerated exactly once as a wedge at its
+    lowest-(degree, id) vertex, so the wedge self-join is bounded by
+    sum(out_deg^2) = O(|E|^1.5) even on power-law graphs where a naive
+    orientation explodes quadratically at the hubs. Equi-joins and BIGINT
+    counts only; the oracle replays it as the canonical a<b<c triple join
+    (provably the same triangle set, affordable at fixture scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("s"),
+        ((F.col("doc_id") * 31 + 7) % 50).alias("t"),
+    )
+    return graph.triangle_counts(edges, "s", "t")
+
+
 # --------------------------------------------------------------------------
 # End-to-end web curation: WARC → HTML → URL policy → quality gate → dedup.
 # --------------------------------------------------------------------------

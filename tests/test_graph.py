@@ -156,3 +156,43 @@ def test_pagerank_dangling_redistribution_conserves_more_mass(spark):
     assert sum(redis.values()) > sum(base.values())
     assert sum(redis.values()) <= 1_000_000_000
     assert redis == _pagerank_rows(spark, edges, n_iter=5, redistribute_dangling=True)
+
+
+def _tri(spark, edges):
+    from data_ingestion_bra_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "s long, t long")
+    return {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(df, "s", "t").collect()}
+
+
+def test_triangles_k4(spark):
+    # K4: every node has degree 3 and sits in 3 triangles (4 total)
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = _tri(spark, edges)
+    assert got == {n: (3, 3) for n in range(4)}
+
+
+def test_triangles_path_and_star_are_zero(spark):
+    got = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert all(t == 0 for _, t in got.values())
+    # hub-star: the shape where a naive orientation explodes; still 0 triangles
+    got = _tri(spark, [(0, i) for i in range(1, 20)])
+    assert got[0] == (19, 0)
+    assert all(got[i] == (1, 0) for i in range(1, 20))
+
+
+def test_triangles_multigraph_selfloop_direction_invariance(spark):
+    # duplicate edges / reversed direction / self-loops must not change counts
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 1)]
+    assert _tri(spark, base) == _tri(spark, noisy)
+    assert _tri(spark, base)[1] == (2, 1)
+
+
+def test_triangles_hub_plus_triangle(spark):
+    # a hub fanning out to 30 leaves plus one triangle hanging off leaf 1:
+    # degree ordering sends the wedge work to the low-degree corner
+    edges = [(0, i) for i in range(1, 31)] + [(1, 100), (100, 101), (101, 1)]
+    got = _tri(spark, edges)
+    assert got[1] == (3, 1) and got[100] == (2, 1) and got[101] == (2, 1)
+    assert got[0] == (30, 0)
