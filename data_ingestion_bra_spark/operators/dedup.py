@@ -419,3 +419,68 @@ def cdc_chunk_fingerprints(
         ).alias("fp"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 3,
+    prefix_len: int = 80,
+    block_chars: int = 2,
+    max_distance: int = 10,
+) -> DataFrame:
+    """Fuzzy near-dup candidate pairs by the sorted-neighborhood method
+    (Hernandez & Stolfo, SIGMOD'95): sort records by a normalized key and
+    compare each record only against its next ``window`` neighbors — the
+    linear-cost alternative to blocking when similar records share a
+    prefix. Candidate verification is Levenshtein distance on the
+    ``prefix_len``-char normalized key, <= ``max_distance``.
+
+    Scale shape: the sort is NOT a global total order (a single-partition
+    window is a driver-shaped bottleneck) — records partition by the first
+    ``block_chars`` characters of the key (the 'sorted blocks' variant),
+    sort WITHIN each block, and the lead() window generates at most
+    ``window`` pairs per record. Known, documented tradeoff: neighbor pairs
+    straddling a block boundary are not compared in this pass — production
+    SNM runs multiple passes with different key orderings (e.g. reversed
+    key, token-sorted key), which also covers the boundary; the oracle
+    replays THIS pass exactly because both engines apply the identical
+    partitioned window.
+
+    Output: (doc_a, doc_b, lev) canonicalized doc_a < doc_b; exact BIGINT
+    distance (Levenshtein's DP is engine-portable)."""
+    key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, prefix_len
+    )
+    base = df.select(F.col(id_col).alias("doc"), key.alias("k")).withColumn(
+        "blk", F.substring("k", 1, block_chars)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("blk").orderBy("k", "doc")
+    leads = base
+    pair_cols = []
+    for i in range(1, window + 1):
+        leads = leads.withColumn(f"doc_{i}", F.lead("doc", i).over(w)).withColumn(
+            f"k_{i}", F.lead("k", i).over(w)
+        )
+        pair_cols.append(
+            F.struct(F.col(f"doc_{i}").alias("doc_b"), F.col(f"k_{i}").alias("k_b"))
+        )
+    pairs = (
+        leads.select("doc", "k", F.explode(F.array(*pair_cols)).alias("p"))
+        .filter(F.col("p.doc_b").isNotNull())
+        .select(
+            "doc",
+            F.col("p.doc_b").alias("doc_b"),
+            F.levenshtein("k", F.col("p.k_b")).cast("bigint").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_distance)
+    )
+    return pairs.select(
+        F.least("doc", "doc_b").alias("doc_a"),
+        F.greatest("doc", "doc_b").alias("doc_b"),
+        "lev",
+    ).distinct()

@@ -4304,6 +4304,57 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_sorted_neighborhood",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 80) AS k
+      FROM documents
+    ),
+    b AS (SELECT doc, k, substr(k, 1, 2) AS blk FROM base),
+    l AS (
+      SELECT doc, k,
+             lead(doc, 1) OVER w AS d1, lead(k, 1) OVER w AS k1,
+             lead(doc, 2) OVER w AS d2, lead(k, 2) OVER w AS k2,
+             lead(doc, 3) OVER w AS d3, lead(k, 3) OVER w AS k3
+      FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, doc)
+    ),
+    p AS (
+      SELECT doc, k, d1 AS doc_b, k1 AS k_b FROM l WHERE d1 IS NOT NULL
+      UNION ALL SELECT doc, k, d2, k2 FROM l WHERE d2 IS NOT NULL
+      UNION ALL SELECT doc, k, d3, k3 FROM l WHERE d3 IS NOT NULL
+    ),
+    c AS (
+      SELECT LEAST(doc, doc_b) AS doc_a, GREATEST(doc, doc_b) AS doc_b,
+             CAST(levenshtein(k, k_b) AS BIGINT) AS lev
+      FROM p WHERE levenshtein(k, k_b) <= 10
+    )
+    SELECT DISTINCT doc_a, doc_b, lev FROM c
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution", "llm-pipeline"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by the sorted-neighborhood method (Hernandez &
+    Stolfo, SIGMOD'95) — the entity-resolution-style complement to the
+    shingle/LSH tiers: sort by a normalized 80-char key, compare each
+    record against its next 3 neighbors with Levenshtein <= 10. Catches
+    single-character edits near the head of near-identical records that
+    3-gram shingles dilute, at linear candidate cost.
+
+    operators/dedup.py:sorted_neighborhood_pairs partitions by the first 2
+    key characters (the 'sorted blocks' variant — no single-partition
+    global window), sorts within blocks, and lead()-generates at most 3
+    pairs per record. The block-boundary blind spot is documented there
+    (production runs multiple key orderings); the oracle replays this pass
+    exactly because both engines apply the identical partitioned window.
+    Levenshtein's integer DP is engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=3, prefix_len=80, block_chars=2, max_distance=10
+    )
+
+
+@register(
     "multimodal_image_dhash",
     """
     WITH d AS (SELECT doc_id,
