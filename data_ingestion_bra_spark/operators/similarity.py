@@ -612,3 +612,77 @@ def semdedup_prune(
             (F.lit(1) - F.coalesce(F.col("dom"), F.lit(0))).cast("bigint").alias("keep"),
         )
     )
+
+
+def bitext_mining_margin(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_e4: int = 10000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/LASER criterion): a pair (x, y) across the two sides is kept
+    iff y is x's nearest neighbor AND x is y's nearest neighbor (mutual
+    top-1) AND the RATIO margin clears the threshold:
+
+        margin(x, y) = cos(x, y) / ((sum_topk(x) + sum_topk(y)) / 2k)
+
+    where sum_topk includes the pair itself. The margin is what separates
+    true translations from hubs — a vector close to EVERYTHING has a high
+    denominator and never clears 1.0.
+
+    Arithmetic is the catalog's integer-cosine convention end to end:
+    cos_e4 BIGINTs, margin_e4 = cos_e4 * 2k * 10000 div (sum_x + sum_y) —
+    a pure integer floor-division chain the DuckDB oracle replays exactly.
+    Pairs with a non-positive denominator (pathological all-negative
+    neighborhoods) are dropped explicitly.
+
+    Fixture-exact shape: side A broadcasts against side B (the same exact
+    bipartite baseline ``brute_force_topk`` uses; |A| x |B| scored rows,
+    never materialized wider than the two ranking windows). At corpus
+    scale, mining composes with the IVF serve path instead — assign both
+    sides to the persisted cells and score within cells (the CCMatrix
+    architecture: FAISS-compressed index both directions); this operator
+    is the oracle-checkable exact twin of that plan."""
+    a = with_quantized_vec(side_a, vec_col, "av").select(
+        F.col(id_col).alias("a_id"), "av", norm_expr(F.col("av")).alias("an")
+    )
+    b = with_quantized_vec(side_b, vec_col, "bv").select(
+        F.col(id_col).alias("b_id"), "bv", norm_expr(F.col("bv")).alias("bn")
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(b)
+        .select(
+            "a_id",
+            "b_id",
+            cosine_e4_expr(
+                idot_expr(F.col("av"), F.col("bv")), F.col("an"), F.col("bn")
+            ).alias("cos_e4"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wx = W.partitionBy("a_id").orderBy(F.col("cos_e4").desc(), "b_id")
+    wy = W.partitionBy("b_id").orderBy(F.col("cos_e4").desc(), "a_id")
+    ranked = pairs.withColumn("rn_x", F.row_number().over(wx)).withColumn(
+        "rn_y", F.row_number().over(wy)
+    )
+    wxa = W.partitionBy("a_id").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wyb = W.partitionBy("b_id").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    summed = ranked.withColumn(
+        "sum_x", F.sum(F.when(F.col("rn_x") <= k, F.col("cos_e4"))).over(wxa)
+    ).withColumn("sum_y", F.sum(F.when(F.col("rn_y") <= k, F.col("cos_e4"))).over(wyb))
+    return (
+        summed.filter((F.col("rn_x") == 1) & (F.col("rn_y") == 1))
+        .filter(F.col("sum_x") + F.col("sum_y") > 0)
+        .withColumn(
+            "margin_e4",
+            F.expr(f"CAST(cos_e4 * {2 * k} * 10000 div (sum_x + sum_y) AS BIGINT)"),
+        )
+        .filter(F.col("margin_e4") >= margin_threshold_e4)
+        .select("a_id", "b_id", "cos_e4", "margin_e4")
+    )

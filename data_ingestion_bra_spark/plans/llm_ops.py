@@ -3797,6 +3797,59 @@ def _pq_oracle() -> str:
 
 
 @register(
+    "similarity_bitext_mining",
+    "WITH "
+    + _VEC_CTE
+    + """,
+    a AS (SELECT n.vec_id AS a_id, e, nrm FROM n
+          JOIN embeddings emb ON emb.vec_id = n.vec_id WHERE emb.label % 2 = 0),
+    b AS (SELECT n.vec_id AS b_id, e, nrm FROM n
+          JOIN embeddings emb ON emb.vec_id = n.vec_id WHERE emb.label % 2 = 1),
+    p AS (
+      SELECT a.a_id, b.b_id,
+             """
+    + _COS_E4.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    + """ AS cos_e4
+      FROM a JOIN b ON TRUE
+    ),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY a_id ORDER BY cos_e4 DESC, b_id) AS rn_x,
+                 row_number() OVER (PARTITION BY b_id ORDER BY cos_e4 DESC, a_id) AS rn_y
+          FROM p),
+    s AS (SELECT *,
+                 SUM(CASE WHEN rn_x <= 4 THEN cos_e4 END) OVER (PARTITION BY a_id) AS sum_x,
+                 SUM(CASE WHEN rn_y <= 4 THEN cos_e4 END) OVER (PARTITION BY b_id) AS sum_y
+          FROM r)
+    SELECT a_id, b_id, cos_e4,
+           CAST(cos_e4 * 8 * 10000 // (sum_x + sum_y) AS BIGINT) AS margin_e4
+    FROM s
+    WHERE rn_x = 1 AND rn_y = 1 AND sum_x + sum_y > 0
+      AND cos_e4 * 8 * 10000 // (sum_x + sum_y) >= 10000
+    """,
+    tags=("similarity", "bitext", "multilingual", "llm-pipeline"),
+)
+def similarity_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 -- the
+    CCMatrix criterion): mutual-top-1 pairs across the two corpus sides
+    (synthesized here as embedding-label parity) whose RATIO margin --
+    cos(x,y) over the mean of both directions' top-4 neighborhoods --
+    clears 1.0, the hub-suppression rule that makes mined parallel pairs
+    usable as training data. Integer cos_e4 / margin_e4 floor-division
+    chains end to end; operators/similarity.py:bitext_mining_margin
+    documents the IVF-composed serve path this exact form is the oracle
+    twin of."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.bitext_mining_margin(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=4,
+        margin_threshold_e4=10000,
+    )
+
+
+@register(
     "similarity_pq_adc",
     _pq_oracle(),
     tags=("similarity", "ann", "pq", "compression", "llm-pipeline"),

@@ -127,7 +127,11 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - similarity_hybrid_rrf: its vector leg IS similarity_topk_bruteforce's
 #    broadcast-queries exact baseline (4 query vectors × corpus); the
 #    lexical leg and the fusion are pure equi-joins.
+#  - similarity_bitext_mining: the exact bipartite margin baseline (side A
+#    broadcast against side B, |A|×|B| scored, the brute-force-topk shape);
+#    the operator docstring names the IVF-composed serve path for scale.
 BNLJ_ALLOWED = {
+    "similarity_bitext_mining",
     "similarity_hybrid_rrf",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
