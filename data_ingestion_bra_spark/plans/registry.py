@@ -284,9 +284,30 @@ GATE_ORDER: tuple[str, ...] = (
     #      events_tumbling_hourly (tumbling semantics stay gated through
     #      events_session_windows + the asof entry, and the streaming
     #      twins stay pytest-verified; stays hash-verified below).
+    # Round-9c rotation (six NEW capability classes built this round get
+    # driver credit; every displaced entry was driver-verified green in
+    # multiple prior rounds and keeps a gated family rep):
+    # IN:  text_heavy_hitters (exact frequent items via mergeable
+    #      Misra-Gries summaries), dedup_sorted_neighborhood (SNM fuzzy
+    #      entity-resolution dedup), similarity_bitext_mining (CCMatrix
+    #      margin mining), events_anomaly_mad (median/MAD volume monitor),
+    #      web_link_triangles (degree-oriented triangle counting),
+    #      sample_temperature_multilingual (mC4 alpha-sampling weights).
+    # OUT: dedup_minhash_lsh (banded-LSH machinery stays gated inside
+    #      dedup_incremental_batch + corpus_split_leakage_safe),
+    #      dedup_contamination_auto (routes between the gated bloom tier
+    #      and the exact tier), scd2_event_type_history (merge/SCD2 family
+    #      keeps incremental_merge_upsert gated), percentiles_quantity
+    #      (agg family keeps pricing summary/grouping sets/count-distinct
+    #      gated), map_funcs_suite (scalar-suite family keeps
+    #      scalar_cast_suite gated; subqueries_suite covers the JSON-adjacent
+    #      correlated shapes), order_count_distribution (join-shape family
+    #      keeps Q3/Q21/full-outer/per-region joins gated).
+    # All six displaced entries stay registered + hash-verified in the
+    # committed full-catalog report (ORACLE_FULL_r09).
     "dedup_exact_groups",
     "dedup_repeated_passages",
-    "dedup_minhash_lsh",
+    "dedup_sorted_neighborhood",
     "dedup_incremental_batch",
     "dedup_simhash_full",
     "dedup_cdc_chunks",
@@ -315,9 +336,9 @@ GATE_ORDER: tuple[str, ...] = (
     "multimodal_image_dhash",
     "curation_gopher_pipeline",
     "incremental_merge_upsert",
-    "scd2_event_type_history",
+    "similarity_bitext_mining",
     "dedup_contamination_bloom",
-    "dedup_contamination_auto",
+    "text_heavy_hitters",
     "text_bm25_topk",
     "text_bpe_roundtrip",
     "txlog_change_feed",
@@ -344,17 +365,17 @@ GATE_ORDER: tuple[str, ...] = (
     "grouping_sets_status_priority",
     "scalar_cast_suite",
     "manifest_null_counts_documents",
-    "percentiles_quantity",
+    "sample_temperature_multilingual",
     # Window families: rank, frames (RANGE 30d).
     "window_rank_family",
     "window_range_frame_trailing30d",
     # Function suites + subqueries + TPC-H-shape joins.
     "web_link_pagerank",
     "web_warc_parse",
-    "map_funcs_suite",
+    "web_link_triangles",
     "subqueries_suite",
     "sole_returning_suppliers",
-    "order_count_distribution",
+    "events_anomaly_mad",
     # Temporal + headline TPC-H shapes.
     "events_drift_tv",
     "events_session_windows",
