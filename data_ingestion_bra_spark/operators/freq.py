@@ -114,3 +114,27 @@ def heavy_hitters_exact_topk(
         .filter(F.col("rank") <= k)
         .select("rank", key_col, "n")
     )
+
+
+def mg_merge(summaries: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Merge any union of Misra–Gries summaries back into ONE summary of at
+    most ``capacity`` counters (the PODS-2012 MERGE: sum weights per key,
+    then subtract the (capacity+1)-th largest combined weight from all and
+    drop the non-positive). Associative and commutative, which is what
+    makes the summary a valid STREAMING state: folding per-epoch summaries
+    into a standing store epoch by epoch carries the same
+    total-N/(capacity+1) error bound as one pass over the whole stream.
+
+    All work is summary-sized (inputs are capacity-bounded by
+    construction); the cut threshold is a ``capacity+1``-row sort-limit
+    with a 1-row driver fetch — bounded control-plane work, same class as
+    the matview refresh scalars."""
+    s = summaries.groupBy(key_col).agg(F.sum("mg_weight").alias("mg_weight"))
+    top = s.orderBy(F.col("mg_weight").desc(), F.col(key_col)).limit(capacity + 1)
+    rows = top.tail(1)
+    if top.count() > capacity and rows:
+        cut = int(rows[0]["mg_weight"])
+        s = s.withColumn("mg_weight", F.col("mg_weight") - F.lit(cut)).filter(
+            F.col("mg_weight") > 0
+        )
+    return s

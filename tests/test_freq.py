@@ -99,3 +99,116 @@ def test_catalog_entry_fixture_margin(spark):
         .collect()
     )
     assert [(r["shingle"], r["n"]) for r in got] == [(r["shingle"], r["n"]) for r in want]
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: mergeable summaries folded into a txlog store.
+# ---------------------------------------------------------------------------
+
+
+def _stream_corpus(spark, tmp_path, n_epochs=3, capacity=64, qid="f"):
+    from data_ingestion_bra_spark.streaming.freq_maintenance import (
+        freq_maintenance_writer,
+    )
+
+    store = str(tmp_path / "freq_store")
+    df = _skewed_df(spark)
+    w = freq_maintenance_writer(store, key_col="key", capacity=capacity, query_id=qid)
+    for epoch in range(n_epochs):
+        w(df.filter(F.crc32(F.col("key")) % n_epochs == epoch), epoch)
+    return store, df
+
+
+def test_stream_summary_bound_and_guarantee(spark, tmp_path):
+    from data_ingestion_bra_spark.streaming.freq_maintenance import current_candidates
+
+    capacity = 64
+    store, df = _stream_corpus(spark, tmp_path, capacity=capacity)
+    cand = current_candidates(spark, store, "key")
+    rows = cand.collect()
+    assert 0 < len(rows) <= capacity
+    # mergeability: every key with lifetime count > N/(capacity+1) survives
+    n = df.count()
+    exact = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    bound = n / (capacity + 1)
+    keys = {r["key"] for r in rows}
+    missed = [k for k, c in exact.items() if c > bound and k not in keys]
+    assert missed == [], missed
+    # weights are lower bounds
+    for r in rows:
+        assert 0 < r["mg_weight"] <= exact[r["key"]]
+    # exact recount over the corpus reproduces the batch-tier top-k
+    from data_ingestion_bra_spark.operators.freq import heavy_hitters_exact_topk
+
+    recount = (
+        df.join(F.broadcast(cand.select("key")), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "key")
+        .limit(8)
+        .collect()
+    )
+    want = heavy_hitters_exact_topk(df, "key", 8, capacity=capacity).collect()
+    assert [(r["key"], r["n"]) for r in recount] == [(r["key"], r["n"]) for r in want]
+
+
+def test_stream_epoch_replay_is_exactly_once(spark, tmp_path):
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.streaming.freq_maintenance import (
+        current_candidates,
+        freq_maintenance_writer,
+    )
+
+    store = str(tmp_path / "freq_store2")
+    df = _skewed_df(spark)
+    w = freq_maintenance_writer(store, key_col="key", capacity=32, query_id="r")
+    w(df.filter(F.col("key").startswith("hot")), 0)
+    v0 = txlog.snapshot(store).version
+    before = sorted(
+        (r["key"], r["mg_weight"]) for r in current_candidates(spark, store, "key").collect()
+    )
+    w(df.filter(F.col("key").startswith("hot")), 0)  # replay
+    assert txlog.snapshot(store).version == v0
+    after = sorted(
+        (r["key"], r["mg_weight"]) for r in current_candidates(spark, store, "key").collect()
+    )
+    assert after == before
+
+
+def test_stream_retire_epochs(spark, tmp_path):
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.streaming.freq_maintenance import (
+        current_candidates,
+        retire_epochs_before,
+    )
+
+    store, df = _stream_corpus(spark, tmp_path, n_epochs=3, qid="ret")
+    latest = sorted(
+        (r["key"], r["mg_weight"]) for r in current_candidates(spark, store, "key").collect()
+    )
+    retire_epochs_before(spark, store, 2)
+    kept = txlog.read_snapshot(spark, store)
+    assert kept.filter(F.col("epoch") < 2).count() == 0
+    after = sorted(
+        (r["key"], r["mg_weight"]) for r in current_candidates(spark, store, "key").collect()
+    )
+    assert after == latest
+
+
+def test_mg_merge_matches_single_pass_bound(spark):
+    from data_ingestion_bra_spark.operators.freq import mg_merge, misra_gries_summaries
+
+    df = _skewed_df(spark)
+    capacity = 48
+    # split the stream, summarize each half, merge — bound must hold
+    h1 = misra_gries_summaries(df.filter(F.crc32("key") % 2 == 0), "key", capacity)
+    h2 = misra_gries_summaries(df.filter(F.crc32("key") % 2 == 1), "key", capacity)
+    merged = mg_merge(h1.unionByName(h2), "key", capacity)
+    rows = merged.collect()
+    assert len(rows) <= capacity
+    exact = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count("*").alias("n")).collect()}
+    n = df.count()
+    keys = {r["key"] for r in rows}
+    assert [k for k, c in exact.items() if c > n / (capacity + 1) and k not in keys] == []
+    for r in rows:
+        assert 0 < r["mg_weight"] <= exact[r["key"]]
