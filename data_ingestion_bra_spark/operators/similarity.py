@@ -664,6 +664,16 @@ def bitext_mining_margin(
             ).alias("cos_e4"),
         )
     )
+    return _margin_mutual_pairs(pairs, k=k, margin_threshold_e4=margin_threshold_e4)
+
+
+def _margin_mutual_pairs(
+    pairs: DataFrame, *, k: int, margin_threshold_e4: int
+) -> DataFrame:
+    """Mutual-top-1 + ratio-margin filter over a scored (a_id, b_id,
+    cos_e4) candidate relation — shared by the exact bipartite form and
+    the IVF cell-restricted serve form. All windows partition by one side's
+    id (per-query-sized frames); integer floor-division margin."""
     from pyspark.sql.window import Window as W
 
     wx = W.partitionBy("a_id").orderBy(F.col("cos_e4").desc(), "b_id")
@@ -686,3 +696,56 @@ def bitext_mining_margin(
         .filter(F.col("margin_e4") >= margin_threshold_e4)
         .select("a_id", "b_id", "cos_e4", "margin_e4")
     )
+
+
+def bitext_mining_margin_ivf(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold_e4: int = 10000,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The corpus-scale serve path of ``bitext_mining_margin``: both sides
+    assign to the SHARED IVF cells (broadcast centroids — the existing
+    train-once index), candidate pairs come from a (cell) EQUI-JOIN, and
+    the mutual-top-1 + margin logic runs within the cell-restricted
+    candidate set. This is the CCMatrix architecture: a FAISS-style coarse
+    quantizer prunes the |A|x|B| bipartite product to
+    sum-over-cells(|A_c| x |B_c|) — candidate volume tracks cell occupancy,
+    never the full product, and nothing broadcasts but the centroids.
+
+    ``n_probe`` probes that many nearest cells for side A (the query side),
+    recovering pairs that straddle a cell boundary; side B stays
+    single-cell so each corpus vector lives in exactly one inverted list.
+    Neighborhood sums (the margin denominator) see only in-cell candidates
+    — margins are computed against the same pruned world the pair came
+    from, so a hub that dominates its cell is still suppressed. Recall vs
+    the exact form is measured, not assumed (tests/test_similarity_ops.py:
+    fixture recall pinned; every served pair must also clear the exact
+    margin rule)."""
+    a_cells = assign_cells(
+        side_a, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    ).select(F.col("vid").alias("a_id"), F.col("cell"), F.col("v").alias("av"))
+    b_cells = assign_cells(side_b, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("vid").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
+    )
+    pairs = (
+        a_cells.join(b_cells, "cell")
+        .select(
+            "a_id",
+            "b_id",
+            cosine_e4_expr(
+                idot_expr(F.col("av"), F.col("bv")),
+                norm_expr(F.col("av")),
+                norm_expr(F.col("bv")),
+            ).alias("cos_e4"),
+        )
+        # multi-probe can surface the same (a, b) via two probed cells;
+        # keep one scored row per pair (cos is cell-independent)
+        .distinct()
+    )
+    return _margin_mutual_pairs(pairs, k=k, margin_threshold_e4=margin_threshold_e4)

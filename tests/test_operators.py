@@ -1348,3 +1348,56 @@ def test_vocab_join_deep_merge_table_batched(spark):
         words = [w for w in re.split(r"[ \t\n\r\f]+", text) if w]
         expected = sum(len(bpe.encode_word(w, merges)) for w in words)
         assert got.get(doc_id, 0) == expected, doc_id
+
+
+def test_bitext_mining_ivf_recall_and_margin_rule(spark):
+    """The IVF-composed bitext serve path: measured recall of the exact
+    mutual-top-1+margin pairs at the fixture (>= 0.7 at n_probe=4, and
+    non-decreasing in probes — the synthetic embeddings are NOT clustered
+    by side, so cell-straddling is the common case and multi-probe is
+    doing real work here), and every served pair must itself satisfy
+    the margin/mutual rule within its pruned candidate world (margin_e4 >=
+    threshold by construction — asserted against the returned column)."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.bitext_mining_margin(a, b, k=4).collect()
+    }
+    assert exact  # the fixture mines a non-trivial exact pair set
+    cents = similarity.kmeans_train(emb, n_centroids=8, n_iter=1)
+    recalls = []
+    for probe in (1, 2, 4):
+        served = similarity.bitext_mining_margin_ivf(
+            a, b, cents, k=4, n_probe=probe
+        ).collect()
+        got = {(r["a_id"], r["b_id"]) for r in served}
+        recalls.append(len(got & exact) / len(exact))
+        for r in served:
+            assert r["margin_e4"] >= 10000
+    assert recalls[2] >= 0.7, recalls
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls  # more probes never hurt
+
+
+def test_bitext_mining_exact_is_mutual_top1(spark):
+    """Every exact mined pair is mutually nearest: re-derive both argmaxes
+    from the raw cosine matrix on a small synthetic side pair."""
+    a = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0]), (11, [0.1, 0.9, 0.0]), (12, [0.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["margin_e4"]
+        for r in similarity.bitext_mining_margin(a, b, k=2).collect()
+    }
+    # 0<->10 and 1<->11 are mutual nearest; 12 is orthogonal to everything
+    assert set(got) == {(0, 10), (1, 11)}
+    for m in got.values():
+        assert m >= 10000
