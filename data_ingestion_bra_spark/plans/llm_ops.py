@@ -1261,6 +1261,154 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_rejection_report",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS toks,
+                      regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n,
+                 CAST(FLOOR(list_sum(list_transform(toks, x -> length(x)))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS mean_len_e4,
+                 CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                            / len(toks) * 10000.0 + 0.5) AS BIGINT) AS alpha_e4,
+                 CAST(len(list_filter(ltoks,
+                          x -> list_contains(['the','a','of','and'], x))) AS BIGINT)
+                   AS stop_hits
+          FROM t),
+    f AS (SELECT n < 50 AS f_min, n > 100000 AS f_max,
+                 mean_len_e4 < 30000 AS f_mlow, mean_len_e4 > 100000 AS f_mhigh,
+                 alpha_e4 < 8000 AS f_alpha, stop_hits < 2 AS f_stop,
+                 CASE WHEN n < 50 THEN 'min_tokens'
+                      WHEN n > 100000 THEN 'max_tokens'
+                      WHEN mean_len_e4 < 30000 THEN 'mean_len_low'
+                      WHEN mean_len_e4 > 100000 THEN 'mean_len_high'
+                      WHEN alpha_e4 < 8000 THEN 'alpha_ratio'
+                      WHEN stop_hits < 2 THEN 'stopwords'
+                      ELSE 'pass' END AS first_gate
+          FROM m),
+    a AS (SELECT
+            CAST(SUM(CASE WHEN first_gate='min_tokens' THEN 1 ELSE 0 END) AS BIGINT) AS w_min,
+            CAST(SUM(CASE WHEN first_gate='max_tokens' THEN 1 ELSE 0 END) AS BIGINT) AS w_max,
+            CAST(SUM(CASE WHEN first_gate='mean_len_low' THEN 1 ELSE 0 END) AS BIGINT) AS w_mlow,
+            CAST(SUM(CASE WHEN first_gate='mean_len_high' THEN 1 ELSE 0 END) AS BIGINT) AS w_mhigh,
+            CAST(SUM(CASE WHEN first_gate='alpha_ratio' THEN 1 ELSE 0 END) AS BIGINT) AS w_alpha,
+            CAST(SUM(CASE WHEN first_gate='stopwords' THEN 1 ELSE 0 END) AS BIGINT) AS w_stop,
+            CAST(SUM(CASE WHEN first_gate='pass' THEN 1 ELSE 0 END) AS BIGINT) AS w_pass,
+            CAST(SUM(CASE WHEN f_min THEN 1 ELSE 0 END) AS BIGINT) AS m_min,
+            CAST(SUM(CASE WHEN f_max THEN 1 ELSE 0 END) AS BIGINT) AS m_max,
+            CAST(SUM(CASE WHEN f_mlow THEN 1 ELSE 0 END) AS BIGINT) AS m_mlow,
+            CAST(SUM(CASE WHEN f_mhigh THEN 1 ELSE 0 END) AS BIGINT) AS m_mhigh,
+            CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS m_alpha,
+            CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS m_stop
+          FROM f)
+    SELECT gate, n_first_fail, n_fail_marginal FROM (
+      SELECT 'min_tokens' AS gate, w_min AS n_first_fail, m_min AS n_fail_marginal FROM a
+      UNION ALL SELECT 'max_tokens', w_max, m_max FROM a
+      UNION ALL SELECT 'mean_len_low', w_mlow, m_mlow FROM a
+      UNION ALL SELECT 'mean_len_high', w_mhigh, m_mhigh FROM a
+      UNION ALL SELECT 'alpha_ratio', w_alpha, m_alpha FROM a
+      UNION ALL SELECT 'stopwords', w_stop, m_stop FROM a
+      UNION ALL SELECT 'pass', w_pass, w_pass FROM a
+    )
+    """,
+    tags=("text", "quality", "gopher", "reporting", "llm-pipeline"),
+)
+def curation_rejection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation AUDIT: why documents die. Per Gopher gate, in evaluation
+    order: the WATERFALL count (docs whose FIRST failing gate is this one
+    — what an ops dashboard shows as the funnel) and the MARGINAL count
+    (docs failing the gate regardless of order — what tells you whether a
+    gate is redundant). The 'pass' row carries the survivor count in both
+    columns. Thresholds are the packaged curation config's (the same
+    literals the text_gopher_quality oracle pins).
+
+    Scale shape: the gate metrics are one codegen projection over the
+    scan (shared definition: operators/text.py:gopher_metric_cols), the
+    report is ONE 1-row aggregate with map-side partials, and the
+    gate-per-row reshape is a constant-size stack of that single row —
+    the corpus is touched once, nothing wider than 13 counters ever
+    moves."""
+    cols = text.gopher_metric_cols("text")
+    m = load_table(spark, sf_dir, "documents").select(
+        cols["n_tokens"].alias("n"),
+        cols["mean_token_len_e4"].alias("mean_len_e4"),
+        cols["alpha_token_ratio_e4"].alias("alpha_e4"),
+        cols["stopword_hits"].alias("stop_hits"),
+    )
+    from data_ingestion_bra_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN_E4,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_ALPHA_RATIO_E4,
+        GOPHER_MIN_MEAN_LEN_E4,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_TOKENS,
+    )
+
+    f_min = F.col("n") < GOPHER_MIN_TOKENS
+    f_max = F.col("n") > GOPHER_MAX_TOKENS
+    f_mlow = F.col("mean_len_e4") < GOPHER_MIN_MEAN_LEN_E4
+    f_mhigh = F.col("mean_len_e4") > GOPHER_MAX_MEAN_LEN_E4
+    f_alpha = F.col("alpha_e4") < GOPHER_MIN_ALPHA_RATIO_E4
+    f_stop = F.col("stop_hits") < GOPHER_MIN_STOPWORD_HITS
+    first = (
+        F.when(f_min, "min_tokens")
+        .when(f_max, "max_tokens")
+        .when(f_mlow, "mean_len_low")
+        .when(f_mhigh, "mean_len_high")
+        .when(f_alpha, "alpha_ratio")
+        .when(f_stop, "stopwords")
+        .otherwise("pass")
+    )
+    flags = m.select(
+        first.alias("first_gate"),
+        *[
+            c.cast("int").alias(a)
+            for c, a in [
+                (f_min, "f_min"),
+                (f_max, "f_max"),
+                (f_mlow, "f_mlow"),
+                (f_mhigh, "f_mhigh"),
+                (f_alpha, "f_alpha"),
+                (f_stop, "f_stop"),
+            ]
+        ],
+    )
+    gates = [
+        ("min_tokens", "f_min"),
+        ("max_tokens", "f_max"),
+        ("mean_len_low", "f_mlow"),
+        ("mean_len_high", "f_mhigh"),
+        ("alpha_ratio", "f_alpha"),
+        ("stopwords", "f_stop"),
+    ]
+    aggs = []
+    for name, flag in gates:
+        aggs.append(
+            F.sum(F.when(F.col("first_gate") == name, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"w_{flag}")
+        )
+        aggs.append(F.sum(F.col(flag)).cast("bigint").alias(f"m_{flag}"))
+    aggs.append(
+        F.sum(F.when(F.col("first_gate") == "pass", 1).otherwise(0))
+        .cast("bigint")
+        .alias("w_pass")
+    )
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', w_{flag}, m_{flag}" for name, flag in gates
+    )
+    return one.select(
+        F.expr(
+            f"stack(7, {stack_args}, 'pass', w_pass, w_pass)"
+            " AS (gate, n_first_fail, n_fail_marginal)"
+        )
+    )
+
+
+@register(
     "text_langid",
     r"""
     WITH t AS (SELECT doc_id,
