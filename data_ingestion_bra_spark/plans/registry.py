@@ -305,6 +305,10 @@ GATE_ORDER: tuple[str, ...] = (
     #      keeps Q3/Q21/full-outer/per-region joins gated).
     # All six displaced entries stay registered + hash-verified in the
     # committed full-catalog report (ORACLE_FULL_r09).
+    # Round-9d: curation_rejection_report IN (the curation AUDIT class:
+    # waterfall + marginal rejection counts per gate) — corpus_domain_mixture
+    # OUT (reporting family keeps the dataset card + this audit gated;
+    # r8-driver-verified, stays hash-verified below the window).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
@@ -343,7 +347,7 @@ GATE_ORDER: tuple[str, ...] = (
     "text_bpe_roundtrip",
     "txlog_change_feed",
     "txlog_incremental_matview",
-    "corpus_domain_mixture",
+    "curation_rejection_report",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",
