@@ -653,6 +653,13 @@ def bitext_mining_margin(
     b = with_quantized_vec(side_b, vec_col, "bv").select(
         F.col(id_col).alias("b_id"), "bv", norm_expr(F.col("bv")).alias("bn")
     )
+    # Spread the |A|x|B| scoring BEFORE fanning out against the broadcast
+    # side: a compact vector table is often ONE parquet split, which would
+    # put every HOF dot product on a single core (the same measured lesson
+    # as assign_cells' `spread`). One slim O(|B|) shuffle buys the fan-out
+    # parallelism.
+    par = int(side_b.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    b = b.repartition(par, F.col("b_id"))
     pairs = (
         F.broadcast(a)
         .join(b)

@@ -1691,7 +1691,15 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_bra_spark.operators.freq import heavy_hitters_exact_topk
 
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False).select("shingle")
+    # Spread the DOCUMENTS (slim rows) before shingling: the fixture is one
+    # parquet split, which would funnel the whole corpus through a single
+    # MG worker. Shuffling docs is cheap; shuffling tokens is exactly what
+    # MG exists to avoid — on a real multi-split corpus this repartition is
+    # a no-op to omit.
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sh = dedup.doc_shingles(
+        d.repartition(par, "doc_id"), "doc_id", "text", n=3, distinct=False
+    ).select("shingle")
     return heavy_hitters_exact_topk(sh, "shingle", 25, capacity=16384)
 
 
