@@ -52,6 +52,15 @@ SHOWCASE: list[tuple[str, str]] = [
     ("dedup_incremental_batch", "incremental dedup: batch bands equi-join the corpus signature store — candidate cost tracks the BATCH, never a corpus self-join"),
     ("web_robots_filter", "robots politeness: per-domain rule arrays broadcast; the prefix test is a row-local exists()"),
     ("txlog_incremental_matview", "matview refresh output: the view reads as a plain scan of its committed state — refresh cost lives in delta-sized maintenance commits, not here"),
+    # round 9
+    ("text_heavy_hitters", "heavy hitters: MG summaries (ArrowEval MapInPandas, capacity-bounded output) feed a broadcast LEFT SEMI; the exact recount groupBy partial-aggregates — the full distinct-key shuffle never exists"),
+    ("web_link_triangles", "triangles: canonicalize + degree join + wedge self-join + closing-edge join, ALL equi-joins; the orientation bound lives in the data, the plan stays hash joins"),
+    ("dedup_sorted_neighborhood", "SNM fuzzy pairs: window partitioned by the 2-char key block (never a single global sort partition); lead() pairs + codegen levenshtein"),
+    ("events_drift_tv", "drift monitor: one groupBy(day,type) partial-agg touches the corpus; the day-shift full-outer grid and both totals joins run over the |days×types| aggregate"),
+    ("events_anomaly_mad", "volume monitor: one groupBy(day) partial-agg; both rank-median windows run over the |days|-row aggregate (single-partition by design at that size)"),
+    ("sample_temperature_multilingual", "alpha-sampling: one groupBy(lang) partial-agg; sqrt/normalize windows over the |langs|-row aggregate"),
+    ("similarity_bitext_mining", "bitext margin (exact twin): side A broadcasts (allow-listed BNLJ baseline); both rank windows partition by one side's id — per-query-sized frames"),
+    ("curation_rejection_report", "rejection audit: gate metrics scan-resident, ONE 1-row partial-agg, constant-size stack reshape"),
 ]
 
 
