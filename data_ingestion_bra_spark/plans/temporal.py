@@ -474,3 +474,122 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(wk) AS cwk FROM act GROUP BY user_id)
+    SELECT strftime(c.cwk, '%Y-%m-%d') AS cohort_week,
+           CAST((a.wk - c.cwk) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN coh c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "cohort", "retention", "analytics"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics view of an
+    event log: users cohorted by their FIRST active ISO week, counted in
+    every (cohort, week-offset) cell they return in. Both engines
+    date_trunc to Monday-start ISO weeks and the offset is exact integer
+    day arithmetic div 7, so the matrix replays bit-for-bit.
+
+    Scale shape: one distinct over (user, week) — the activity relation,
+    partial-aggregable and tiny relative to raw events — then a
+    groupBy(user) min and one final groupBy(cohort, offset); every shuffle
+    key is user- or cohort-sized, the raw event log is touched once."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cwk", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cwk) div 7 AS BIGINT)").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    f"""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS click_ts, c.k
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    attr AS (
+      SELECT CASE
+               WHEN click_ts IS NULL OR ts - click_ts > INTERVAL 3 DAY
+                 THEN 'organic'
+               WHEN k % 4 = 0 THEN 'email'
+               WHEN k % 4 = 1 THEN 'search'
+               WHEN k % 4 = 2 THEN 'social'
+               ELSE 'ads' END AS channel,
+             user_id, value
+      FROM j
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM attr GROUP BY channel
+    """,
+    tags=("temporal", "attribution", "asof-join", "analytics"),
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH marketing attribution: each purchase credits the latest
+    click at-or-before it by the same user (backward as-of join — the
+    existing union+window machinery, ONE shuffle on user_id, no candidate
+    blowup), provided the click is within the 3-day lookback; otherwise
+    'organic'. The channel is derived from the click's props (synthetic
+    k % 4 mapping — the shape, not the taxonomy, is the capability).
+    Revenue sums integer cents; the DuckDB oracle replays the whole chain
+    through its native ASOF LEFT JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    j = asof_join_backward(
+        p, c, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["k"], suffix="_click",
+    )
+    channel = (
+        F.when(
+            F.col("ts_click").isNull()
+            | F.expr("ts > ts_click + INTERVAL 3 DAY"),
+            "organic",
+        )
+        .when(F.col("k_click") % 4 == 0, "email")
+        .when(F.col("k_click") % 4 == 1, "search")
+        .when(F.col("k_click") % 4 == 2, "social")
+        .otherwise("ads")
+    )
+    return (
+        j.select(channel.alias("channel"), "user_id", "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
