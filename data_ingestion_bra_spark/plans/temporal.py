@@ -593,3 +593,39 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "events_k_anonymity",
+    """
+    SELECT event_type,
+           strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CASE WHEN COUNT(DISTINCT user_id) < 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS suppress
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("privacy", "governance", "k-anonymity", "data-quality"),
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity small-cell report (Sweeney 2002) over the release
+    quasi-identifiers (event_type, day): any cell whose distinct-user count
+    is below k=5 is flagged for suppression before the table can be shared
+    — the aggregate-release companion to row-level PII redaction
+    (text_pii_redaction) and GDPR erasure (tests/test_medallion.py). One
+    partial-aggregable groupBy over the scan; count-distinct is the only
+    holistic aggregate and it shards by the cell key."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.when(F.countDistinct("user_id") < 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("suppress"),
+    )
