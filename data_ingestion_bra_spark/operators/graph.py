@@ -371,6 +371,11 @@ def triangle_counts(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
+        # consumed three times (degree count, oriented edges, closing-edge
+        # probe): materialize the slim (u, v) relation once instead of
+        # re-running the distinct per consumer — the same lazy-self-join
+        # lesson measured on simhash_near_pairs (round 9)
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
