@@ -629,3 +629,76 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("suppress"),
     )
+
+
+@register(
+    "events_session_paths",
+    """
+    WITH brk AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM brk
+    ),
+    steps AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_type) AS dst
+      FROM sess
+    )
+    SELECT src, dst,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM steps WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+    tags=("temporal", "session", "sequence-mining", "analytics"),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: within-session event-type transition
+    counts (the first-order Markov view of the clickstream — what funnels
+    and next-action models are built from). Sessions are the same
+    10-minute-gap islands the sessionization tier uses; transitions come
+    from one lead() per session-partitioned window.
+
+    Determinism note: simultaneous events are ordered by (ts, event_type)
+    inside the session window on BOTH engines, and the session-break
+    window orders by (ts, event_id), so ties cannot flip transitions
+    between engines. Scale shape: two windows and one groupBy, every one
+    partitioned by user (one shuffle class); the transition roll-up is
+    |event_type|^2-sized."""
+    e = load_table(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(wb).isNull()
+            | F.expr("ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+                     " >= INTERVAL 10 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = brk.withColumn("sid", F.sum("new_session").over(ws))
+    wp = Window.partitionBy("user_id", "sid").orderBy("ts", "event_type")
+    steps = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wp).alias("dst"),
+    )
+    return (
+        steps.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
