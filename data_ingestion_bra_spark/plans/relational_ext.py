@@ -1310,3 +1310,88 @@ def incremental_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ins").alias("src"),
     )
     return merge_upsert(base, updates.unionByName(inserts), ["o_orderkey"])
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT MAX(last_order) AS maxd FROM base),
+    rfm AS (
+      SELECT custkey,
+             CAST(a.maxd - last_order AS BIGINT) AS recency_days,
+             frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY a.maxd - last_order ASC, custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m
+      FROM base, anchor a
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(recency_days) AS BIGINT) AS min_recency_days,
+           CAST(MAX(frequency) AS BIGINT) AS max_frequency
+    FROM rfm GROUP BY r, f, m
+    """,
+    tags=("analytics", "rfm", "segmentation", "window"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles — the
+    classic customer-value grid), rolled up per (r, f, m) cell. NTILE
+    boundaries are deterministic because every NTILE orders with a custkey
+    tie-break, and both engines compute NTILE by the same row-count split
+    rule; money stays integer cents and recency exact date arithmetic
+    against the corpus max-date anchor (a 1-row broadcast).
+
+    Scale shape: one partial-aggregable groupBy(custkey) over orders, a
+    1-row anchor attach, three NTILE windows over the |customers|-sized
+    aggregate (single total order each — the documented small-aggregate
+    exception; at true 100 TB customer counts, swap NTILE for the
+    percentile-rank bucketing over a distributed sort), one final
+    |cells|-sized roll-up."""
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+    )
+    anchor = base.agg(F.max("last_order").alias("maxd"))
+    rfm = (
+        base.join(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("maxd", "last_order").cast("bigint"))
+        .withColumn(
+            "r",
+            F.ntile(4).over(Window.orderBy(F.col("recency_days").asc(), "custkey")),
+        )
+        .withColumn(
+            "f", F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "custkey"))
+        )
+        .withColumn(
+            "m",
+            F.ntile(4).over(
+                Window.orderBy(F.col("monetary_cents").desc(), "custkey")
+            ),
+        )
+    )
+    return rfm.groupBy(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("f").cast("bigint").alias("f"),
+        F.col("m").cast("bigint").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        F.min("recency_days").cast("bigint").alias("min_recency_days"),
+        F.max("frequency").cast("bigint").alias("max_frequency"),
+    )

@@ -130,7 +130,11 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - similarity_bitext_mining: the exact bipartite margin baseline (side A
 #    broadcast against side B, |A|×|B| scored, the brute-force-topk shape);
 #    the operator docstring names the IVF-composed serve path for scale.
+#  - customer_rfm_segments: the corpus max-date anchor is a 1-ROW broadcast
+#    attach (the dedup_contamination_bloom shape) feeding exact recency
+#    arithmetic; everything else is windows + equi-rollups.
 BNLJ_ALLOWED = {
+    "customer_rfm_segments",
     "similarity_bitext_mining",
     "similarity_hybrid_rrf",
     "similarity_topk_bruteforce",
