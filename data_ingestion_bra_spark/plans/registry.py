@@ -305,6 +305,13 @@ GATE_ORDER: tuple[str, ...] = (
     #      keeps Q3/Q21/full-outer/per-region joins gated).
     # All six displaced entries stay registered + hash-verified in the
     # committed full-catalog report (ORACLE_FULL_r09).
+    # Round-9e: two swaps where the incoming entry strictly embeds the
+    # displaced semantics: events_session_paths IN (its oracle contains the
+    # session_windows gaps-and-islands CTE verbatim, then adds per-session
+    # transition mining) — events_session_windows OUT; events_k_anonymity
+    # IN (per-group COUNT DISTINCT + the governance suppression rule) —
+    # count_distinct_customers_per_status OUT. Both displaced entries were
+    # driver-verified in many prior rounds and stay hash-verified below.
     # Round-9d: curation_rejection_report IN (the curation AUDIT class:
     # waterfall + marginal rejection counts per gate) — corpus_domain_mixture
     # OUT (reporting family keeps the dataset card + this audit gated;
@@ -358,7 +365,7 @@ GATE_ORDER: tuple[str, ...] = (
     # hash-verified below the gate window.
     "text_pii_redaction",
     "join_full_outer_nation_activity",
-    "count_distinct_customers_per_status",
+    "events_k_anonymity",
     # Displaced family twins (still registered + verified in the committed
     # full-catalog report): approx_count_distinct_customers (sketch twin of
     # the gated exact count-distinct), pivot_orders_status (reshape twin of
@@ -382,7 +389,7 @@ GATE_ORDER: tuple[str, ...] = (
     "events_anomaly_mad",
     # Temporal + headline TPC-H shapes.
     "events_drift_tv",
-    "events_session_windows",
+    "events_session_paths",
     "events_asof_purchase_click",
     "shipping_priority_top10",
 )
