@@ -4725,3 +4725,76 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.wav_audio_fingerprint(multimodal.synthesize_wav(d))
+
+
+@register(
+    "corpus_diversity_simpson",
+    """
+    WITH per AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    by_lang AS (
+      SELECT lang AS scope,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS s2
+      FROM per GROUP BY lang
+    ),
+    overall_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    overall AS (
+      SELECT 'ALL' AS scope,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS s2
+      FROM overall_src
+    ),
+    u AS (SELECT * FROM by_lang UNION ALL SELECT * FROM overall)
+    SELECT scope, n_docs, n_groups,
+           CAST(CASE WHEN n_docs > 1
+                     THEN 1000000 - s2 * 1000000 // (n_docs * (n_docs - 1))
+                     ELSE 0 END AS BIGINT) AS simpson_e6
+    FROM u
+    """,
+    tags=("text", "reporting", "diversity", "llm-pipeline"),
+)
+def corpus_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-domain diversity datasheet metric: the unbiased Gini-Simpson
+    index 1 - sum(n_i(n_i-1))/(N(N-1)) per language plus the overall row —
+    the 'how concentrated is my mixture' number data-mixture work reports.
+    Chosen over Shannon entropy deliberately: entropy needs ln(), whose
+    libm is not bit-portable, while Simpson is a pure integer
+    floor-division chain the oracle replays exactly (e6 fixed point;
+    n_i(n_i-1) sums fit int64 to ~3e9 docs per scope — lift to
+    DECIMAL(38,0) beyond). Two partial-aggregable groupBys over the scan
+    and |scopes|-row arithmetic after."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    by_lang = per.groupBy(F.col("lang").alias("scope")).agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.expr("n * (n - 1)")).cast("bigint").alias("s2"),
+    )
+    overall = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.expr("n * (n - 1)")).cast("bigint").alias("s2"),
+        )
+        .select(F.lit("ALL").alias("scope"), "n_docs", "n_groups", "s2")
+    )
+    u = by_lang.unionByName(overall)
+    return u.select(
+        "scope",
+        "n_docs",
+        "n_groups",
+        F.expr(
+            "CAST(CASE WHEN n_docs > 1"
+            " THEN 1000000 - s2 * 1000000 div (n_docs * (n_docs - 1))"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("simpson_e6"),
+    )
