@@ -41,7 +41,9 @@ def _mg_summary_schema(key_field: T.StructField) -> T.StructType:
     return T.StructType([key_field, T.StructField("mg_weight", T.LongType())])
 
 
-def misra_gries_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+def misra_gries_summaries(
+    df: DataFrame, key_col: str, capacity: int, *, nulls: str = "error"
+) -> DataFrame:
     """Per-partition Misra–Gries summaries of ``df[key_col]``.
 
     Returns at most ``capacity`` rows per input partition:
@@ -54,15 +56,31 @@ def misra_gries_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFra
     when more than ``capacity`` counters exist, subtract the
     ``(capacity+1)``-th largest counter value from all and drop the
     non-positive ones (the batched equivalent of MG's decrement-all).
+
+    Keys must be NON-NULL: a SQL ``GROUP BY`` counts the NULL group, but a
+    summary keyed on NULL cannot survive the downstream equality semi-join
+    recount, so a frequent NULL would silently vanish from the top-k.
+    ``nulls="error"`` (default) raises on the first null key seen;
+    ``nulls="ignore"`` opts into dropping them when the caller has already
+    established non-nullness (e.g. keys produced by explode()).
     """
     if capacity < 1:
         raise ValueError("capacity must be >= 1")
+    if nulls not in ("error", "ignore"):
+        raise ValueError("nulls must be 'error' or 'ignore'")
     key_field = df.schema[key_col]
     out_schema = _mg_summary_schema(key_field)
+    raise_on_null = nulls == "error"
 
     def mg_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
+            if raise_on_null and pdf[key_col].isna().any():
+                raise ValueError(
+                    f"misra_gries_summaries: null key in {key_col!r}; a frequent "
+                    "NULL cannot be recounted through the equality semi-join — "
+                    "filter nulls (or pass nulls='ignore' to drop them)"
+                )
             vc = pdf[key_col].value_counts(dropna=True)
             for key, n in vc.items():
                 counters[key] = counters.get(key, 0) + int(n)
@@ -80,7 +98,13 @@ def misra_gries_summaries(df: DataFrame, key_col: str, capacity: int) -> DataFra
 
 
 def heavy_hitters_exact_topk(
-    df: DataFrame, key_col: str, k: int, *, capacity: int = 4096
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    capacity: int = 4096,
+    nulls: str = "error",
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``df[key_col]`` without a
     full distinct-key shuffle.
@@ -95,11 +119,19 @@ def heavy_hitters_exact_topk(
     deterministic tie-break the oracle replays), ``key_col``, ``n``.
     Exactness condition: true count of the k-th item > N/(capacity+1);
     callers pick ``capacity`` for their skew (tests assert the bound).
+
+    ``verify_exact=True`` turns that precondition into a RUNTIME GUARD:
+    the result (≤ k rows) is materialized eagerly, ``N = df.count()`` runs
+    as one extra scan, and the call raises if the k-th candidate count
+    fails to clear ``N/(capacity+1)`` — i.e. whenever the output could be
+    a partitioning-dependent approximation rather than the exact top-k.
+    On a corpus where the guard trips, raise ``capacity`` (shuffled volume
+    stays capacity×n_partitions rows) instead of trusting the output.
     """
     from pyspark.sql.window import Window
 
     cand = (
-        misra_gries_summaries(df, key_col, capacity)
+        misra_gries_summaries(df, key_col, capacity, nulls=nulls)
         .select(key_col)
         .distinct()
     )
@@ -109,11 +141,27 @@ def heavy_hitters_exact_topk(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
-    return (
+    topk = (
         exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("rank", key_col, "n")
     )
+    if not verify_exact:
+        return topk
+    # Guard path: k-row materialization + one count job — both bounded.
+    out = topk.localCheckpoint(eager=True)
+    tail = out.orderBy(F.col("rank").desc()).limit(1).collect()
+    n_total = df.count()
+    # An empty candidate set on a non-empty input is the degenerate form of
+    # the same violation (every counter cancelled — kth count effectively 0).
+    kth = int(tail[0]["n"]) if tail else 0
+    if n_total > 0 and kth * (capacity + 1) <= n_total:
+        raise ValueError(
+            f"heavy_hitters_exact_topk: exactness bound violated — k-th "
+            f"candidate count {kth} <= N/(capacity+1) = "
+            f"{n_total}/{capacity + 1}; raise capacity for this corpus"
+        )
+    return out
 
 
 def mg_merge(summaries: DataFrame, key_col: str, capacity: int) -> DataFrame:
@@ -126,14 +174,16 @@ def mg_merge(summaries: DataFrame, key_col: str, capacity: int) -> DataFrame:
     total-N/(capacity+1) error bound as one pass over the whole stream.
 
     All work is summary-sized (inputs are capacity-bounded by
-    construction); the cut threshold is a ``capacity+1``-row sort-limit
-    with a 1-row driver fetch — bounded control-plane work, same class as
-    the matview refresh scalars."""
+    construction); the cut decision is ONE Spark action — a
+    ``capacity+1``-row sort-limit collect (bounded by contract) from which
+    both the over-capacity check and the cut value are derived — so a
+    streaming trigger folding epochs through here pays exactly one job."""
     s = summaries.groupBy(key_col).agg(F.sum("mg_weight").alias("mg_weight"))
-    top = s.orderBy(F.col("mg_weight").desc(), F.col(key_col)).limit(capacity + 1)
-    rows = top.tail(1)
-    if top.count() > capacity and rows:
-        cut = int(rows[0]["mg_weight"])
+    top_rows = (
+        s.orderBy(F.col("mg_weight").desc(), F.col(key_col)).limit(capacity + 1).collect()
+    )
+    if len(top_rows) > capacity:
+        cut = int(top_rows[-1]["mg_weight"])
         s = s.withColumn("mg_weight", F.col("mg_weight") - F.lit(cut)).filter(
             F.col("mg_weight") > 0
         )

@@ -1685,9 +1685,13 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. The MG mergeability bound (Agarwal et al., PODS 2012)
     guarantees every key with true count > N/(capacity+1) survives scan 1,
     so the output IS the exact top-k whenever the k-th count clears that
-    bar — capacity=16384 clears it at every fixture sf (asserted with
-    margin in tests/test_freq.py), which is what lets the plain exact-SQL
-    oracle replay this bit-for-bit."""
+    bar. ``verify_exact=True`` makes that a RUNTIME guarantee, not a
+    fixture-scale assumption: the operator recomputes N (one extra count
+    scan) and RAISES if the 25th candidate count fails the bound — on a
+    corpus/sf where capacity=16384 no longer clears it, this entry fails
+    loudly instead of silently returning a partitioning-dependent
+    approximate top-k while the registered oracle stays exact. Fixture
+    margins are additionally asserted in tests/test_freq.py."""
     from data_ingestion_bra_spark.operators.freq import heavy_hitters_exact_topk
 
     d = load_table(spark, sf_dir, "documents")
@@ -1700,7 +1704,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dedup.doc_shingles(
         d.repartition(par, "doc_id"), "doc_id", "text", n=3, distinct=False
     ).select("shingle")
-    return heavy_hitters_exact_topk(sh, "shingle", 25, capacity=16384)
+    return heavy_hitters_exact_topk(sh, "shingle", 25, capacity=16384, verify_exact=True)
 
 
 @register(

@@ -90,13 +90,24 @@ def freq_maintenance_writer(
     return write_batch
 
 
-def current_candidates(spark: SparkSession, store_dir: str, key_col: str) -> DataFrame:
+def current_candidates(
+    spark: SparkSession, store_dir: str, key_col: str, *, key_type: str = "string"
+) -> DataFrame:
     """The standing summary at the latest committed epoch: the candidate
     superset for every key whose lifetime count exceeds
-    N_total/(capacity+1)."""
+    N_total/(capacity+1).
+
+    A never-committed (or fully retired) store returns an EXPLICIT empty
+    summary frame — the same ``version < 0`` guard ``_latest_prior_summary``
+    uses, not null-comparison fallout; ``key_type`` names the key column's
+    Spark type for that empty schema."""
+    if txlog.snapshot(store_dir).version < 0:
+        return spark.createDataFrame([], f"`{key_col}` {key_type}, mg_weight bigint")
     rows = txlog.read_snapshot(spark, store_dir)
     latest = rows.agg(F.max("epoch").alias("e")).collect()[0]["e"]
-    return rows.filter(F.col("epoch") == latest).select(key_col, "mg_weight")
+    if latest is None:
+        return rows.select(key_col, "mg_weight").limit(0)
+    return rows.filter(F.col("epoch") == F.lit(int(latest))).select(key_col, "mg_weight")
 
 
 def retire_epochs_before(spark: SparkSession, store_dir: str, epoch: int) -> None:

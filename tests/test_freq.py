@@ -75,6 +75,39 @@ def test_capacity_validation(spark):
         misra_gries_summaries(df, "key", 0)
 
 
+def test_null_keys_raise_by_default(spark):
+    """A frequent NULL can't survive the equality semi-join recount, so the
+    summary pass refuses nullable input unless the caller opts out."""
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "key string")
+    with pytest.raises(Exception, match="null key"):
+        misra_gries_summaries(df, "key", 8).collect()
+    # explicit opt-out drops nulls (documented divergence from GROUP BY);
+    # summaries are per-partition, so sum weights across partitions
+    got: dict = {}
+    for r in misra_gries_summaries(df, "key", 8, nulls="ignore").collect():
+        got[r["key"]] = got.get(r["key"], 0) + r["mg_weight"]
+    assert got == {"a": 2}
+    with pytest.raises(ValueError):
+        misra_gries_summaries(df, "key", 8, nulls="bogus")
+
+
+def test_verify_exact_guard_passes_and_trips(spark):
+    df = _skewed_df(spark)
+    # generous capacity: guard passes, output identical to unguarded call
+    got = heavy_hitters_exact_topk(df, "key", 4, capacity=64, verify_exact=True).collect()
+    want = heavy_hitters_exact_topk(df, "key", 4, capacity=64).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in got] == [
+        (r["rank"], r["key"], r["n"]) for r in want
+    ]
+    # near-uniform stream + tiny capacity: k-th count <= N/(capacity+1),
+    # so the exactness bound fails and the guard must raise
+    flat = spark.createDataFrame(
+        [(f"k_{i % 500:03d}",) for i in range(2000)], "key string"
+    ).repartition(4)
+    with pytest.raises(ValueError, match="exactness bound violated"):
+        heavy_hitters_exact_topk(flat, "key", 10, capacity=2, verify_exact=True)
+
+
 def test_catalog_entry_fixture_margin(spark):
     """The registered text_heavy_hitters entry's exactness precondition at
     the fixture: the 25th 3-gram count must clear N/(capacity+1) strictly
@@ -193,6 +226,18 @@ def test_stream_retire_epochs(spark, tmp_path):
         (r["key"], r["mg_weight"]) for r in current_candidates(spark, store, "key").collect()
     )
     assert after == latest
+
+
+def test_current_candidates_empty_store_is_explicit_empty(spark, tmp_path):
+    """A never-committed store returns an empty summary frame with the
+    declared schema — the explicit version<0 guard, not null-comparison
+    fallout."""
+    from data_ingestion_bra_spark.streaming.freq_maintenance import current_candidates
+
+    cand = current_candidates(spark, str(tmp_path / "no_such_store"), "key")
+    assert cand.columns == ["key", "mg_weight"]
+    assert cand.count() == 0
+    assert dict(cand.dtypes) == {"key": "string", "mg_weight": "bigint"}
 
 
 def test_mg_merge_matches_single_pass_bound(spark):
