@@ -893,6 +893,98 @@ def _bpe_strategy_bench(spark, sf1: str, *, budget: float | None = None) -> dict
     return {"corpus": sf1, "n_docs_full": n_full, "n_docs_subset": n_sub, "points": points}
 
 
+def _bitext_serve_bench(spark, points: list[tuple[str, str]]) -> dict:
+    """Bitext mining: exact bipartite baseline vs the IVF-composed serve
+    path (similarity_bitext_ivf), with MEASURED pair recall — served ∩
+    exact / exact — so the catalog's scale-path claim carries a number the
+    same way ivfpq_serve_bench's recall@10 does. The exact side is the
+    oracle-twin BNLJ baseline; at corpus scale only the served path runs,
+    which is exactly why its recall must be measured here."""
+    from data_ingestion_bra_spark.plans.registry import get_queries
+
+    q = get_queries()
+    out: dict = {"points": []}
+    for label, d in points:
+        pt: dict = {"sf": label}
+        t0 = time.perf_counter()
+        exact = {(r["a_id"], r["b_id"]) for r in q["similarity_bitext_mining"](spark, d).collect()}
+        pt["exact_sec"] = round(time.perf_counter() - t0, 3)
+        pt["exact_pairs"] = len(exact)
+        t0 = time.perf_counter()
+        served = {(r["a_id"], r["b_id"]) for r in q["similarity_bitext_ivf"](spark, d).collect()}
+        pt["served_sec"] = round(time.perf_counter() - t0, 3)
+        pt["served_pairs"] = len(served)
+        if exact:
+            pt["pair_recall"] = round(len(served & exact) / len(exact), 4)
+        if served:
+            # pairs the pruned world mines that the exact rule wouldn't —
+            # mutual-top-1 is relative to the candidate set, so the served
+            # path trades some precision too; both sides of that trade are
+            # recorded (synthetic fixture embeddings are unclustered, the
+            # adversarial case for cell pruning — real multilingual
+            # encoders cluster by language/topic and prune far better)
+            pt["pair_precision"] = round(len(served & exact) / len(served), 4)
+        out["points"].append(pt)
+    return out
+
+
+def _freq_maintenance_bench(
+    spark, sf_dir: str, *, n_epochs: int = 5, capacity: int = 4096
+) -> dict:
+    """Streaming Misra–Gries store throughput: fold ``n_epochs`` per-epoch
+    token-stream summaries into a txlog-backed standing summary
+    (streaming/freq_maintenance) and measure seconds per trigger epoch —
+    the number behind the 'one bounded job per trigger' claim. Each epoch
+    is a deterministic 1/n_epochs document slice; the row also records the
+    standing-summary size (bounded at capacity forever) and one serving
+    recount so the end-to-end exact-top-k latency is priced too."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.sources.tables import load_table
+    from data_ingestion_bra_spark.streaming.freq_maintenance import (
+        current_candidates,
+        freq_maintenance_writer,
+    )
+
+    out: dict = {"capacity": capacity, "n_epochs": n_epochs, "sf": sf_dir}
+    store = tempfile.mkdtemp(prefix="freq_bench_store_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok")
+        ).filter(F.col("tok") != "")
+        writer = freq_maintenance_writer(
+            store, key_col="tok", capacity=capacity, query_id="bench"
+        )
+        epoch_secs: list[float] = []
+        for e in range(n_epochs):
+            batch = toks.filter(F.crc32(F.col("doc_id").cast("string")) % n_epochs == e)
+            t0 = time.perf_counter()
+            writer(batch, e)
+            epoch_secs.append(time.perf_counter() - t0)
+        out["sec_per_epoch_median"] = round(_median(epoch_secs), 3)
+        out["sec_per_epoch"] = [round(s, 3) for s in epoch_secs]
+        cand = current_candidates(spark, store, "tok")
+        out["standing_summary_rows"] = cand.count()
+        t0 = time.perf_counter()
+        top = (
+            toks.join(F.broadcast(cand.select("tok")), "tok", "left_semi")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "tok")
+            .limit(25)
+        )
+        n_top = top.count()
+        out["serve_recount_sec"] = round(time.perf_counter() - t0, 3)
+        out["serve_topk_rows"] = n_top
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
 def _pagerank_scale_bench(
     spark, *, n_nodes: int = 1_000_000, n_edges: int = 10_000_000, n_iter: int = 10
 ) -> dict:
@@ -1331,6 +1423,12 @@ EXTENDED_QUERIES = [
     "web_link_triangles",
     "dedup_sorted_neighborhood",
     "similarity_bitext_mining",
+    # round-10 additions
+    "similarity_bitext_ivf",
+    "events_cohort_retention",
+    "events_attribution_last_touch",
+    "customer_rfm_segments",
+    "corpus_diversity_simpson",
 ]
 
 
@@ -1445,6 +1543,35 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             probe[name] = round(time.perf_counter() - t0, 3)
         payload["scale_probe_sf1"] = probe
 
+    # Round-9 verdict item 2: sf10 evidence INSIDE the driver's budget —
+    # mirror scale_probe's shape at the 100x replica. Single-shot points for
+    # the three plan-sensitive sf10 rows (simhash's materialization win,
+    # the banded LSH join, the LM scoring scan), ordered right after the
+    # sf1 probe so later sections can't starve it; an internal per-section
+    # budget caps the damage on a slow box (skips degrade loudly).
+    def scale_probe_sf10() -> None:
+        budget = float(os.environ.get("SPARK_GRAFT_SF10_PROBE_BUDGET_SEC") or 420.0)
+        sec_start = time.perf_counter()
+        probe: dict[str, float] = {}
+        for name in ("dedup_simhash_full", "dedup_minhash_lsh", "text_perplexity_lm"):
+            if name not in queries:
+                continue
+            if time.perf_counter() - sec_start > budget:
+                payload.setdefault("sections_skipped", []).append(
+                    f"scale_probe_sf10:{name}: probe budget ({budget:.0f}s)"
+                )
+                continue
+            t0 = time.perf_counter()
+            try:
+                _materialize(queries[name](spark, sf10))
+            except Exception as exc:  # noqa: BLE001 - keep the section alive
+                payload.setdefault("errors", []).append(
+                    f"scale_probe_sf10:{name}: {type(exc).__name__}: {exc}"[:500]
+                )
+                continue
+            probe[name] = round(time.perf_counter() - t0, 3)
+        payload["scale_probe_sf10"] = probe
+
     # Third scale point: FULL-corpus banded LLM-tier paths (no doc_id caps)
     # timed at sf0.1 / 10x / 100x so per-query scaling factors are measured,
     # not argued. Budgeted + round-robin (all queries get sample 1 before any
@@ -1542,6 +1669,20 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         if points:
             payload["ivfpq_serve_bench"] = _ivfpq_serve_bench(spark, points)
 
+    def bitext_serve() -> None:
+        # Served-vs-exact bitext pair recall + latency (round-9 verdict
+        # item 3): the IVF-composed serve path's recall is measured, never
+        # assumed, at every point where the exact baseline is affordable.
+        points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else [])
+        payload["bitext_serve_bench"] = _bitext_serve_bench(spark, points)
+
+    def freq_stream() -> None:
+        # Streaming MG store throughput (round-9 verdict item 7): seconds
+        # per trigger epoch + standing-summary size + serving recount.
+        payload["freq_maintenance_bench"] = _freq_maintenance_bench(
+            spark, sf1 or sf_dir
+        )
+
     def pagerank_scale() -> None:
         # Domain-scale PageRank evidence (round-7 verdict item 7): a
         # synthesized ~1M-node/10M-edge hash graph, per-iteration seconds.
@@ -1568,6 +1709,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("extended", "SPARK_GRAFT_SKIP_EXTENDED", 140, extended),
         ("sf1", None if sf1 else "1", 130, sf1_section),
         ("scale_probe", None if sf1 else "1", 120, scale_probe),
+        ("scale_probe_sf10", None if sf10 else "1", 300, scale_probe_sf10),
         (
             "acid_dml",
             "SPARK_GRAFT_SKIP_ACID_DML",
@@ -1597,9 +1739,11 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # estimates re-synced to the round-8 clean full run's measured
         # section_seconds (idle box, +headroom): skew 95, incremental 97,
         # bpe 108, simhash 67, ivf_build 291, pagerank 66
+        ("freq_maintenance", "SPARK_GRAFT_SKIP_FREQ_MAINT", 80, freq_stream),
         ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 120, incremental),
         ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 130, bpe_bench),
         ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
+        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 130, bitext_serve),
         ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
         ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),

@@ -715,6 +715,7 @@ def bitext_mining_margin_ivf(
     k: int = 4,
     margin_threshold_e4: int = 10000,
     n_probe: int = 2,
+    b_assignments: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus-scale serve path of ``bitext_mining_margin``: both sides
     assign to the SHARED IVF cells (broadcast centroids — the existing
@@ -733,13 +734,27 @@ def bitext_mining_margin_ivf(
     from, so a hub that dominates its cell is still suppressed. Recall vs
     the exact form is measured, not assumed (tests/test_similarity_ops.py:
     fixture recall pinned; every served pair must also clear the exact
-    margin rule)."""
+    margin rule).
+
+    ``b_assignments`` is the persisted inverted-list relation
+    ``(vid, cell, v)`` from ``load_or_build_ivf_index`` — when given, side
+    B is served from the index (semi-joined to ``side_b``'s ids) instead of
+    re-assigning the corpus, which is the part of the query path that
+    otherwise scales with corpus volume. Assignment is deterministic, so
+    the served plan is bit-identical to the re-assigning one."""
     a_cells = assign_cells(
         side_a, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
     ).select(F.col("vid").alias("a_id"), F.col("cell"), F.col("v").alias("av"))
-    b_cells = assign_cells(side_b, centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col("vid").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
-    )
+    if b_assignments is None:
+        b_cells = assign_cells(side_b, centroids, id_col=id_col, vec_col=vec_col).select(
+            F.col("vid").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
+        )
+    else:
+        b_cells = (
+            b_assignments.join(
+                side_b.select(F.col(id_col).alias("vid")), "vid", "left_semi"
+            ).select(F.col("vid").alias("b_id"), F.col("cell"), F.col("v").alias("bv"))
+        )
     pairs = (
         a_cells.join(b_cells, "cell")
         .select(

@@ -4009,6 +4009,99 @@ def similarity_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bitext_ivf_oracle(*, n_probe: int = 2, k: int = 4, threshold_e4: int = 10000) -> str:
+    """DuckDB twin of the IVF-composed bitext SERVE path: the shared
+    unrolled-Lloyd centroid CTEs (``_kmeans_oracle_ctes`` — one source of
+    truth with the IVF/IVFPQ/SemDeDup oracles) train the coarse quantizer,
+    side A (label-even) multi-probes its ``n_probe`` nearest cells, side B
+    (label-odd) replays the single-cell inverted-list assignment, candidate
+    pairs come from the cell equi-join, and the mutual-top-1 + ratio-margin
+    rule runs over that pruned world — every step BIGINT fixed-point, so
+    the cell pruning, cosine, and floor-division margin replay bit-exact."""
+    cent_sql, final_cent, asg_sim = _kmeans_oracle_ctes(1, 0.5)
+    cos = _COS_E4.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    return (
+        "WITH "
+        + _VEC_CTE
+        + ",\n    "
+        + cent_sql
+        + f""",
+    asga AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM (SELECT n.* FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id
+                    WHERE emb.label % 2 = 0) nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn <= {n_probe}
+    ),
+    asgb AS (
+      SELECT vid, cell FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rn
+        FROM (SELECT nv.vec_id AS vid, c.cell, {asg_sim(final_cent)} AS sim
+              FROM (SELECT n.* FROM n JOIN embeddings emb ON emb.vec_id = n.vec_id
+                    WHERE emb.label % 2 = 1) nv CROSS JOIN {final_cent} c) s
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cos_e4
+      FROM (SELECT n.*, x.cell FROM n JOIN asga x ON x.vid = n.vec_id) a
+      JOIN (SELECT n.*, y.cell FROM n JOIN asgb y ON y.vid = n.vec_id) b
+        ON a.cell = b.cell
+    ),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY a_id ORDER BY cos_e4 DESC, b_id) AS rn_x,
+                 row_number() OVER (PARTITION BY b_id ORDER BY cos_e4 DESC, a_id) AS rn_y
+          FROM p),
+    s AS (SELECT *,
+                 SUM(CASE WHEN rn_x <= {k} THEN cos_e4 END) OVER (PARTITION BY a_id) AS sum_x,
+                 SUM(CASE WHEN rn_y <= {k} THEN cos_e4 END) OVER (PARTITION BY b_id) AS sum_y
+          FROM r)
+    SELECT a_id, b_id, cos_e4,
+           CAST(cos_e4 * {2 * k} * 10000 // (sum_x + sum_y) AS BIGINT) AS margin_e4
+    FROM s
+    WHERE rn_x = 1 AND rn_y = 1 AND sum_x + sum_y > 0
+      AND cos_e4 * {2 * k} * 10000 // (sum_x + sum_y) >= {threshold_e4}
+    """
+    )
+
+
+@register(
+    "similarity_bitext_ivf",
+    _bitext_ivf_oracle(n_probe=2, k=4, threshold_e4=10000),
+    tags=("similarity", "bitext", "ivf", "ann", "multilingual", "llm-pipeline"),
+)
+def similarity_bitext_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining SERVED from the persisted IVF index — the path a user
+    actually runs at corpus scale (``similarity_bitext_mining`` is its
+    exact bipartite oracle-twin baseline). Both sides share the train-once
+    coarse quantizer (``load_or_build_ivf_index`` — the same persisted
+    index as the gated IVF/IVFPQ entries): side A multi-probes its 2
+    nearest cells, side B is read straight from the persisted inverted
+    lists (``b_assignments`` — NO corpus re-assignment in the query path),
+    candidates come from the cell equi-join, and the CCMatrix mutual-top-1
+    + ratio-margin rule (Artetxe & Schwenk, ACL 2019) runs within the
+    pruned candidate world. Candidate volume is sum-over-cells
+    (|A_c| x |B_c|), never |A| x |B|; nothing broadcasts but the 8
+    centroids. Recall vs the exact form is pinned in
+    tests/test_operators.py and measured per-sf in BENCH_FULL's
+    bitext_serve section."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, lists = similarity.load_or_build_ivf_index(
+        spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
+    )
+    return similarity.bitext_mining_margin_ivf(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        cents,
+        id_col="vec_id",
+        vec_col="embedding",
+        k=4,
+        margin_threshold_e4=10000,
+        n_probe=2,
+        b_assignments=lists,
+    )
+
+
 @register(
     "similarity_pq_adc",
     _pq_oracle(),

@@ -1382,6 +1382,27 @@ def test_bitext_mining_ivf_recall_and_margin_rule(spark):
     assert recalls[0] <= recalls[1] <= recalls[2], recalls  # more probes never hurt
 
 
+def test_bitext_mining_ivf_served_from_inverted_lists_is_bit_identical(spark):
+    """The serve path (b_assignments = persisted inverted lists) returns
+    exactly what re-assigning side B would: assignment is deterministic, so
+    reading the index is a pure cost optimization, not a semantics change —
+    including when the lists cover MORE than side B (the semi-join trims)."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = emb.filter(F.col("label") % 2 == 0)
+    b = emb.filter(F.col("label") % 2 == 1)
+    cents = similarity.kmeans_train(emb, n_centroids=8, n_iter=1)
+    # full-corpus lists, as load_or_build_ivf_index persists them
+    lists = similarity.assign_cells(emb, cents, n_probe=1).select("vid", "cell", "v")
+    reassigned = similarity.bitext_mining_margin_ivf(a, b, cents, k=4, n_probe=2)
+    served = similarity.bitext_mining_margin_ivf(
+        a, b, cents, k=4, n_probe=2, b_assignments=lists
+    )
+    key = lambda r: (r["a_id"], r["b_id"], r["cos_e4"], r["margin_e4"])  # noqa: E731
+    assert sorted(map(key, served.collect())) == sorted(map(key, reassigned.collect()))
+
+
 def test_bitext_mining_exact_is_mutual_top1(spark):
     """Every exact mined pair is mutually nearest: re-derive both argmaxes
     from the raw cosine matrix on a small synthetic side pair."""
