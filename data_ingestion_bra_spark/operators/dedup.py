@@ -438,39 +438,20 @@ def cdc_chunk_fingerprints(
     )
 
 
-def sorted_neighborhood_pairs(
+def _snm_pass(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    key: "F.Column",
     *,
-    window: int = 3,
-    prefix_len: int = 80,
-    block_chars: int = 2,
-    max_distance: int = 10,
+    window: int,
+    block_chars: int,
+    max_distance: int,
 ) -> DataFrame:
-    """Fuzzy near-dup candidate pairs by the sorted-neighborhood method
-    (Hernandez & Stolfo, SIGMOD'95): sort records by a normalized key and
-    compare each record only against its next ``window`` neighbors — the
-    linear-cost alternative to blocking when similar records share a
-    prefix. Candidate verification is Levenshtein distance on the
-    ``prefix_len``-char normalized key, <= ``max_distance``.
-
-    Scale shape: the sort is NOT a global total order (a single-partition
-    window is a driver-shaped bottleneck) — records partition by the first
-    ``block_chars`` characters of the key (the 'sorted blocks' variant),
-    sort WITHIN each block, and the lead() window generates at most
-    ``window`` pairs per record. Known, documented tradeoff: neighbor pairs
-    straddling a block boundary are not compared in this pass — production
-    SNM runs multiple passes with different key orderings (e.g. reversed
-    key, token-sorted key), which also covers the boundary; the oracle
-    replays THIS pass exactly because both engines apply the identical
-    partitioned window.
-
-    Output: (doc_a, doc_b, lev) canonicalized doc_a < doc_b; exact BIGINT
-    distance (Levenshtein's DP is engine-portable)."""
-    key = F.substring(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, prefix_len
-    )
+    """One sorted-neighborhood pass over one key ordering: block by the
+    key's first ``block_chars`` chars, sort within blocks, lead() out at
+    most ``window`` candidate pairs per record, verify by Levenshtein on
+    the pass key. Returns (doc_a, doc_b, lev) canonicalized, NOT distinct —
+    the multi-pass union dedups once at the end."""
     base = df.select(F.col(id_col).alias("doc"), key.alias("k")).withColumn(
         "blk", F.substring("k", 1, block_chars)
     )
@@ -500,4 +481,68 @@ def sorted_neighborhood_pairs(
         F.least("doc", "doc_b").alias("doc_a"),
         F.greatest("doc", "doc_b").alias("doc_b"),
         "lev",
-    ).distinct()
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 3,
+    prefix_len: int = 80,
+    block_chars: int = 2,
+    max_distance: int = 10,
+    key_orderings: tuple[str, ...] = ("prefix",),
+) -> DataFrame:
+    """Fuzzy near-dup candidate pairs by the sorted-neighborhood method
+    (Hernandez & Stolfo, SIGMOD'95): sort records by a normalized key and
+    compare each record only against its next ``window`` neighbors — the
+    linear-cost alternative to blocking when similar records share a
+    prefix. Candidate verification is Levenshtein distance on the
+    ``prefix_len``-char normalized key, <= ``max_distance``.
+
+    Scale shape: the sort is NOT a global total order (a single-partition
+    window is a driver-shaped bottleneck) — records partition by the first
+    ``block_chars`` characters of the key (the 'sorted blocks' variant),
+    sort WITHIN each block, and the lead() window generates at most
+    ``window`` pairs per record.
+
+    MULTI-PASS (the production remedy for the block-boundary blind spot —
+    Hernandez & Stolfo run SNM several times under different key
+    orderings and union the matches): ``key_orderings`` names the passes,
+    each a linear re-run over a different sort key —
+
+    - ``"prefix"``: the normalized ``prefix_len``-char key (head-sorted);
+    - ``"reversed"``: that key REVERSED (tail-sorted) — a pair whose heads
+      differ (and therefore lands in different prefix blocks) but whose
+      tails agree sorts adjacently here. Levenshtein is reversal-invariant,
+      so the pair's ``lev`` is identical whichever pass finds it and the
+      final distinct() merges cleanly.
+
+    Each pass is the same linear candidate cost; total cost is
+    passes × one window scan, never quadratic. Output: (doc_a, doc_b, lev)
+    canonicalized doc_a < doc_b; exact BIGINT distance (Levenshtein's DP
+    is engine-portable)."""
+    norm_key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), 1, prefix_len
+    )
+    out: DataFrame | None = None
+    for ordering in key_orderings:
+        if ordering == "prefix":
+            key = norm_key
+        elif ordering == "reversed":
+            key = F.reverse(norm_key)
+        else:
+            raise ValueError(f"unknown key ordering: {ordering!r}")
+        pass_pairs = _snm_pass(
+            df,
+            id_col,
+            key,
+            window=window,
+            block_chars=block_chars,
+            max_distance=max_distance,
+        )
+        out = pass_pairs if out is None else out.unionByName(pass_pairs)
+    assert out is not None, "key_orderings must be non-empty"
+    return out.distinct()

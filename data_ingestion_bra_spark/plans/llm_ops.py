@@ -4617,18 +4617,29 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 80) AS k
       FROM documents
     ),
-    b AS (SELECT doc, k, substr(k, 1, 2) AS blk FROM base),
-    l AS (
+    b1 AS (SELECT doc, k, substr(k, 1, 2) AS blk FROM base),
+    l1 AS (
       SELECT doc, k,
              lead(doc, 1) OVER w AS d1, lead(k, 1) OVER w AS k1,
              lead(doc, 2) OVER w AS d2, lead(k, 2) OVER w AS k2,
              lead(doc, 3) OVER w AS d3, lead(k, 3) OVER w AS k3
-      FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, doc)
+      FROM b1 WINDOW w AS (PARTITION BY blk ORDER BY k, doc)
+    ),
+    b2 AS (SELECT doc, reverse(k) AS k, substr(reverse(k), 1, 2) AS blk FROM base),
+    l2 AS (
+      SELECT doc, k,
+             lead(doc, 1) OVER w AS d1, lead(k, 1) OVER w AS k1,
+             lead(doc, 2) OVER w AS d2, lead(k, 2) OVER w AS k2,
+             lead(doc, 3) OVER w AS d3, lead(k, 3) OVER w AS k3
+      FROM b2 WINDOW w AS (PARTITION BY blk ORDER BY k, doc)
     ),
     p AS (
-      SELECT doc, k, d1 AS doc_b, k1 AS k_b FROM l WHERE d1 IS NOT NULL
-      UNION ALL SELECT doc, k, d2, k2 FROM l WHERE d2 IS NOT NULL
-      UNION ALL SELECT doc, k, d3, k3 FROM l WHERE d3 IS NOT NULL
+      SELECT doc, k, d1 AS doc_b, k1 AS k_b FROM l1 WHERE d1 IS NOT NULL
+      UNION ALL SELECT doc, k, d2, k2 FROM l1 WHERE d2 IS NOT NULL
+      UNION ALL SELECT doc, k, d3, k3 FROM l1 WHERE d3 IS NOT NULL
+      UNION ALL SELECT doc, k, d1, k1 FROM l2 WHERE d1 IS NOT NULL
+      UNION ALL SELECT doc, k, d2, k2 FROM l2 WHERE d2 IS NOT NULL
+      UNION ALL SELECT doc, k, d3, k3 FROM l2 WHERE d3 IS NOT NULL
     ),
     c AS (
       SELECT LEAST(doc, doc_b) AS doc_a, GREATEST(doc, doc_b) AS doc_b,
@@ -4640,23 +4651,35 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "fuzzy", "entity-resolution", "llm-pipeline"),
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs by the sorted-neighborhood method (Hernandez &
-    Stolfo, SIGMOD'95) — the entity-resolution-style complement to the
-    shingle/LSH tiers: sort by a normalized 80-char key, compare each
-    record against its next 3 neighbors with Levenshtein <= 10. Catches
-    single-character edits near the head of near-identical records that
-    3-gram shingles dilute, at linear candidate cost.
+    """Fuzzy near-dup pairs by the MULTI-PASS sorted-neighborhood method
+    (Hernandez & Stolfo, SIGMOD'95) — the entity-resolution-style
+    complement to the shingle/LSH tiers: sort by a normalized 80-char key,
+    compare each record against its next 3 neighbors with Levenshtein <=
+    10. Catches single-character edits near the head of near-identical
+    records that 3-gram shingles dilute, at linear candidate cost.
 
     operators/dedup.py:sorted_neighborhood_pairs partitions by the first 2
     key characters (the 'sorted blocks' variant — no single-partition
     global window), sorts within blocks, and lead()-generates at most 3
-    pairs per record. The block-boundary blind spot is documented there
-    (production runs multiple key orderings); the oracle replays this pass
-    exactly because both engines apply the identical partitioned window.
-    Levenshtein's integer DP is engine-portable."""
+    pairs per record. The block-boundary blind spot of a single ordering
+    is closed the way the paper prescribes: a SECOND pass over the
+    REVERSED key (tail-sorted blocks) unions in pairs whose heads differ
+    but whose tails agree — Levenshtein is reversal-invariant, so both
+    passes agree on lev and distinct() merges them cleanly
+    (tests/test_operators.py pins a boundary-straddling pair that pass 2
+    catches and pass 1 provably misses). The oracle replays BOTH
+    partitioned windows exactly; Levenshtein's integer DP is
+    engine-portable."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.sorted_neighborhood_pairs(
-        d, "doc_id", "text", window=3, prefix_len=80, block_chars=2, max_distance=10
+        d,
+        "doc_id",
+        "text",
+        window=3,
+        prefix_len=80,
+        block_chars=2,
+        max_distance=10,
+        key_orderings=("prefix", "reversed"),
     )
 
 

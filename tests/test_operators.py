@@ -1422,3 +1422,60 @@ def test_bitext_mining_exact_is_mutual_top1(spark):
     assert set(got) == {(0, 10), (1, 11)}
     for m in got.values():
         assert m >= 10000
+
+
+def test_snm_multipass_catches_block_boundary_straddler(spark):
+    """The reversed-key second pass closes the prefix-block blind spot:
+    docs 1/2 differ ONLY in their first character, so they land in
+    different 2-char prefix blocks and the prefix pass can never compare
+    them — but their reversed keys share everything up to the final char,
+    so pass 2 sorts them adjacently and the union catches the pair with
+    the same (reversal-invariant) Levenshtein distance."""
+    rows = [
+        (1, "alpha identical tail of this record body"),
+        (2, "blpha identical tail of this record body"),  # head edit only
+        (3, "zzz unrelated content far away"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.sorted_neighborhood_pairs(
+            df, "doc_id", "text", key_orderings=("prefix",)
+        ).collect()
+    }
+    assert (1, 2) not in single  # pass 1 provably blind across the boundary
+    multi = dedup.sorted_neighborhood_pairs(
+        df, "doc_id", "text", key_orderings=("prefix", "reversed")
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["lev"] for r in multi}
+    assert (1, 2) in got
+    assert got[(1, 2)] == 1  # reversal-invariant edit distance
+    # multi-pass output stays canonical + distinct
+    assert len(got) == len(multi)
+
+
+def test_snm_multipass_is_superset_of_single_pass(spark):
+    """Union semantics: every single-pass pair survives the multi-pass run
+    (the second ordering only ADDS coverage), on real fixture documents."""
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    single = {
+        (r["doc_a"], r["doc_b"], r["lev"])
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", key_orderings=("prefix",)
+        ).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"], r["lev"])
+        for r in dedup.sorted_neighborhood_pairs(
+            d, "doc_id", "text", key_orderings=("prefix", "reversed")
+        ).collect()
+    }
+    assert single <= multi
+
+
+def test_snm_unknown_ordering_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="unknown key ordering"):
+        dedup.sorted_neighborhood_pairs(df, "doc_id", "text", key_orderings=("bogus",))
