@@ -1425,6 +1425,7 @@ EXTENDED_QUERIES = [
     "similarity_bitext_mining",
     # round-10 additions
     "similarity_bitext_ivf",
+    "multimodal_image_jpeg_gradient",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

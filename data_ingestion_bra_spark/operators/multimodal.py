@@ -959,6 +959,133 @@ def jpeg_roundtrip_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(jpeg_roundtrip_batch_fn, schema=JPEG_ROUNDTRIP_SCHEMA)
 
 
+def _synth_ramp_pixels(doc_id: int) -> tuple[int, int, bytes]:
+    """Smooth linear-ramp RGB source for the LOSSY error audit: per-channel
+    values are exact integer ramps whose maxima stay <= 255 by construction
+    (no modular wraps, so no hard edges), making the image NON-constant in
+    every 8x8 block yet spectrally gentle — the content class where the
+    measured decode-error pin holds tight. Pure integer arithmetic a SQL
+    oracle replays byte-for-byte."""
+    w = 8 + doc_id % 8
+    h = 8 + (doc_id // 8) % 8
+    pix = bytearray()
+    for y in range(h):
+        for x in range(w):
+            pix += bytes(
+                (
+                    x * 12 + y * 4 + doc_id % 32,
+                    x * 4 + y * 12 + (doc_id * 7) % 32,
+                    (x + y) * 8 + (doc_id * 13) % 32,
+                )
+            )
+    return w, h, bytes(pix)
+
+
+JPEG_ERROR_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixel_bytes", T.LongType()),
+        T.StructField("src_mean_e6", T.LongType()),
+        T.StructField("err_bound", T.LongType()),
+        T.StructField("within_derived_bound", T.LongType()),
+        T.StructField("within_smooth_pin", T.LongType()),
+    ]
+)
+
+#: measured max |decoded - source| over the ramp family is 14 (512-doc
+#: sweep); 24 leaves ~1.7x headroom for table tweaks while staying 13x
+#: inside the derived hard bound — same pin style as tests/test_jpeg_codec.
+JPEG_SMOOTH_ERR_PIN = 24
+
+
+def _derived_quant_bound_int() -> int:
+    """Worst-case per-pixel spatial error implied by the COMMITTED Annex K
+    tables: each DCT coefficient errs by at most q/2, so |e(x,y)| <=
+    sum_uv (q_uv/2)|D[u,x]D[v,y]|, maximized over (x,y); +1 covers the
+    color-transform/clamp rounding on either side. Derived, not
+    hand-pinned — if the tables change, the Spark side moves and the
+    oracle's literal breaks LOUDLY instead of silently re-verifying."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    D = _jpeg._dct_matrix()
+
+    def worst(qt) -> float:
+        q = np.array(qt, dtype=float).reshape(8, 8)
+        return max(
+            sum(q[u, v] / 2 * abs(D[u, x] * D[v, y]) for u in range(8) for v in range(8))
+            for x in range(8)
+            for y in range(8)
+        )
+
+    return int(max(worst(_jpeg.QUANT_LUMA_K1), worst(_jpeg.QUANT_CHROMA_K2))) + 1
+
+
+def jpeg_error_audit_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize the smooth-ramp source, push it
+    through the REAL lossy chain (Annex K quantization, Huffman, DCT —
+    encode AND decode), and emit per-doc geometry, exact source statistics,
+    and bounded-error verdicts. Pixels never leave the batch — the shuffle
+    carries 8 scalar columns per image."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    hard = _derived_quant_bound_int()
+    for pdf in batches:
+        out = []
+        for raw in pdf["doc_id"].astype("int64"):
+            doc_id = int(raw)
+            w, h, pix = _synth_ramp_pixels(doc_id)
+            ww, hh, ch, data = _jpeg.decode_jpeg(
+                _jpeg.encode_jpeg(w, h, pix, quant="annexk")
+            )
+            a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+            d = np.frombuffer(data, dtype=np.uint8).astype(int)
+            max_err = int(np.abs(a - d).max()) if a.shape == d.shape else 1 << 30
+            n = w * h * 3
+            ok_geom = (ww, hh, ch) == (w, h, 3)
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    n,
+                    int(a.sum()) * 1_000_000 // (n * 255),
+                    hard,
+                    int(ok_geom and max_err <= hard),
+                    int(ok_geom and max_err <= JPEG_SMOOTH_ERR_PIN),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "width",
+                "height",
+                "n_pixel_bytes",
+                "src_mean_e6",
+                "err_bound",
+                "within_derived_bound",
+                "within_smooth_pin",
+            ],
+        )
+
+
+def jpeg_error_audit(df: DataFrame) -> DataFrame:
+    """NON-constant lossy roundtrip audit: real Annex-K JPEG encode+decode
+    per doc with verdict columns proving the reconstruction error stays
+    inside (a) the table-DERIVED hard bound and (b) the measured smooth
+    pin — the catalog's generalization of the constant-image bit-exact
+    oracle to genuinely lossy content."""
+    return df.select("doc_id").mapInPandas(
+        jpeg_error_audit_batch_fn, schema=JPEG_ERROR_AUDIT_SCHEMA
+    )
+
+
 def _synth_jpeg420_bytes(doc_id: int) -> bytes:
     """Real-world-shaped JPEG: Annex K typical quant tables + 4:2:0 chroma
     subsampling over the modular gradient pixels — the header-metadata

@@ -3380,6 +3380,59 @@ def multimodal_image_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "multimodal_image_jpeg_gradient",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(8 + doc_id % 8 AS INT) AS w,
+                      CAST(8 + (doc_id // 8) % 8 AS INT) AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (x*12 + y*4 + doc_id % 32)
+           + (x*4 + y*12 + (doc_id*7) % 32)
+           + ((x+y)*8 + (doc_id*13) % 32) AS s
+      FROM d,
+           unnest(generate_series(0, h - 1)) a(y),
+           unnest(generate_series(0, w - 1)) b(x)
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w AS BIGINT) * h * 3 AS n_pixel_bytes,
+           CAST(SUM(s) * 1000000 // (CAST(w AS BIGINT) * h * 3 * 255) AS BIGINT)
+             AS src_mean_e6,
+           CAST(312 AS BIGINT) AS err_bound,
+           CAST(1 AS BIGINT) AS within_derived_bound,
+           CAST(1 AS BIGINT) AS within_smooth_pin
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "jpeg", "lossy", "real-decode", "mapInPandas"),
+)
+def multimodal_image_jpeg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NON-constant lossy JPEG roundtrip — the generalization of
+    ``multimodal_image_jpeg_roundtrip`` past the constant-image bit-exact
+    case (round-9 verdict item 4). Each doc synthesizes a smooth
+    linear-ramp RGB image (non-constant in every 8x8 block, integer
+    formulas), pushes it through the REAL Annex-K lossy chain (RGB->YCbCr,
+    FDCT, quantize, Huffman encode, then the full decode back), and emits
+    geometry + exact source statistics + TWO bounded-error verdicts:
+    ``within_derived_bound`` (the q/2-per-coefficient bound derived from
+    the committed tables — mathematics, not measurement; recomputed at
+    runtime so a table change breaks the oracle's literal LOUDLY) and
+    ``within_smooth_pin`` (measured max 14 over a 512-doc sweep, pinned at
+    24). The oracle replays the geometry and source-mean arithmetic
+    exactly and expects both verdicts true for every doc — the hash gate
+    therefore fails if the decoder's reconstruction degrades anywhere in
+    the corpus. This is the documented bounded-error exception: the lossy
+    pixel values themselves are float-DCT outputs no SQL engine replays
+    portably (BLAS summation order reaches the last ulp), so the entry
+    verifies decode QUALITY exactly rather than decoded bytes;
+    tests/test_jpeg_codec.py pins the raw error numbers."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.jpeg_error_audit(d)
+
+
+@register(
     "multimodal_image_jpeg_meta",
     """
     SELECT doc_id,

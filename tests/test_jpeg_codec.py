@@ -359,3 +359,25 @@ def test_spark_nonconstant_jpeg_error_bounded(spark):
         assert 0 < r["max_abs_err"] <= 20  # lossy but bounded
         assert r["mean_abs_err_e3"] < 4000  # mean < 4 gray levels
         assert r["n_bytes"] > 0
+
+
+def test_ramp_source_error_within_catalog_pin():
+    """The catalog's non-constant lossy entry (multimodal_image_jpeg_gradient)
+    claims every smooth-ramp doc decodes within JPEG_SMOOTH_ERR_PIN; pin the
+    raw codec numbers here so a regression names the codec, not the entry.
+    Also pins the derived hard bound the entry's oracle hardcodes (312) —
+    if the committed tables move, THIS line and the oracle literal must
+    move together."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    assert multimodal._derived_quant_bound_int() == 312
+    worst = 0
+    for doc_id in range(0, 96):  # covers all 64 (w, h) combos + phase drift
+        w, h, pix = multimodal._synth_ramp_pixels(doc_id)
+        ww, hh, ch, out = jpeg.decode_jpeg(jpeg.encode_jpeg(w, h, pix, quant="annexk"))
+        assert (ww, hh, ch) == (w, h, 3)
+        a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+        d = np.frombuffer(out, dtype=np.uint8).astype(int)
+        worst = max(worst, int(np.abs(a - d).max()))
+    assert worst <= multimodal.JPEG_SMOOTH_ERR_PIN, worst
+    assert worst > 0  # genuinely lossy: this is NOT the constant-image case
