@@ -316,15 +316,55 @@ GATE_ORDER: tuple[str, ...] = (
     # waterfall + marginal rejection counts per gate) — corpus_domain_mixture
     # OUT (reporting family keeps the dataset card + this audit gated;
     # r8-driver-verified, stays hash-verified below the window).
+    # Round-10 rotation (round-9 verdict item 1: the never-driver-gated
+    # tail, starting with round 9's own new entries, plus the two entries
+    # built THIS round). Every displaced entry was driver-verified green in
+    # CORRECTNESS_r09 (or earlier) and keeps a gated family rep:
+    # IN:  events_cohort_retention, events_attribution_last_touch,
+    #      customer_rfm_segments, corpus_diversity_simpson (round-9
+    #      newcomers, never gated), predicates_suite, window_value_funcs,
+    #      window_distribution_funcs, scd2_customer_status_history,
+    #      txlog_dml_timeline, multimodal_video_gif_thumbs,
+    #      salted_agg_quantity, curation_ccnet_pipeline (the oldest
+    #      never-gated families), similarity_bitext_ivf,
+    #      multimodal_image_jpeg_gradient (built this round).
+    # OUT: events_drift_tv (monitor family keeps events_anomaly_mad),
+    #      events_session_paths (its oracle embeds the session-windows CTE;
+    #      user-keyed temporal family keeps retention + attribution + MAD),
+    #      events_asof_purchase_click (as-of machinery runs VERBATIM inside
+    #      the incoming events_attribution_last_touch),
+    #      events_k_anonymity (r9-verified; governance keeps
+    #      corpus_split_leakage_safe, rejection_report + incoming Simpson),
+    #      window_range_frame_trailing30d (frames family: rank stays, and
+    #      the incoming value/distribution suites cover frame clauses),
+    #      sample_weighted_by_domain (sampling keeps temperature weights),
+    #      txlog_change_feed (CDF reads run inside the gated matview's
+    #      delta maintenance; txlog family also gains dml_timeline),
+    #      multimodal_video_dhash (video keeps the incoming gif_thumbs'
+    #      sampled-frame decode + the gated audio/image fingerprints),
+    #      curation_web_pipeline (its stages are gated individually:
+    #      warc_parse stays, gopher + incoming ccnet pipelines),
+    #      similarity_bitext_mining (the incoming IVF serve entry's oracle
+    #      embeds the same margin SQL; exact twin stays hash-verified),
+    #      web_link_triangles (r9-verified; web keeps pagerank + warc),
+    #      dedup_cdc_chunks (r9-verified; dedup keeps exact/passages/SNM/
+    #      incremental/simhash gated),
+    #      similarity_hybrid_rrf (r9-verified; BM25 leg stays gated via
+    #      text_bm25_topk, vector leg via ivfpq + bitext_ivf),
+    #      incremental_merge_upsert (merge surface stays gated through
+    #      txlog_incremental_matview's commit_upsert/delete; SCD2 family
+    #      gains the incoming scd2_customer_status_history).
+    # All fourteen displaced entries stay registered + hash-verified in the
+    # committed full-catalog report (ORACLE_FULL_r10).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
     "dedup_incremental_batch",
     "dedup_simhash_full",
-    "dedup_cdc_chunks",
-    "similarity_hybrid_rrf",
+    "curation_ccnet_pipeline",
+    "similarity_bitext_ivf",
     "similarity_topk_ivfpq",
-    "sample_weighted_by_domain",
+    "corpus_diversity_simpson",
     # duplicate-CLUSTER collapse stays gated through the split entry
     # (its oracle embeds the same component closure); text_token_counts is
     # a family twin of text_quality_scores (n_tokens), below the window.
@@ -336,23 +376,23 @@ GATE_ORDER: tuple[str, ...] = (
     # exercised by the gated exact-dedup/curation pipelines, and the
     # fingerprint query stays hash-verified below the window.
     "text_quality_model",
-    "curation_web_pipeline",
+    "multimodal_image_jpeg_gradient",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_video_dhash",
+    "multimodal_video_gif_thumbs",
     "multimodal_audio_fingerprint",
     "multimodal_image_dhash",
     "curation_gopher_pipeline",
-    "incremental_merge_upsert",
-    "similarity_bitext_mining",
+    "scd2_customer_status_history",
+    "salted_agg_quantity",
     "dedup_contamination_bloom",
     "text_heavy_hitters",
     "text_bm25_topk",
     "text_bpe_roundtrip",
-    "txlog_change_feed",
+    "txlog_dml_timeline",
     "txlog_incremental_matview",
     "curation_rejection_report",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
@@ -365,7 +405,7 @@ GATE_ORDER: tuple[str, ...] = (
     # hash-verified below the gate window.
     "text_pii_redaction",
     "join_full_outer_nation_activity",
-    "events_k_anonymity",
+    "customer_rfm_segments",
     # Displaced family twins (still registered + verified in the committed
     # full-catalog report): approx_count_distinct_customers (sketch twin of
     # the gated exact count-distinct), pivot_orders_status (reshape twin of
@@ -379,18 +419,18 @@ GATE_ORDER: tuple[str, ...] = (
     "sample_temperature_multilingual",
     # Window families: rank, frames (RANGE 30d).
     "window_rank_family",
-    "window_range_frame_trailing30d",
+    "window_value_funcs",
     # Function suites + subqueries + TPC-H-shape joins.
     "web_link_pagerank",
     "web_warc_parse",
-    "web_link_triangles",
+    "window_distribution_funcs",
     "subqueries_suite",
     "sole_returning_suppliers",
     "events_anomaly_mad",
     # Temporal + headline TPC-H shapes.
-    "events_drift_tv",
-    "events_session_paths",
-    "events_asof_purchase_click",
+    "predicates_suite",
+    "events_cohort_retention",
+    "events_attribution_last_touch",
     "shipping_priority_top10",
 )
 

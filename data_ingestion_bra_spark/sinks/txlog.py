@@ -690,6 +690,23 @@ def vacuum(table_dir: str, *, min_age_seconds: float = 3600.0) -> list[str]:
         known.update(_entry_path(e) for e in rec.get("add", []))
     deleted = []
     now = time.time()
+    # Crashed-publisher debris in the log dir itself: a writer killed
+    # between staging its record and the os.link publish leaves a
+    # `NNN.json.tmpXXXX` file readers never match (only `*.json` names are
+    # log records). Same age guard — a young tmp may be a publish in flight.
+    log_root = os.path.join(table_dir, LOG_DIR)
+    if os.path.isdir(log_root):
+        for name in os.listdir(log_root):
+            if ".json.tmp" not in name:
+                continue
+            p = os.path.join(log_root, name)
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue
+                os.unlink(p)
+            except OSError:
+                continue  # raced with the publisher's own unlink; fine
+            deleted.append(os.path.join(LOG_DIR, name))
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for sub in os.listdir(data_root):

@@ -340,3 +340,137 @@ def test_two_process_constrained_write_vs_add_constraint(tmp_path):
     # the race actually exercised the constraint path: at least one append
     # landed while a constraint was active, or was rejected by one
     assert checked > 0 or writer["rejected"], (writer, sorted(records))
+
+
+# ---------------------------------------------------------------------------
+# Crash-point injection (round-9 verdict item 6): kill -9 BETWEEN staging and
+# the os.link publish, and between publish and post-publish bookkeeping. The
+# worker process patches os.link itself (the real publish instruction), so
+# the staged record/data files are produced by the genuine commit path, and
+# os._exit(9) models SIGKILL — no finally blocks, no cleanup.
+# ---------------------------------------------------------------------------
+
+_CRASH_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import SparkSession
+from data_ingestion_bra_spark.sinks import txlog
+
+table, crash_point = sys.argv[1], sys.argv[2]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("txlog-crash")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "2")
+    .getOrCreate()
+)
+
+def df(rows):
+    return spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+
+# version 0 commits normally; the crash hits the SECOND commit
+txlog.commit_append(df([(1, 10)]).coalesce(1), table, idempotency_key="base")
+
+real_link = os.link
+def crashing_link(src, dst, *a, **k):
+    if crash_point == "post_publish":
+        real_link(src, dst, *a, **k)   # the commit IS durable...
+    os._exit(9)                        # ...but the writer dies right here
+
+os.link = crashing_link
+txlog.commit_append(df([(2, 20)]).coalesce(1), table, idempotency_key="crash-b")
+print("UNREACHABLE")  # the commit path must have called os.link
+"""
+
+
+def _run_crash_worker(tmp_path, crash_point: str, rep: int) -> str:
+    table = str(tmp_path / f"tbl_{crash_point}_{rep}")
+    script = tmp_path / "crash_worker.py"
+    script.write_text(_CRASH_WORKER)
+    proc = subprocess.run(
+        [sys.executable, str(script), table, crash_point, str(REPO)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env={**os.environ, "SPARK_DRIVER_MEMORY": "2g"},
+        cwd=str(REPO),
+        timeout=600,
+    )
+    assert proc.returncode == 9, (proc.returncode, proc.stdout)
+    assert "UNREACHABLE" not in proc.stdout
+    return table
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession() or (
+        SparkSession.builder.master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def test_crash_between_staging_and_publish_leaves_clean_table(tmp_path):
+    """SIGKILL after the record is staged (tmp log file + data files on
+    disk) but BEFORE os.link: nothing was published, so readers see only
+    version 0, the retry commits the same logical write normally, and
+    vacuum GCs both the orphaned tmp record and the orphaned staged data
+    files. Repeated to rule out luck in the interleaving."""
+    from data_ingestion_bra_spark.sinks import txlog
+
+    for rep in range(2):
+        table = _run_crash_worker(tmp_path, "pre_publish", rep)
+        log_dir = Path(table) / "_txlog"
+        committed = sorted(int(f.name.split(".json")[0]) for f in log_dir.glob("*.json"))
+        assert committed == [0]  # the crashed commit never published
+        orphan_tmps = [f for f in log_dir.iterdir() if ".json.tmp" in f.name]
+        assert orphan_tmps  # the staged record IS on disk...
+        spark = _spark()
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10)}  # ...and readers ignore it
+        # staged data files from the dead writer are unreferenced debris
+        data_subdirs = {p.name for p in (Path(table) / "data").iterdir()}
+        assert len(data_subdirs) == 2  # base commit + crashed staging
+        # retry of the same logical write lands as version 1
+        retry_df = spark.createDataFrame([(2, 20)], "k BIGINT, v BIGINT").coalesce(1)
+        assert txlog.commit_append(retry_df, table, idempotency_key="crash-b") == 1
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10), (2, 20)}
+        deleted = txlog.vacuum(table, min_age_seconds=0.0)
+        assert any(".json.tmp" in d for d in deleted)  # orphan record GC'd
+        assert any(d.startswith("data") for d in deleted)  # orphan data GC'd
+        assert not [f for f in log_dir.iterdir() if ".json.tmp" in f.name]
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10), (2, 20)}  # vacuum touched only debris
+
+
+def test_crash_between_publish_and_bookkeeping_is_durable_and_idempotent(tmp_path):
+    """SIGKILL right AFTER os.link: the commit is durable (version 1 is in
+    the log) even though the writer never learned it, never unlinked its
+    tmp record, and never ran post-publish bookkeeping. A replay with the
+    same idempotency key must no-op against the published record — the
+    exactly-once contract a streaming epoch replay depends on — and vacuum
+    GCs the tmp without touching the live commit's data."""
+    from data_ingestion_bra_spark.sinks import txlog
+
+    for rep in range(2):
+        table = _run_crash_worker(tmp_path, "post_publish", rep)
+        log_dir = Path(table) / "_txlog"
+        committed = sorted(int(f.name.split(".json")[0]) for f in log_dir.glob("*.json"))
+        assert committed == [0, 1]  # durable despite the dead writer
+        assert [f for f in log_dir.iterdir() if ".json.tmp" in f.name]
+        spark = _spark()
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10), (2, 20)}
+        # replayed epoch: same key -> no-op returning the committed version
+        retry_df = spark.createDataFrame([(2, 20)], "k BIGINT, v BIGINT").coalesce(1)
+        assert txlog.commit_append(retry_df, table, idempotency_key="crash-b") == 1
+        committed = sorted(int(f.name.split(".json")[0]) for f in log_dir.glob("*.json"))
+        assert committed == [0, 1]  # no duplicate commit
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10), (2, 20)}  # exactly once
+        deleted = txlog.vacuum(table, min_age_seconds=0.0)
+        assert any(".json.tmp" in d for d in deleted)
+        rows = {(r["k"], r["v"]) for r in txlog.read_snapshot(spark, table).collect()}
+        assert rows == {(1, 10), (2, 20)}
