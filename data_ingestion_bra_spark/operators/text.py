@@ -377,3 +377,92 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS local fingerprinting algorithm): the guarantee-carrying way to pick
+# a sparse, position-aware subset of k-gram hashes. Any shared substring of
+# length >= k + w - 1 between two documents is CAUGHT by at least one
+# shared selected fingerprint — the property exact-dedup hashes (whole-doc)
+# and MinHash (set-resemblance, position-free) both lack.
+# --------------------------------------------------------------------------
+
+#: positions are packed below the hash in one BIGINT so a single MIN
+#: implements "smallest hash, rightmost position" — 2^20 = 1M chars/doc.
+WINNOW_POS_LIMIT = 1 << 20
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Selected (doc, fp, pos) winnowing fingerprints of the normalized
+    text: polynomial hashes of every k-char gram (the ``rolling_hash_expr``
+    recurrence per gram — O(k) integer ops per position, embarrassingly
+    parallel, no UDF), then each window of ``window`` consecutive gram
+    hashes selects its minimum, breaking ties by RIGHTMOST position (the
+    'robust winnowing' rule that makes selections agree across documents).
+
+    The single-MIN trick: ``code = h * 2^20 + (2^20 - 1 - pos)`` orders by
+    (hash asc, pos desc), so one frame-bounded window MIN per position is
+    the whole selection — no struct comparators, and the DuckDB oracle
+    replays it with the identical integer codes. Docs shorter than
+    ``k + window - 1`` normalized chars have no full window and yield no
+    fingerprints (documented, replayed by the oracle's length filter).
+
+    Scale shape: everything up to the final distinct() is per-row
+    narrow-partition work (explode + window keyed by doc); selected
+    fingerprints are ~2/(window+1) of positions (the paper's expected
+    density), so the distinct shuffle carries a sparse relation."""
+    if not (1 <= window and 1 <= k):
+        raise ValueError("k and window must be >= 1")
+    from pyspark.sql.window import Window as W
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("doc"), norm.alias("norm")).filter(
+        (F.length("norm") >= k + window - 1)
+        & (F.length("norm") < WINNOW_POS_LIMIT)
+    )
+    pos = base.select(
+        "doc",
+        "norm",
+        (F.length("norm") - k + 1).alias("np"),
+        F.explode(F.expr(f"sequence(1, length(norm) - {k} + 1)")).alias("pos"),
+    )
+    gram_chars = F.filter(
+        F.split(F.expr(f"substr(norm, pos, {k})"), "(?!^)"),
+        lambda ch: ch != "",
+    )
+    h = F.aggregate(
+        gram_chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_HASH_B + F.ascii(ch)) % ROLLING_HASH_P,
+    )
+    hashed = pos.select(
+        "doc",
+        "np",
+        "pos",
+        (h * F.lit(WINNOW_POS_LIMIT) + (F.lit(WINNOW_POS_LIMIT - 1) - F.col("pos"))).alias(
+            "code"
+        ),
+    )
+    w = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        hashed.withColumn("sel_code", F.min("code").over(w))
+        .filter(F.col("pos") <= F.col("np") - window + 1)
+        .select(
+            "doc",
+            F.expr(f"sel_code div {WINNOW_POS_LIMIT}").cast("bigint").alias("fp"),
+            (
+                F.lit(WINNOW_POS_LIMIT - 1)
+                - (F.col("sel_code") % F.lit(WINNOW_POS_LIMIT))
+            ).cast("bigint").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel

@@ -1708,6 +1708,93 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnowing_overlap",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ),
+    lim AS (SELECT doc, norm, length(norm) - 8 + 1 AS np FROM base
+            WHERE length(norm) >= 11 AND length(norm) < 1048576),
+    pos AS (SELECT doc, norm, np, unnest(generate_series(1, np)) AS pos FROM lim),
+    h AS (
+      SELECT doc, np, pos,
+             CAST(list_reduce(
+                list_prepend(0::BIGINT,
+                  list_transform(generate_series(1, 8),
+                    i -> CAST(ord(substr(norm, pos + i - 1, 1)) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 2147483647) AS BIGINT) AS gh
+      FROM pos
+    ),
+    coded AS (SELECT doc, np, pos, gh * 1048576 + (1048575 - pos) AS code FROM h),
+    sel AS (
+      SELECT doc, np, pos,
+             MIN(code) OVER (PARTITION BY doc ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel_code
+      FROM coded
+    ),
+    fps AS (
+      SELECT DISTINCT doc, sel_code // 1048576 AS fp
+      FROM sel WHERE pos <= np - 4 + 1
+    ),
+    keep AS (
+      SELECT doc, fp FROM fps
+      WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50)
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 32
+    """,
+    tags=("text", "fingerprint", "winnowing", "forensics", "llm-pipeline"),
+)
+def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap FORENSICS by winnowing (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS fingerprinting algorithm): every
+    window of 4 consecutive 8-char-gram hashes selects its minimum
+    (rightmost on ties), giving each doc a sparse position-aware
+    fingerprint set with the paper's guarantee — any shared substring of
+    length >= k+w-1 = 11 normalized chars is caught by at least one
+    SHARED selected fingerprint. Pairs sharing >= 32 fingerprints (about a
+    third of a fixture doc's selection — far above the measured ambient
+    common-phrase band, which dies out by ~16) are the overlap report: the provenance/plagiarism primitive that whole-doc
+    hashes (position-free) and MinHash (set-resemblance) both miss for
+    short quoted spans.
+
+    Plan shape (operators/text.py:winnowing_fingerprints): gram hashing is
+    per-row integer fold work (no UDF, no shuffle), selection is one
+    frame-bounded window MIN keyed by doc via the code = h*2^20+(2^20-1-pos)
+    packing, and the cross-doc join is a fingerprint EQUI-join with a
+    hot-fingerprint cap (fps in > 50 docs dropped from the universe) that
+    bounds per-key fanout — never an all-pairs compare. The oracle replays
+    hash, packing, window, cap, and join arithmetic bit-for-bit."""
+    from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = (
+        winnowing_fingerprints(d, "doc_id", "text", k=8, window=4)
+        .select("doc", "fp")
+        .distinct()
+    )
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") > 50
+    )
+    keep = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = keep.select(F.col("doc").alias("doc_a"), "fp")
+    b = keep.select(F.col("doc").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 32)
+    )
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,

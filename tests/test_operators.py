@@ -1479,3 +1479,52 @@ def test_snm_unknown_ordering_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="unknown key ordering"):
         dedup.sorted_neighborhood_pairs(df, "doc_id", "text", key_orderings=("bogus",))
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The SIGMOD-2003 guarantee: any shared substring of length >= k+w-1
+    yields at least one SHARED selected fingerprint — here a 20-char quote
+    embedded in otherwise-unrelated documents is caught, while disjoint
+    docs share nothing. Selection density tracks the paper's 2/(w+1)
+    expectation, and fingerprints are position-decoded correctly (every
+    selected position must index a gram whose hash equals the fp)."""
+    from data_ingestion_bra_spark.operators.text import (
+        ROLLING_HASH_B,
+        ROLLING_HASH_P,
+        winnowing_fingerprints,
+    )
+
+    quote = "galaxies rotate anomalously fast"
+    rows = [
+        (1, f"intro text before the quote {quote} and trailing words"),
+        (2, f"{quote} opens this other report with different content after"),
+        (3, "completely unrelated body with no overlap at all qqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = winnowing_fingerprints(df, "doc_id", "text", k=8, window=4).collect()
+    by_doc: dict = {}
+    for r in got:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 32-char quote must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density ~ 2/(w+1) = 0.4 of positions (loose band)
+    norm1 = "intro text before the quote galaxies rotate anomalously fast and trailing words"
+    n_pos = len(norm1) - 8 + 1
+    assert 0.2 * n_pos <= len(by_doc[1]) <= 0.6 * n_pos
+    # position decode: re-hash the gram at each selected position
+    for r in got:
+        if r["doc"] != 1:
+            continue
+        gram = norm1[r["pos"] - 1 : r["pos"] - 1 + 8]
+        h = 0
+        for ch in gram:
+            h = (h * ROLLING_HASH_B + ord(ch)) % ROLLING_HASH_P
+        assert h == r["fp"], (r["pos"], gram)
+
+
+def test_winnowing_short_doc_yields_nothing(spark):
+    from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "tiny")], "doc_id bigint, text string")
+    assert winnowing_fingerprints(df, "doc_id", "text", k=8, window=4).count() == 0
