@@ -1426,6 +1426,9 @@ EXTENDED_QUERIES = [
     # round-10 additions
     "similarity_bitext_ivf",
     "multimodal_image_jpeg_gradient",
+    "text_winnowing_overlap",
+    "dedup_doc_containment",
+    "text_pmi_collocations",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

@@ -1795,6 +1795,160 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_doc_containment",
+    """
+    WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT DISTINCT doc,
+             concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+      FROM toks, unnest(generate_series(1, len(t) - 4)) s(i)
+      WHERE len(t) >= 5
+    ),
+    keep AS (
+      SELECT doc, shingle FROM g
+      WHERE shingle NOT IN (SELECT shingle FROM g GROUP BY shingle HAVING COUNT(*) > 50)
+    ),
+    sizes AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_src FROM keep
+              GROUP BY doc HAVING COUNT(*) >= 20),
+    p AS (
+      SELECT a.doc AS doc_src, b.doc AS doc_dst, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT p.doc_src, p.doc_dst, p.n_shared, s.n_src,
+           CAST(p.n_shared * 10000 // s.n_src AS BIGINT) AS containment_e4
+    FROM p JOIN sizes s ON s.doc = p.doc_src
+    WHERE p.n_shared * 10000 // s.n_src >= 8000
+    """,
+    tags=("dedup", "containment", "forensics", "llm-pipeline"),
+)
+def dedup_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC doc-in-doc detection by Broder CONTAINMENT —
+    c(A→B) = |S_A ∩ S_B| / |S_A| over distinct word 5-gram shingles — the
+    complement to resemblance dedup (Jaccard/MinHash): a short document
+    quoted wholesale inside a long one has low Jaccard (the union is
+    dominated by the long doc) but containment ≈ 1, which is exactly the
+    wholesale-inclusion case a curation pipeline must catch before the
+    small doc's content is double-counted. Directed pairs with c >= 0.8
+    and a >= 20-shingle source are reported with integer-fixed-point
+    evidence columns.
+
+    Plan shape: the shingle universe is hot-capped (shingles in > 50 docs
+    leave the universe — both numerator and denominators are computed over
+    the SAME filtered relation, so the statistic stays self-consistent),
+    candidates come from a shingle EQUI-join bounded by that cap, and the
+    per-pair count + size join are partial-aggregable. Never an all-pairs
+    compare; the oracle replays the cap, the distinct-shingle relation,
+    and the floor-division containment exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=5, distinct=True)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 50)
+    )
+    keep = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = (
+        keep.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_src"))
+        .filter(F.col("n_src") >= 20)
+    )
+    a = keep.select(F.col("doc").alias("doc_src"), "shingle")
+    b = keep.select(F.col("doc").alias("doc_dst"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_src") != F.col("doc_dst"))
+        .groupBy("doc_src", "doc_dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc", "doc_src"), "doc_src")
+        .withColumn(
+            "containment_e4",
+            F.expr("CAST(n_shared * 10000 div n_src AS BIGINT)"),
+        )
+        .filter(F.col("containment_e4") >= 8000)
+        .select("doc_src", "doc_dst", "n_shared", "n_src", "containment_e4")
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT unnest(t) AS term FROM toks),
+    ucnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni),
+    bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t) - 1)) s(i)
+           WHERE len(t) >= 2),
+    bcnt AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+             FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+    scored AS (
+      SELECT b.w1, b.w2, b.n_pair, u1.n AS n_w1, u2.n AS n_w2,
+             CAST(b.n_pair * t.n_total * 10000 // (u1.n * u2.n) AS BIGINT) AS pmi_e4
+      FROM bcnt b
+      CROSS JOIN tot t
+      JOIN ucnt u1 ON u1.term = b.w1
+      JOIN ucnt u2 ON u2.term = b.w2
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_e4 DESC, w1, w2) AS rank
+          FROM scored)
+    SELECT CAST(rank AS BIGINT) AS rank, w1, w2, n_pair, n_w1, n_w2, pmi_e4
+    FROM r WHERE rank <= 25
+    """,
+    tags=("text", "collocation", "pmi", "statistics", "llm-pipeline"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990): the top-25 adjacent word pairs whose co-occurrence most exceeds
+    the independence expectation, with a min-count-5 evidence floor (raw
+    PMI is dominated by hapax pairs without it). PMI's log is monotone in
+    the ratio N·c(xy)/(c(x)·c(y)), so ranking by the integer fixed-point
+    ratio ``pmi_e4`` (one BIGINT floor-division chain) reproduces the PMI
+    ranking EXACTLY with no float in any output column — the usual trick
+    this catalog uses to keep statistics hashable across engines.
+
+    Plan shape: unigram and bigram counts are partial-aggregable groupBys
+    over one tokenization pass each, the corpus total is a 1-row broadcast
+    anchor, and the two count joins are key equi-joins. Vocabulary size
+    never inflates the shuffle beyond the count relations themselves."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.split("text", " ").alias("t"))
+    uni = t.select(F.explode("t").alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    bi = t.filter(F.size("t") >= 2).select(
+        F.expr(
+            "explode(transform(sequence(0, size(t) - 2),"
+            " i -> struct(t[i] AS w1, t[i+1] AS w2)))"
+        ).alias("p")
+    ).select("p.*")
+    bcnt = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    scored = (
+        bcnt.crossJoin(F.broadcast(tot))
+        .join(ucnt.select(F.col("term").alias("w1"), F.col("n").alias("n_w1")), "w1")
+        .join(ucnt.select(F.col("term").alias("w2"), F.col("n").alias("n_w2")), "w2")
+        .withColumn(
+            "pmi_e4",
+            F.expr("CAST(n_pair * n_total * 10000 div (n_w1 * n_w2) AS BIGINT)"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    r = W.orderBy(F.col("pmi_e4").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(r).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+        .select("rank", "w1", "w2", "n_pair", "n_w1", "n_w2", "pmi_e4")
+    )
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,
