@@ -1429,6 +1429,9 @@ EXTENDED_QUERIES = [
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",
+    "text_keyness_by_source",
+    "events_time_weighted_value",
+    "events_l_diversity",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

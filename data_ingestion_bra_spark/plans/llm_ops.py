@@ -1949,6 +1949,115 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_keyness_by_source",
+    r"""
+    WITH tok AS (
+      SELECT source,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    t AS (SELECT source, term FROM tok WHERE term <> ''),
+    st AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_dom
+           FROM t GROUP BY source, term),
+    s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src_total
+          FROM t GROUP BY source),
+    g AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_term FROM t GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM t),
+    scored AS (
+      SELECT st.source, st.term, st.n_dom,
+             g.n_term - st.n_dom AS n_rest,
+             CAST(st.n_dom * 1000000 // s.n_src_total AS BIGINT) AS rate_dom_e6,
+             CAST((g.n_term - st.n_dom) * 1000000
+                  // (t2.n_total - s.n_src_total) AS BIGINT) AS rate_rest_e6
+      FROM st
+      JOIN s USING (source)
+      JOIN g USING (term)
+      CROSS JOIN tot t2
+      WHERE st.n_dom >= 10
+    ),
+    r AS (
+      SELECT source, term, n_dom, n_rest, rate_dom_e6, rate_rest_e6,
+             CAST(rate_dom_e6 * 100 // (rate_rest_e6 + 1) AS BIGINT) AS keyness_e2,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY rate_dom_e6 * 100 // (rate_rest_e6 + 1) DESC, term
+             ) AS rank
+      FROM scored
+    )
+    SELECT source, CAST(rank AS BIGINT) AS rank, term, n_dom, n_rest,
+           rate_dom_e6, rate_rest_e6, keyness_e2
+    FROM r WHERE rank <= 10
+    """,
+    tags=("text", "keyness", "statistics", "reporting", "llm-pipeline"),
+)
+def text_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYNESS analysis per corpus source: the terms most characteristic of
+    each source vs the rest of the corpus — the datasheet row that tells a
+    pipeline owner WHAT a domain actually contributes before reweighting
+    it (corpus_domain_mixture says how much; this says what). Scored by
+    the occurrence-rate ratio (relative risk) with a +1ppm smoothing term
+    and a min-evidence floor of 10 in-source occurrences; the two rates
+    are separate per-million floor divisions, so every intermediate stays
+    far inside BIGINT at ANY corpus size (no N² products — the reason this
+    uses rate-ratio rather than a chi-square numerator, whose cross terms
+    overflow int64 past ~3e7 tokens).
+
+    Plan shape: one tokenization pass feeds four partial-aggregable
+    groupBys (source×term, source, term, total); the joins are key
+    equi-joins (source join is broadcast-size by construction) and the
+    per-source top-10 rank partitions by source."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    st = t.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dom")
+    )
+    s = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src_total")
+    )
+    g = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_term"))
+    tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    scored = (
+        st.filter(F.col("n_dom") >= 10)
+        .join(F.broadcast(s), "source")
+        .join(g, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("n_rest", F.col("n_term") - F.col("n_dom"))
+        .withColumn(
+            "rate_dom_e6",
+            F.expr("CAST(n_dom * 1000000 div n_src_total AS BIGINT)"),
+        )
+        .withColumn(
+            "rate_rest_e6",
+            F.expr("CAST(n_rest * 1000000 div (n_total - n_src_total) AS BIGINT)"),
+        )
+        .withColumn(
+            "keyness_e2",
+            F.expr("CAST(rate_dom_e6 * 100 div (rate_rest_e6 + 1) AS BIGINT)"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    r = W.partitionBy("source").orderBy(F.col("keyness_e2").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(r).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "source",
+            "rank",
+            "term",
+            "n_dom",
+            "n_rest",
+            "rate_dom_e6",
+            "rate_rest_e6",
+            "keyness_e2",
+        )
+    )
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,

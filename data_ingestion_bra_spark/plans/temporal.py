@@ -702,3 +702,127 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
     )
+
+
+@register(
+    "events_time_weighted_value",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS value_e4,
+             epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt_us
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, value_e4, (nxt_us - ts_us) // 1000000 AS dt_s
+      FROM o WHERE nxt_us IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_segments,
+             CAST(SUM(dt_s) AS BIGINT) AS total_dt_s,
+             CAST(SUM(value_e4 * dt_s) AS BIGINT) AS wsum_e4
+      FROM seg GROUP BY user_id
+    )
+    SELECT user_id, n_segments, total_dt_s,
+           CAST(wsum_e4 // total_dt_s AS BIGINT) AS twap_e4
+    FROM agg WHERE total_dt_s > 0
+    """,
+    tags=("temporal", "analytics", "time-weighted", "window"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average value per user (the TWAP family — metering,
+    billing, position-exposure analytics): each event's value holds until
+    the user's next event, so the mean must weight by holding duration,
+    not event count — a plain AVG over-represents burst periods exactly
+    when event rate correlates with value. Per-row fixed-point value_e4
+    (order-free projection), whole-second durations from a floor-divided
+    microsecond lead() delta, and one integer weighted-sum groupBy — no
+    float ever aggregates, so the oracle replays bit-for-bit.
+
+    Scale shape: one user-keyed window (the events tier's standard shuffle
+    class) feeding a partial-aggregable groupBy; open last segments are
+    excluded (no horizon assumption), zero-duration users filtered."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the session tz is
+    # pinned UTC (session.py), so the cast is value-preserving, and the
+    # lead() DIFFERENCE is offset-invariant regardless.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = e.select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)").alias("value_e4"),
+        us.alias("ts_us"),
+        F.lead(us).over(w).alias("nxt_us"),
+    )
+    seg = o.filter(F.col("nxt_us").isNotNull()).select(
+        "user_id",
+        "value_e4",
+        F.expr("(nxt_us - ts_us) div 1000000").alias("dt_s"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("dt_s").cast("bigint").alias("total_dt_s"),
+            F.sum(F.col("value_e4") * F.col("dt_s")).cast("bigint").alias("wsum_e4"),
+        )
+        .filter(F.col("total_dt_s") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            "total_dt_s",
+            F.expr("CAST(wsum_e4 div total_dt_s AS BIGINT)").alias("twap_e4"),
+        )
+    )
+
+
+@register(
+    "events_l_diversity",
+    """
+    WITH cells AS (
+      SELECT event_type,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+             CAST(FLOOR(value / 100) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS n_top,
+           CAST(CASE WHEN COUNT(*) < 2 OR MAX(n) * 100 > 90 * SUM(n)
+                     THEN 1 ELSE 0 END AS BIGINT) AS suppress
+    FROM cells GROUP BY event_type, day
+    """,
+    tags=("privacy", "governance", "l-diversity", "data-quality"),
+)
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY report (Machanavajjhala et al., ICDE 2006) — the
+    k-anonymity companion: a quasi-identifier cell can clear k and still
+    leak if the SENSITIVE attribute (here the value band, floor(value/100))
+    is homogeneous inside it. Flags cells whose sensitive attribute takes
+    fewer than l=2 distinct values OR is >90% dominated by one value (the
+    practical positive-disclosure rule). Two stacked partial-aggregable
+    groupBys — (QI, sensitive) counts, then per-QI distinct/sum/max — so
+    the sensitive-domain cardinality never rides a holistic aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") / 100).cast("bigint").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return cells.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.max("n").cast("bigint").alias("n_top"),
+        F.when(
+            (F.count(F.lit(1)) < 2) | (F.max("n") * 100 > 90 * F.sum("n")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("suppress"),
+    )
