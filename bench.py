@@ -1432,6 +1432,7 @@ EXTENDED_QUERIES = [
     "text_keyness_by_source",
     "events_time_weighted_value",
     "events_l_diversity",
+    "approx_distinct_users_kmv",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

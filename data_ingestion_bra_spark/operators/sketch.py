@@ -1,0 +1,98 @@
+"""K-Minimum-Values (bottom-k) distinct-count sketches — the CARDINALITY
+member of the engine's mergeable-summary family (LSH signature store: set
+membership; Misra–Gries: frequency; KMV: distinct counts).
+
+A KMV summary of a key set is its k smallest deterministic hash values
+(Bar-Yossef et al., RANDOM 2002; Beyer et al., SIGMOD 2007 — the estimator
+the published DISTINCT-sampling / theta-sketch line builds on). Properties
+this module leans on:
+
+- **Exact below k**: fewer than k distinct hashes seen → the summary IS the
+  distinct set, and the estimate is exact by construction.
+- **Estimator**: with U_(k) the k-th smallest hash normalized to [0, 1),
+  E[distinct] ≈ (k-1)/U_(k); relative error concentrates at ~1/sqrt(k).
+  Everything here stays in a 2^48 integer hash space, so the estimate is
+  ONE BIGINT floor division — hashable across engines, no float anywhere.
+- **Mergeable**: the bottom-k of a union is the bottom-k of the union of
+  bottom-k summaries — EXACTLY (not approximately), which is what makes the
+  summary valid standing STREAMING state: folding per-epoch summaries into
+  a store epoch by epoch yields byte-identical state to one pass over the
+  whole stream (streaming/cardinality_maintenance.py builds on this).
+
+Determinism: the hash is the first 12 hex chars of md5(key-as-string) —
+the same engine-portable construction the sampling/threshold tier uses —
+so Spark and the DuckDB oracle compute IDENTICAL summaries, and the
+"approximate" estimate is still a bit-exact, hash-checkable value. 48-bit
+space makes hash collisions negligible at any realistic group cardinality
+(expected collisions ≈ n²/2^49).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: 12 hex chars = 48-bit hash space.
+KMV_SPACE = 1 << 48
+
+
+def kmv_hash_expr(key) -> "F.Column":
+    """Deterministic 48-bit hash of a key column: engine-portable
+    md5-prefix arithmetic (DuckDB: ``('0x' || substr(md5(x),1,12))::BIGINT``
+    computes the identical value)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("bigint")
+
+
+def kmv_summaries(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Per-group bottom-k summary: the k smallest distinct key hashes.
+
+    Output: ``(*group_cols, h)`` — at most k rows per group. The distinct
+    is the only wide shuffle and it keys by (group, hash); the bottom-k
+    window partitions by group (per-group-sized frames)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    hashes = df.select(*group_cols, kmv_hash_expr(key_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_merge(
+    summaries: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge any union of per-group KMV summaries back into one bottom-k
+    summary per group — EXACT: bottom-k of a union == bottom-k of the
+    unioned bottom-k's. All work is summary-sized."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        summaries.select(*group_cols, "h")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimates(
+    summaries: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Distinct-count estimates from per-group summaries: exact when the
+    group holds fewer than k hashes (the summary IS the set), else the
+    (k-1)·SPACE / kth-min floor division. Output:
+    ``(*group_cols, n_in_sketch, kth_hash, estimate)`` — all BIGINT."""
+    agg = summaries.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in_sketch"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    return agg.withColumn(
+        "estimate",
+        F.when(F.col("n_in_sketch") < k, F.col("n_in_sketch"))
+        .otherwise(F.expr(f"CAST(({k} - 1) * CAST({KMV_SPACE} AS BIGINT) div kth_hash AS BIGINT)"))
+        .cast("bigint"),
+    )

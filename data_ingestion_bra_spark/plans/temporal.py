@@ -780,6 +780,61 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_users_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events
+    ),
+    rk AS (SELECT event_type, h,
+                  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           FROM h),
+    summ AS (SELECT event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+                    CAST(MAX(h) AS BIGINT) AS kth_hash
+             FROM rk WHERE rk <= 64 GROUP BY event_type),
+    ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY event_type)
+    SELECT ex.event_type, ex.n_exact, s.n_in_sketch, s.kth_hash,
+           CAST(CASE WHEN s.n_in_sketch < 64 THEN s.n_in_sketch
+                     ELSE 63 * 281474976710656 // s.kth_hash END AS BIGINT)
+             AS estimate
+    FROM ex JOIN summ s USING (event_type)
+    """,
+    tags=("sketch", "cardinality", "kmv", "approx", "mergeable-summary"),
+)
+def approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type by a K-Minimum-Values (bottom-k)
+    sketch, k=64 (Bar-Yossef 2002 / Beyer SIGMOD'07) — the cardinality
+    member of the engine's MERGEABLE-summary family, next to Misra–Gries
+    frequency summaries and the LSH signature store. Unlike Spark's
+    HLL-based approx_count_distinct (whose sketch internals no SQL oracle
+    can replay), the KMV summary is a deterministic function of the data —
+    the k smallest 48-bit md5-prefix hashes — so the 'approximate' estimate
+    is still a bit-exact, hash-checkable value: exact below k by
+    construction, (k-1)·2^48 div kth-min above, relative error ~1/sqrt(k).
+    The exact count rides alongside for a self-auditing row.
+
+    Scale shape (operators/sketch.py): one (group, hash) distinct shuffle +
+    a per-group bottom-k window; the summary is k rows per group FOREVER,
+    and bottom-k-of-union mergeability makes it valid standing streaming
+    state (streaming/cardinality_maintenance.py folds per-epoch summaries
+    into a txlog store byte-identically to a single pass)."""
+    from data_ingestion_bra_spark.operators.sketch import kmv_estimates, kmv_summaries
+
+    e = load_table(spark, sf_dir, "events")
+    summ = kmv_summaries(e, ["event_type"], "user_id", 64)
+    est = kmv_estimates(summ, ["event_type"], 64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "n_in_sketch", "kth_hash", "estimate"
+    )
+
+
+@register(
     "events_l_diversity",
     """
     WITH cells AS (

@@ -1,0 +1,164 @@
+"""KMV (bottom-k) distinct-count sketches (operators/sketch.py) and the
+streaming cardinality store (streaming/cardinality_maintenance.py): the
+estimator's error behavior, exactness below k, EXACT mergeability (the
+property the streaming fold rests on), and exactly-once epoch replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators.sketch import (
+    KMV_SPACE,
+    kmv_estimates,
+    kmv_merge,
+    kmv_summaries,
+)
+
+
+def _keyed_df(spark, groups: dict[str, int]):
+    """groups: name -> number of distinct keys (each repeated twice so the
+    distinct step is doing real work)."""
+    rows = []
+    for g, n in groups.items():
+        for i in range(n):
+            rows += [(g, f"{g}_user_{i}")] * 2
+    return spark.createDataFrame(rows, "grp string, key string").repartition(4)
+
+
+def test_exact_below_k(spark):
+    df = _keyed_df(spark, {"small": 37})
+    est = kmv_estimates(kmv_summaries(df, ["grp"], "key", 64), ["grp"], 64).collect()
+    assert len(est) == 1
+    assert est[0]["n_in_sketch"] == 37
+    assert est[0]["estimate"] == 37  # the summary IS the distinct set
+
+
+def test_estimator_error_band(spark):
+    """Relative error concentrates at ~1/sqrt(k); assert a generous 4-sigma
+    band at k=256 over a 20k-key group."""
+    k, n = 256, 20000
+    df = _keyed_df(spark, {"big": n})
+    est = kmv_estimates(kmv_summaries(df, ["grp"], "key", k), ["grp"], k).collect()[0]
+    assert est["n_in_sketch"] == k
+    rel_err = abs(est["estimate"] - n) / n
+    assert rel_err <= 4 / (k ** 0.5), (est["estimate"], rel_err)
+
+
+def test_merge_is_exact(spark):
+    """bottom-k(union) == bottom-k(union of bottom-k's) — SET equality, not
+    an error bound; this is what makes the summary valid streaming state."""
+    k = 32
+    df = _keyed_df(spark, {"g1": 500, "g2": 10})
+    h1 = kmv_summaries(df.filter(F.crc32("key") % 2 == 0), ["grp"], "key", k)
+    h2 = kmv_summaries(df.filter(F.crc32("key") % 2 == 1), ["grp"], "key", k)
+    merged = {
+        (r["grp"], r["h"]) for r in kmv_merge(h1.unionByName(h2), ["grp"], k).collect()
+    }
+    single = {(r["grp"], r["h"]) for r in kmv_summaries(df, ["grp"], "key", k).collect()}
+    assert merged == single
+
+
+def test_hashes_are_engine_portable(spark):
+    """The Spark hash equals DuckDB's ('0x'||substr(md5(x),1,12))::BIGINT —
+    the identity the oracle twin rests on."""
+    import duckdb
+
+    df = spark.createDataFrame([("42",), ("abc",)], "key string")
+    got = {
+        r["key"]: r["h"]
+        for r in df.select(
+            "key",
+            __import__(
+                "data_ingestion_bra_spark.operators.sketch", fromlist=["kmv_hash_expr"]
+            ).kmv_hash_expr("key").alias("h"),
+        ).collect()
+    }
+    for key, h in got.items():
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{key}'), 1, 12))::BIGINT"
+        ).fetchall()[0][0]
+        assert h == want, key
+        assert 0 <= h < KMV_SPACE
+
+
+def test_k_validation(spark):
+    df = _keyed_df(spark, {"g": 3})
+    with pytest.raises(ValueError):
+        kmv_summaries(df, ["grp"], "key", 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_fold_equals_single_pass(spark, tmp_path):
+    """Folding 3 epoch summaries through the txlog store yields the
+    byte-identical standing summary a single pass over the whole stream
+    builds — the EXACT mergeability claim, end to end — and the served
+    estimates match the batch tier."""
+    from data_ingestion_bra_spark.streaming.cardinality_maintenance import (
+        cardinality_maintenance_writer,
+        current_estimates,
+        current_summary,
+    )
+
+    k = 32
+    store = str(tmp_path / "kmv_store")
+    df = _keyed_df(spark, {"g1": 400, "g2": 7})
+    w = cardinality_maintenance_writer(
+        store, group_cols=["grp"], key_col="key", k=k, query_id="t"
+    )
+    for epoch in range(3):
+        w(df.filter(F.crc32("key") % 3 == epoch), epoch)
+    standing = {
+        (r["grp"], r["h"]) for r in current_summary(spark, store, ["grp"]).collect()
+    }
+    single = {(r["grp"], r["h"]) for r in kmv_summaries(df, ["grp"], "key", k).collect()}
+    assert standing == single
+    served = {
+        r["grp"]: r["estimate"]
+        for r in current_estimates(spark, store, ["grp"], k).collect()
+    }
+    batch = {
+        r["grp"]: r["estimate"]
+        for r in kmv_estimates(kmv_summaries(df, ["grp"], "key", k), ["grp"], k).collect()
+    }
+    assert served == batch
+    assert served["g2"] == 7  # exact below k
+
+
+def test_stream_epoch_replay_is_exactly_once(spark, tmp_path):
+    from data_ingestion_bra_spark.sinks import txlog
+    from data_ingestion_bra_spark.streaming.cardinality_maintenance import (
+        cardinality_maintenance_writer,
+        current_summary,
+    )
+
+    store = str(tmp_path / "kmv_store2")
+    df = _keyed_df(spark, {"g1": 100})
+    w = cardinality_maintenance_writer(
+        store, group_cols=["grp"], key_col="key", k=16, query_id="r"
+    )
+    w(df, 0)
+    v0 = txlog.snapshot(store).version
+    before = sorted(
+        (r["grp"], r["h"]) for r in current_summary(spark, store, ["grp"]).collect()
+    )
+    w(df, 0)  # replay
+    assert txlog.snapshot(store).version == v0
+    after = sorted(
+        (r["grp"], r["h"]) for r in current_summary(spark, store, ["grp"]).collect()
+    )
+    assert after == before
+
+
+def test_empty_store_is_explicit_empty(spark, tmp_path):
+    from data_ingestion_bra_spark.streaming.cardinality_maintenance import (
+        current_summary,
+    )
+
+    cand = current_summary(spark, str(tmp_path / "never_committed"), ["grp"])
+    assert cand.columns == ["grp", "h"]
+    assert cand.count() == 0
