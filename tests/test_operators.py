@@ -1528,3 +1528,27 @@ def test_winnowing_short_doc_yields_nothing(spark):
 
     df = spark.createDataFrame([(1, "tiny")], "doc_id bigint, text string")
     assert winnowing_fingerprints(df, "doc_id", "text", k=8, window=4).count() == 0
+
+
+def test_phrase_search_counts_and_overlaps(spark):
+    """3-term chain with overlapping occurrences: 'a b a b a' contains
+    'a b a' twice (overlap included); docs without the full phrase (prefix
+    only) must not match; N=1 degenerates to term frequency."""
+    from data_ingestion_bra_spark.operators.text import phrase_search
+
+    rows = [
+        (1, "a b a b a"),
+        (2, "a b x a b"),
+        (3, "c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc"]: r["n_matches"] for r in phrase_search(df, "doc_id", "text", "a b a").collect()}
+    assert got == {1: 2}
+    got1 = {r["doc"]: r["n_matches"] for r in phrase_search(df, "doc_id", "text", "a b").collect()}
+    assert got1 == {1: 2, 2: 2}
+    gotc = {r["doc"]: r["n_matches"] for r in phrase_search(df, "doc_id", "text", "c").collect()}
+    assert gotc == {3: 3}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_search(df, "doc_id", "text", "")
