@@ -74,6 +74,9 @@ PYTHON_ALLOWED = {
     # full roundtrip decode and header-only metadata in the same contract
     "multimodal_image_jpeg_roundtrip",
     "multimodal_image_jpeg_meta",
+    # non-constant lossy audit: real Annex-K encode+decode with bounded-
+    # error verdicts, same Arrow-batched contract (pixels never shuffle)
+    "multimodal_image_jpeg_gradient",
     # real video containers: ISO-BMFF (MP4) box walk, header-only — same
     # zero-decode contract as the JPEG metadata tier
     "multimodal_video_mp4_meta",
@@ -133,7 +136,18 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - customer_rfm_segments: the corpus max-date anchor is a 1-ROW broadcast
 #    attach (the dedup_contamination_bloom shape) feeding exact recency
 #    arithmetic; everything else is windows + equi-rollups.
+#  - similarity_bitext_ivf: the broadcast-centroid cell assignment shape
+#    (vectors × 8 broadcast centroids, n × k) on BOTH the query side and
+#    (when the persisted lists are cold) the corpus side — identical to
+#    similarity_topk_ivf; candidate pairs themselves come from the cell
+#    EQUI-join, never a bipartite product.
+#  - text_pmi_collocations / text_keyness_by_source: the 1-ROW corpus-total
+#    frame broadcasts onto the count relations (1 × N, the text_bm25_topk
+#    shape); all other joins are term/source equi-keys.
 BNLJ_ALLOWED = {
+    "similarity_bitext_ivf",
+    "text_pmi_collocations",
+    "text_keyness_by_source",
     "customer_rfm_segments",
     "similarity_bitext_mining",
     "similarity_hybrid_rrf",
