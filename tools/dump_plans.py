@@ -61,6 +61,16 @@ SHOWCASE: list[tuple[str, str]] = [
     ("sample_temperature_multilingual", "alpha-sampling: one groupBy(lang) partial-agg; sqrt/normalize windows over the |langs|-row aggregate"),
     ("similarity_bitext_mining", "bitext margin (exact twin): side A broadcasts (allow-listed BNLJ baseline); both rank windows partition by one side's id — per-query-sized frames"),
     ("curation_rejection_report", "rejection audit: gate metrics scan-resident, ONE 1-row partial-agg, constant-size stack reshape"),
+    # round 10
+    ("similarity_bitext_ivf", "bitext SERVE path: persisted inverted-list scan for side B (no corpus re-assignment), broadcast-centroid multi-probe for side A, candidates from the cell EQUI-join — the bipartite product never exists"),
+    ("text_winnowing_overlap", "winnowing: gram hashes are row-local integer folds; selection is one frame-bounded window MIN keyed by doc; the cross-doc join is a hot-capped fingerprint EQUI-join"),
+    ("dedup_doc_containment", "containment: hot-capped distinct-shingle universe, candidate pairs from the shingle equi-join, per-pair count + size join both partial-aggregable"),
+    ("text_pmi_collocations", "PMI: unigram/bigram counts partial-aggregate; the 1-row corpus total broadcasts; both count joins are term equi-keys"),
+    ("text_keyness_by_source", "keyness: four partial-agg groupBys off one tokenization pass; source totals broadcast; per-source top-10 window"),
+    ("events_time_weighted_value", "TWAP: one user-keyed lead() window + one integer weighted-sum partial-agg groupBy"),
+    ("approx_distinct_users_kmv", "KMV sketch: one (group,hash) distinct shuffle + per-group bottom-k window; estimate is a codegen floor division — the sketch itself is hash-checkable"),
+    ("text_phrase_search", "phrase query: per-term filtered postings chained by (doc, pos+offset) equi-joins — cost tracks the rarest posting list, not corpus bytes"),
+    ("multimodal_image_jpeg_gradient", "lossy audit: synth + Annex-K encode + decode + error verdicts in ONE Arrow-batched MapInPandas — pixels never shuffle, 8 scalars per image do"),
 ]
 
 
