@@ -1774,10 +1774,16 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
 
     d = load_table(spark, sf_dir, "documents")
+    # Eagerly materialize the sparse (doc, fp) relation: it feeds THREE
+    # consumers (hot-cap count + both self-join sides) and AQE exchange
+    # reuse does not cover the window-selection subtree — without this the
+    # gram hashing runs three times (the measured round-9 simhash lesson,
+    # operators/dedup.py:342). ~16 B/fingerprint, ~0.4 fps/char.
     fps = (
         winnowing_fingerprints(d, "doc_id", "text", k=8, window=4)
         .select("doc", "fp")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
         F.col("n_docs") > 50
@@ -1841,7 +1847,13 @@ def dedup_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare; the oracle replays the cap, the distinct-shingle relation,
     and the floor-division containment exactly."""
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(d, "doc_id", "text", n=5, distinct=True)
+    # One shingle explode total: the distinct (doc, shingle) relation feeds
+    # the hot-cap count AND (via keep) three more consumers — materialize it
+    # once instead of re-deriving the explode per consumer.
+    sh = (
+        dedup.doc_shingles(d, "doc_id", "text", n=5, distinct=True)
+        .localCheckpoint(eager=True)
+    )
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1916,8 +1928,15 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.split("text", " ").alias("t"))
     uni = t.select(F.explode("t").alias("term"))
-    ucnt = uni.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # The unigram count table feeds BOTH margin joins (w1, w2) and the
+    # corpus total derives from it — materialize once so the tokenization
+    # pass runs once for the unigram side (the bigram pass is separate).
+    ucnt = (
+        uni.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ucnt.agg(F.sum("n").cast("bigint").alias("n_total"))
     bi = t.filter(F.size("t") >= 2).select(
         F.expr(
             "explode(transform(sequence(0, size(t) - 2),"
@@ -2011,14 +2030,17 @@ def text_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    st = t.groupBy("source", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dom")
+    # ONE tokenization pass: every other relation (per-source totals,
+    # per-term totals, the corpus total) is a roll-up of the materialized
+    # (source, term) count table — |sources × vocab| rows, not tokens.
+    st = (
+        t.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dom"))
+        .localCheckpoint(eager=True)
     )
-    s = t.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_src_total")
-    )
-    g = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_term"))
-    tot = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    s = st.groupBy("source").agg(F.sum("n_dom").cast("bigint").alias("n_src_total"))
+    g = st.groupBy("term").agg(F.sum("n_dom").cast("bigint").alias("n_term"))
+    tot = s.agg(F.sum("n_src_total").cast("bigint").alias("n_total"))
     scored = (
         st.filter(F.col("n_dom") >= 10)
         .join(F.broadcast(s), "source")
