@@ -1434,6 +1434,7 @@ EXTENDED_QUERIES = [
     "events_l_diversity",
     "approx_distinct_users_kmv",
     "text_phrase_search",
+    "events_range_join_global_bucketed",
     "events_cohort_retention",
     "events_attribution_last_touch",
     "customer_rfm_segments",

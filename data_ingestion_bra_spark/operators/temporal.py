@@ -90,3 +90,66 @@ def range_join_count(
     joined = left.join(r, cond, "left")
     group_cols = [left[c] for c in left.columns]
     return joined.groupBy(*group_cols).agg(F.count("__rts").alias(count_alias))
+
+
+def range_join_count_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """KEYLESS time-range join at scale: count right rows with
+    ``left_ts - lower <= right_ts <= left_ts`` per left row when there is
+    NO entity key to hash on (or the key is too hot to trust) — the case
+    where a residual-predicate join degenerates to a nested-loop over the
+    whole right side.
+
+    The standard fix (DBMS interval-join literature; Spark has no built-in
+    one): bucket time into Δ = ``lower_seconds`` windows. Every right row
+    lands in exactly ONE bucket (floor(ts/Δ)); every left probe's
+    [t−Δ, t] range spans at most TWO buckets {b−1, b}, so the probe side
+    explodes 2× and the join becomes a plain bucket EQUI-join with the
+    exact range as a post-filter. Each right row can match a given probe
+    through only one of its two bucket rows (the right row has one
+    bucket), so counts need no dedup; zero-match probes survive via the
+    LEFT join + count(non-null). Join fanout tracks bucket occupancy —
+    2·|left| + |right| rows shuffle, never |left|×|right|.
+
+    Timestamps are compared as integer microseconds (TIMESTAMP_NTZ cast
+    under the pinned-UTC session); bucket ids are floor divisions of the
+    same integers, so a SQL oracle replays the exact semantics with a
+    plain range join."""
+    if lower_seconds <= 0:
+        raise ValueError("lower_seconds must be positive")
+    width_us = int(lower_seconds) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    r = right.select(
+        r_us.alias("__rus"),
+        F.expr(
+            f"CAST(unix_micros(CAST({right_ts} AS TIMESTAMP)) div {width_us} AS BIGINT)"
+        ).alias("__bkt"),
+    )
+    lft = left.withColumn("__lus", l_us).withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                F.expr(f"CAST(__lus div {width_us} AS BIGINT) - 1"),
+                F.expr(f"CAST(__lus div {width_us} AS BIGINT)"),
+            )
+        ),
+    )
+    joined = lft.join(
+        r,
+        (lft["__bkt"] == r["__bkt"])
+        & (r["__rus"] >= lft["__lus"] - F.lit(width_us))
+        & (r["__rus"] <= lft["__lus"]),
+        "left",
+    )
+    group_cols = [lft[c] for c in left.columns]
+    return joined.groupBy(*group_cols).agg(
+        F.count("__rus").cast("bigint").alias(count_alias)
+    )

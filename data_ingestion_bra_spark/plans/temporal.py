@@ -204,6 +204,51 @@ def events_range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -
 
 
 @register(
+    "events_range_join_global_bucketed",
+    f"""
+    SELECT p.event_id,
+           strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_5m_global
+    FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      ON c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+    GROUP BY p.event_id, p.ts
+    """,
+    tags=("range-join", "bucketed", "scale-path"),
+)
+def events_range_join_global_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join — total click pressure in the 5 minutes before
+    each purchase, across ALL users (site-wide load/fraud context for the
+    per-user twin ``events_range_join_clicks_before_purchase``). With no
+    entity key to hash on, a residual-predicate join is a nested loop over
+    every click per purchase; ``range_join_count_bucketed`` makes it a Δ-
+    width time-bucket EQUI-join instead (clicks land in one bucket, each
+    probe explodes into its two covering buckets, exact range as a
+    post-filter) — 2·|purchases| + |clicks| rows shuffle, never the
+    product, on any key distribution. The oracle states the semantics as
+    the plain range join; the bucket decomposition is provably the same
+    relation (each click matches a probe through exactly one bucket)."""
+    from data_ingestion_bra_spark.operators.temporal import range_join_count_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("ts")
+    counted = range_join_count_bucketed(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=300,
+        count_alias="n_clicks_5m_global",
+    )
+    return counted.select(
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "n_clicks_5m_global",
+    )
+
+
+@register(
     "events_multires_rollup",
     """
     WITH t AS (SELECT date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h, value

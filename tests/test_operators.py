@@ -1552,3 +1552,52 @@ def test_phrase_search_counts_and_overlaps(spark):
 
     with _pytest.raises(ValueError):
         phrase_search(df, "doc_id", "text", "")
+
+
+def test_bucketed_range_join_equals_naive_and_plans_equi(spark):
+    """The Δ-bucket decomposition is the SAME relation as the naive range
+    join (boundary timestamps included), zero-match probes survive with
+    count 0, and the physical plan contains no nested-loop join."""
+    from datetime import datetime
+
+    from data_ingestion_bra_spark.operators.temporal import range_join_count_bucketed
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:05:00")),
+            (2, t("2024-01-01 10:10:00")),
+            (3, t("2024-01-01 23:00:00")),  # zero matches
+        ],
+        "pid bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (t("2024-01-01 10:00:00"),),  # exactly at probe1 - 5min (inclusive)
+            (t("2024-01-01 10:05:00"),),  # exactly at probe1 (inclusive)
+            (t("2024-01-01 10:09:59"),),
+            (t("2024-01-01 10:10:01"),),  # after probe2 — excluded
+        ],
+        "ts timestamp_ntz",
+    )
+    got = {
+        r["pid"]: r["n"]
+        for r in range_join_count_bucketed(
+            left, right, left_ts="ts", right_ts="ts", lower_seconds=300, count_alias="n"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 0}
+    plan = range_join_count_bucketed(
+        left, right, left_ts="ts", right_ts="ts", lower_seconds=300, count_alias="n"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_join_count_bucketed(
+            left, right, left_ts="ts", right_ts="ts", lower_seconds=0
+        )
