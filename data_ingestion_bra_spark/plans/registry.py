@@ -356,6 +356,23 @@ GATE_ORDER: tuple[str, ...] = (
     #      gains the incoming scd2_customer_status_history).
     # All fourteen displaced entries stay registered + hash-verified in the
     # committed full-catalog report (ORACLE_FULL_r10).
+    # Round-10b rotation (three of the session's NEW capability classes get
+    # driver credit the round they are born):
+    # IN:  text_winnowing_overlap (MOSS winnowing overlap forensics — a new
+    #      fingerprinting class with a guarantee, not a variant),
+    #      approx_distinct_users_kmv (mergeable bottom-k cardinality
+    #      sketch — the third mergeable-summary member),
+    #      dedup_doc_containment (asymmetric doc-in-doc inclusion — the
+    #      case resemblance dedup structurally misses).
+    # OUT: text_quality_model (trained-integer-model family keeps
+    #      text_langid_nb + text_perplexity_lm gated; its metric inputs run
+    #      inside the gated ccnet/rejection pipelines; r5b..r9 verified),
+    #      join_customers_per_region (join-agg family keeps the flagship
+    #      broadcast join, full-outer, Q21 and Q3 gated; r1..r9 verified),
+    #      curation_gopher_pipeline (curation family keeps the incoming
+    #      ccnet pipeline + rejection_report gated — same gate stages,
+    #      superset composition; r5..r9 verified).
+    # All three displaced entries stay hash-verified below the window.
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
@@ -375,7 +392,7 @@ GATE_ORDER: tuple[str, ...] = (
     # text_fingerprints: the md5-normalized-text fingerprint expression is
     # exercised by the gated exact-dedup/curation pipelines, and the
     # fingerprint query stays hash-verified below the window.
-    "text_quality_model",
+    "text_winnowing_overlap",
     "multimodal_image_jpeg_gradient",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
@@ -385,7 +402,7 @@ GATE_ORDER: tuple[str, ...] = (
     "multimodal_video_gif_thumbs",
     "multimodal_audio_fingerprint",
     "multimodal_image_dhash",
-    "curation_gopher_pipeline",
+    "dedup_doc_containment",
     "scd2_customer_status_history",
     "salted_agg_quantity",
     "dedup_contamination_bloom",
@@ -398,7 +415,7 @@ GATE_ORDER: tuple[str, ...] = (
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",
-    "join_customers_per_region",
+    "approx_distinct_users_kmv",
     # PII scrub is a first-class curation capability; the semi-join it
     # displaces stays driver-covered through sole_returning_suppliers
     # (Q21: decorrelated EXISTS/NOT EXISTS → semi + anti) and remains
