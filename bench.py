@@ -1683,7 +1683,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # Served-vs-exact bitext pair recall + latency (round-9 verdict
         # item 3): the IVF-composed serve path's recall is measured, never
         # assumed, at every point where the exact baseline is affordable.
-        points = [("sf0.1", sf_dir)] + ([("sf1", sf1)] if sf1 else [])
+        points = [(Path(sf_dir).name, sf_dir)] + ([("sf1", sf1)] if sf1 else [])
         payload["bitext_serve_bench"] = _bitext_serve_bench(spark, points)
 
     def freq_stream() -> None:
