@@ -1,0 +1,114 @@
+"""Streaming overlap forensics: maintain a standing winnowing-fingerprint
+store at ingest and flag arriving documents that substantially overlap any
+previously ingested document, per micro-batch.
+
+The batch tier (``text_winnowing_overlap``) answers "which documents in
+THIS corpus share fingerprinted spans"; this module is its stream form —
+the plagiarism/near-quote monitor a curation pipeline runs at the front
+door so provenance decisions happen BEFORE a document is admitted. Every
+micro-batch:
+
+1. winnows ONLY the batch (operators/text.py:winnowing_fingerprints — the
+   SIGMOD-2003 guarantee: any shared normalized substring of length >=
+   k+w-1 produces a shared selected fingerprint),
+2. equi-joins the batch's (doc, fp) relation against the PERSISTED store →
+   overlap flags (doc_new, doc_old, n_shared >= threshold),
+3. adds within-batch overlaps (canonical orientation) so same-epoch pairs
+   are not blind spots,
+4. commits the flags, then the batch's fingerprints into the store — both
+   exactly-once txlog appends keyed per epoch.
+
+FLAGS COMMIT FIRST (the dedup-maintenance ordering argument): a crash
+between the commits replays the epoch against a store that still excludes
+the batch, so the recomputed flags are identical and no-op on the key;
+store-first would make the replay join the batch against itself.
+
+Hot fingerprints are capped at ingest (fps already in > ``hot_cap`` store
+docs are dropped from the batch's JOIN side, not from the store), bounding
+per-key fanout the same way the batch entry's cap does. The cumulative
+invariant — streamed flags over any epoch split equal the batch-tier pairs
+of the whole corpus — is pytest-pinned for the cap-free regime
+(tests/test_overlap_maintenance.py).
+
+At 100 TB the store is one row per selected fingerprint (~2/(w+1) of
+normalized chars, 16 B each) and can be bucketed by fp on disk so the
+corpus side of the per-epoch join never shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
+from data_ingestion_bra_spark.sinks import txlog
+
+
+def overlap_maintenance_writer(
+    store_dir: str,
+    flags_dir: str,
+    *,
+    query_id: str = "overlap",  # MUST be checkpoint-unique: txlog.checkpoint_scoped_query_id
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    hot_cap: int = 50,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch hook: flag overlaps of the arriving batch (vs store AND
+    within batch, >= ``min_shared`` shared fingerprints), then fold the
+    batch's fingerprints into the store — both exactly-once per epoch."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        new_fp = (
+            winnowing_fingerprints(batch_df, "doc_id", "text", k=k, window=window)
+            .select("doc", "fp")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        store = (
+            txlog.read_snapshot(spark, store_dir)
+            if txlog.snapshot(store_dir).version >= 0
+            else None
+        )
+        probe = new_fp
+        vs_store = None
+        if store is not None:
+            hot = (
+                store.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .filter(F.col("n_docs") > hot_cap)
+                .select("fp")
+            )
+            probe = new_fp.join(F.broadcast(hot), "fp", "left_anti")
+            vs_store = (
+                probe.select(F.col("doc").alias("doc_new"), "fp")
+                .join(store.select(F.col("doc").alias("doc_old"), "fp"), "fp")
+                .groupBy("doc_new", "doc_old")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared)
+            )
+        a = probe.select(F.col("doc").alias("doc_new"), "fp")
+        b = probe.select(F.col("doc").alias("doc_old"), "fp")
+        within = (
+            a.join(b, "fp")
+            .filter(F.col("doc_new") > F.col("doc_old"))
+            .groupBy("doc_new", "doc_old")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+        flags = within if vs_store is None else vs_store.unionByName(within)
+        flags = flags.withColumn("epoch", F.lit(int(epoch_id)))
+        txlog.commit_append(
+            flags, flags_dir, idempotency_key=f"{query_id}:flags:{epoch_id}"
+        )
+        txlog.commit_append(
+            new_fp, store_dir, idempotency_key=f"{query_id}:store:{epoch_id}"
+        )
+        new_fp.unpersist()
+
+    return write_batch

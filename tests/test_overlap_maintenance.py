@@ -1,0 +1,102 @@
+"""Streaming overlap forensics (streaming/overlap_maintenance.py): the
+cumulative stream==batch invariant, exactly-once epoch replay with the
+flags-first ordering, and the cross-epoch quote catch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_bra_spark.sinks import txlog
+from data_ingestion_bra_spark.streaming.overlap_maintenance import (
+    overlap_maintenance_writer,
+)
+
+QUOTE = "the winnowing guarantee catches this exact span"
+
+
+def _corpus(spark):
+    rows = [
+        (1, f"first document carries {QUOTE} inside its body text"),
+        (2, "completely unrelated content about something else entirely x"),
+        (3, f"{QUOTE} opens the third document with different trailing words"),
+        (4, f"fourth document also quotes {QUOTE} near the end here"),
+        (5, "another unrelated body with nothing shared at all zzz"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _batch_pairs(spark, df, min_shared=2):
+    """Batch-tier ground truth: winnowing overlap pairs over the whole
+    corpus (cap-free regime)."""
+    from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(df, "doc_id", "text").select("doc", "fp").distinct()
+    a = fps.select(F.col("doc").alias("doc_new"), "fp")
+    b = fps.select(F.col("doc").alias("doc_old"), "fp")
+    return {
+        (max(r["doc_new"], r["doc_old"]), min(r["doc_new"], r["doc_old"]), r["n"])
+        for r in a.join(b, "fp")
+        .filter(F.col("doc_new") > F.col("doc_old"))
+        .groupBy("doc_new", "doc_old")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_shared)
+        .collect()
+    }
+
+
+def test_stream_flags_equal_batch_pairs_any_epoch_split(spark, tmp_path):
+    df = _corpus(spark)
+    want = _batch_pairs(spark, df)
+    assert want, "fixture must contain genuine overlaps"
+    # doc 1 and doc 3/4 overlap ACROSS the epoch boundary below
+    for split_name, splits in {
+        "one-epoch": [[1, 2, 3, 4, 5]],
+        "cross-epoch": [[1, 2], [3, 4, 5]],
+        "per-doc": [[1], [2], [3], [4], [5]],
+    }.items():
+        store = str(tmp_path / f"store_{split_name}")
+        flags_dir = str(tmp_path / f"flags_{split_name}")
+        w = overlap_maintenance_writer(store, flags_dir, query_id=split_name)
+        for epoch, ids in enumerate(splits):
+            w(df.filter(F.col("doc_id").isin(ids)), epoch)
+        got = {
+            (r["doc_new"], r["doc_old"], r["n_shared"])
+            for r in txlog.read_snapshot(spark, flags_dir).collect()
+        }
+        assert got == want, split_name
+
+
+def test_cross_epoch_quote_is_caught_at_arrival(spark, tmp_path):
+    """A document quoting an earlier epoch's content is flagged in ITS OWN
+    epoch — the ingest-time provenance decision the store exists for."""
+    df = _corpus(spark)
+    store, flags_dir = str(tmp_path / "s"), str(tmp_path / "f")
+    w = overlap_maintenance_writer(store, flags_dir, query_id="q")
+    w(df.filter(F.col("doc_id") == 1), 0)
+    assert txlog.read_snapshot(spark, flags_dir).count() == 0
+    w(df.filter(F.col("doc_id") == 3), 1)
+    flagged = txlog.read_snapshot(spark, flags_dir).collect()
+    assert {(r["doc_new"], r["doc_old"]) for r in flagged} == {(3, 1)}
+    assert all(r["epoch"] == 1 for r in flagged)
+
+
+def test_epoch_replay_is_exactly_once_flags_first(spark, tmp_path):
+    df = _corpus(spark)
+    store, flags_dir = str(tmp_path / "s2"), str(tmp_path / "f2")
+    w = overlap_maintenance_writer(store, flags_dir, query_id="r")
+    w(df.filter(F.col("doc_id").isin([1, 2])), 0)
+    w(df.filter(F.col("doc_id").isin([3, 4, 5])), 1)
+    fv = txlog.snapshot(flags_dir).version
+    sv = txlog.snapshot(store).version
+    before = sorted(
+        (r["doc_new"], r["doc_old"], r["n_shared"], r["epoch"])
+        for r in txlog.read_snapshot(spark, flags_dir).collect()
+    )
+    w(df.filter(F.col("doc_id").isin([3, 4, 5])), 1)  # replay
+    assert txlog.snapshot(flags_dir).version == fv
+    assert txlog.snapshot(store).version == sv
+    after = sorted(
+        (r["doc_new"], r["doc_old"], r["n_shared"], r["epoch"])
+        for r in txlog.read_snapshot(spark, flags_dir).collect()
+    )
+    assert after == before
