@@ -421,51 +421,84 @@ def winnowing_fingerprints(
     density), so the distinct shuffle carries a sparse relation."""
     if not (1 <= window and 1 <= k):
         raise ValueError("k and window must be >= 1")
-    from pyspark.sql.window import Window as W
-
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # The whole selection is ROW-LOCAL: no per-position regex split (the
+    # first formulation re-split the k-gram with a lookahead regex once per
+    # position — 45.6 s at sf0.1), no window shuffle, nothing leaves the
+    # scan until the sparse selected set explodes.
+    #
+    # Formulation constraints (all measured hazards, see _ngram_structs):
+    # - lambdas never reference an OUTER array (per-element re-evaluation
+    #   in the interpreted HOF path); sliding windows come from arrays_zip
+    #   of shifted top-level slices instead;
+    # - every multi-consumer array lands in its own projection, and each is
+    #   referenced several times by the next stage, which is exactly what
+    #   stops CollapseProject from inlining the producing expression;
+    # - the selection array is CASE-guarded to array() on short docs, so
+    #   the size()>0 predicate InferFiltersFromGenerate derives from the
+    #   explode can evaluate on ANY row without erroring.
+    doc_len = F.length("norm")
     base = df.select(F.col(id_col).alias("doc"), norm.alias("norm")).filter(
-        (F.length("norm") >= k + window - 1)
-        & (F.length("norm") < WINNOW_POS_LIMIT)
+        (doc_len >= k + window - 1) & (doc_len < WINNOW_POS_LIMIT)
     )
-    pos = base.select(
+    codes = base.select(
         "doc",
-        "norm",
         (F.length("norm") - k + 1).alias("np"),
-        F.explode(F.expr(f"sequence(1, length(norm) - {k} + 1)")).alias("pos"),
+        F.transform(
+            F.filter(F.split("norm", "(?!^)"), lambda ch: ch != ""),
+            lambda ch: F.ascii(ch).cast("bigint"),
+        ).alias("codes"),
     )
-    gram_chars = F.filter(
-        F.split(F.expr(f"substr(norm, pos, {k})"), "(?!^)"),
-        lambda ch: ch != "",
-    )
-    h = F.aggregate(
-        gram_chars,
-        F.lit(0).cast("bigint"),
-        lambda acc, ch: (acc * ROLLING_HASH_B + F.ascii(ch)) % ROLLING_HASH_P,
-    )
-    hashed = pos.select(
+    # gram hashes: k shifted slices zipped → per-gram struct → unrolled
+    # left-fold polynomial (mod at every step, matching rolling_hash_expr)
+    gram_parts = [
+        F.slice(F.col("codes"), j + 1, F.col("np")).alias(f"g{j}") for j in range(k)
+    ]
+
+    def poly(s) -> Column:
+        h = F.lit(0).cast("bigint")
+        for j in range(k):
+            h = (h * ROLLING_HASH_B + s[f"g{j}"]) % ROLLING_HASH_P
+        return h
+
+    hashed = codes.select(
         "doc",
         "np",
-        "pos",
-        (h * F.lit(WINNOW_POS_LIMIT) + (F.lit(WINNOW_POS_LIMIT - 1) - F.col("pos"))).alias(
-            "code"
-        ),
+        F.transform(
+            F.arrays_zip(*gram_parts),
+            lambda s, i: poly(s) * WINNOW_POS_LIMIT
+            + (F.lit(WINNOW_POS_LIMIT - 1) - (i + 1)),
+        ).alias("coded"),
     )
-    w = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
-    sel = (
-        hashed.withColumn("sel_code", F.min("code").over(w))
-        .filter(F.col("pos") <= F.col("np") - window + 1)
-        .select(
-            "doc",
-            F.expr(f"sel_code div {WINNOW_POS_LIMIT}").cast("bigint").alias("fp"),
-            (
-                F.lit(WINNOW_POS_LIMIT - 1)
-                - (F.col("sel_code") % F.lit(WINNOW_POS_LIMIT))
-            ).cast("bigint").alias("pos"),
+    # robust winnowing: each of the np-w+1 windows selects min(code) —
+    # w shifted slices zipped, least() per struct, distinct per doc
+    win_parts = [
+        F.slice(F.col("coded"), j + 1, F.col("np") - window + 1).alias(f"c{j}")
+        for j in range(window)
+    ]
+    sel = hashed.select(
+        "doc",
+        F.when(
+            F.col("np") >= window,
+            F.array_distinct(
+                F.transform(
+                    F.arrays_zip(*win_parts),
+                    lambda s: F.least(*[s[f"c{j}"] for j in range(window)]),
+                )
+            ),
         )
-        .distinct()
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sel_codes"),
     )
-    return sel
+    # codes are unique per doc after array_distinct (fp and pos both ride
+    # in the code), so no post-explode distinct — zero shuffles end to end.
+    return sel.select("doc", F.explode("sel_codes").alias("sel_code")).select(
+        "doc",
+        F.expr(f"sel_code div {WINNOW_POS_LIMIT}").cast("bigint").alias("fp"),
+        (
+            F.lit(WINNOW_POS_LIMIT - 1) - (F.col("sel_code") % F.lit(WINNOW_POS_LIMIT))
+        ).cast("bigint").alias("pos"),
+    )
 
 
 def phrase_search(

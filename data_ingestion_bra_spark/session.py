@@ -46,6 +46,13 @@ def get_spark(
         # keeps it overridable for small boxes/CI.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        # see tune_session: the rule re-evaluates computed exploded arrays
+        # 2-3x per row (filter + scan DataFilters) — measured 33.1 -> 3.9 s
+        # on winnowing at sf0.1; pure heuristic, no semantic effect
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -90,6 +97,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # InferFiltersFromGenerate duplicates the EXPLODED expression into a
+        # pre-Generate filter (and, via pushdown, into scan DataFilters).
+        # Every exploded array in this catalog is a computed expression
+        # (split/transform/regex chains), so the "optimization" re-evaluates
+        # the whole chain 2-3x per row — measured: text_winnowing_overlap
+        # 33.1 -> 3.9 s and text_heavy_hitters 5.3 -> 2.0 s at sf0.1 with
+        # the rule excluded. Pure heuristic, zero semantic effect (explode
+        # drops empty arrays regardless).
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
     }.items():
         try:
             spark.conf.set(k, v)
