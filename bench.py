@@ -1716,10 +1716,10 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
     # budget via SPARK_GRAFT_TOTAL_BUDGET_SEC=7200).
     plan: list[tuple[str, str | None, float, object]] = [
         ("headline", None, 90, headline),
-        ("extended", "SPARK_GRAFT_SKIP_EXTENDED", 140, extended),
+        ("extended", "SPARK_GRAFT_SKIP_EXTENDED", 190, extended),
         ("sf1", None if sf1 else "1", 130, sf1_section),
         ("scale_probe", None if sf1 else "1", 120, scale_probe),
-        ("scale_probe_sf10", None if sf10 else "1", 300, scale_probe_sf10),
+        ("scale_probe_sf10", None if sf10 else "1", 360, scale_probe_sf10),
         (
             "acid_dml",
             "SPARK_GRAFT_SKIP_ACID_DML",
@@ -1753,7 +1753,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 120, incremental),
         ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 130, bpe_bench),
         ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
-        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 130, bitext_serve),
+        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 170, bitext_serve),
         ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
         ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
