@@ -125,6 +125,11 @@ def heavy_hitters_exact_topk(
     as one extra scan, and the call raises if the k-th candidate count
     fails to clear ``N/(capacity+1)`` — i.e. whenever the output could be
     a partitioning-dependent approximation rather than the exact top-k.
+    A result with FEWER than k rows is certified only when those rows are
+    the complete distinct key set (checked with a ``limit(n_rows+1)``-
+    bounded distinct probe); if the corpus holds more distinct keys than
+    the candidate set surfaced, the guard raises regardless of the tail
+    count — the missing members are exactly the ones MG cancelled.
     On a corpus where the guard trips, raise ``capacity`` (shuffled volume
     stays capacity×n_partitions rows) instead of trusting the output.
     """
@@ -151,10 +156,26 @@ def heavy_hitters_exact_topk(
     # Guard path: k-row materialization + one count job — both bounded.
     out = topk.localCheckpoint(eager=True)
     tail = out.orderBy(F.col("rank").desc()).limit(1).collect()
+    n_rows = int(tail[0]["rank"]) if tail else 0
+    if n_rows < k:
+        # Fewer than k candidates survived Misra–Gries. That is exact ONLY
+        # when the materialized rows are the ENTIRE distinct key set (the
+        # top-k of d < k keys is all d keys); otherwise the missing members
+        # were cancelled counters — their true counts are <= N/(capacity+1)
+        # by the MG bound, and trusting the tail row's count would certify
+        # a top-k that is provably missing true members (extreme-skew
+        # corpora with few surviving counters but >= k distinct keys).
+        # The limit bounds the probe at n_rows+1 distinct rows.
+        keys = df.select(key_col)
+        if nulls == "ignore":
+            keys = keys.filter(F.col(key_col).isNotNull())
+        distinct_capped = keys.distinct().limit(n_rows + 1).count()
+        if distinct_capped <= n_rows:
+            return out  # complete enumeration of the key set — exact
+        kth = 0  # force the raise below: candidates exist that MG lost
+    else:
+        kth = int(tail[0]["n"])
     n_total = df.count()
-    # An empty candidate set on a non-empty input is the degenerate form of
-    # the same violation (every counter cancelled — kth count effectively 0).
-    kth = int(tail[0]["n"]) if tail else 0
     if n_total > 0 and kth * (capacity + 1) <= n_total:
         raise ValueError(
             f"heavy_hitters_exact_topk: exactness bound violated — k-th "

@@ -45,16 +45,43 @@ def kmv_hash_expr(key) -> "F.Column":
 
 
 def kmv_summaries(
-    df: DataFrame, group_cols: list[str], key_col: str, k: int
+    df: DataFrame, group_cols: list[str], key_col: str, k: int, *, nulls: str = "error"
 ) -> DataFrame:
     """Per-group bottom-k summary: the k smallest distinct key hashes.
 
     Output: ``(*group_cols, h)`` — at most k rows per group. The distinct
     is the only wide shuffle and it keys by (group, hash); the bottom-k
-    window partitions by group (per-group-sized frames)."""
+    window partitions by group (per-group-sized frames).
+
+    Keys must be NON-NULL: ``md5(NULL)`` is NULL, it survives the
+    distinct, and Spark's ``Window.orderBy('h')`` sorts NULLS FIRST —
+    a null key would occupy a bottom-k slot (displacing a real hash and
+    biasing ``kth_hash``/``n_in_sketch``) while a SQL oracle's
+    ``ROW_NUMBER ... ORDER BY h`` sorts NULLS LAST — silent divergence.
+    Same contract as ``misra_gries_summaries``: ``nulls="error"``
+    (default) raises at execution on the first null key (a lazy per-row
+    ``raise_error`` branch — no extra scan); ``nulls="ignore"`` drops
+    null keys when the caller has already established non-nullness."""
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")
-    hashes = df.select(*group_cols, kmv_hash_expr(key_col).alias("h")).distinct()
+    if nulls not in ("error", "ignore"):
+        raise ValueError("nulls must be 'error' or 'ignore'")
+    h = kmv_hash_expr(key_col)
+    if nulls == "error":
+        h = F.when(
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"kmv_summaries: null key in {key_col!r} (nulls='error'); "
+                    "null hashes would shadow real bottom-k slots — filter "
+                    "nulls or pass nulls='ignore'"
+                )
+            ).cast("bigint"),
+        ).otherwise(h)
+        src = df
+    else:
+        src = df.filter(F.col(key_col).isNotNull())
+    hashes = src.select(*group_cols, h.alias("h")).distinct()
     w = Window.partitionBy(*group_cols).orderBy("h")
     return (
         hashes.withColumn("rk", F.row_number().over(w))

@@ -1898,7 +1898,8 @@ def dedup_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5),
     scored AS (
       SELECT b.w1, b.w2, b.n_pair, u1.n AS n_w1, u2.n AS n_w2,
-             CAST(b.n_pair * t.n_total * 10000 // (u1.n * u2.n) AS BIGINT) AS pmi_e4
+             CAST(CAST(b.n_pair AS HUGEINT) * t.n_total * 10000
+                  // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS pmi_e4
       FROM bcnt b
       CROSS JOIN tot t
       JOIN ucnt u1 ON u1.term = b.w1
@@ -1953,8 +1954,19 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ucnt.select(F.col("term").alias("w1"), F.col("n").alias("n_w1")), "w1")
         .join(ucnt.select(F.col("term").alias("w2"), F.col("n").alias("n_w2")), "w2")
         .withColumn(
+            # The numerator n_pair·n_total·1e4 overflows int64 once
+            # n_pair·n_total > ~9.2e14 (trivially hit at multi-billion-token
+            # corpora), and with ANSI off Spark would wrap SILENTLY while
+            # DuckDB errors. Widen the products to DECIMAL(38,0) (Spark) /
+            # HUGEINT (DuckDB oracle): both `div` the same way on the wide
+            # type (parity pinned in tests/test_llm_ops_stats.py), and the
+            # RESULT always fits BIGINT because n_pair <= n_w1 implies
+            # pmi_e4 <= n_total·1e4.
             "pmi_e4",
-            F.expr("CAST(n_pair * n_total * 10000 div (n_w1 * n_w2) AS BIGINT)"),
+            F.expr(
+                "CAST(CAST(n_pair AS DECIMAL(38,0)) * n_total * 10000"
+                " div (CAST(n_w1 AS DECIMAL(38,0)) * n_w2) AS BIGINT)"
+            ),
         )
     )
     from pyspark.sql.window import Window as W

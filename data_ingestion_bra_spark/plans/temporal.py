@@ -819,6 +819,11 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_segments",
             "total_dt_s",
+            # wsum_e4 may be NEGATIVE (negative event values); Spark `div`
+            # truncates toward zero, and — measured on this stack, pinned by
+            # tests/test_engine_div_parity.py incl. an end-to-end negative-
+            # value oracle replay — DuckDB's integer `//` truncates the same
+            # way (-7 // 2 = -3), so the hash gate holds for any sign.
             F.expr("CAST(wsum_e4 div total_dt_s AS BIGINT)").alias("twap_e4"),
         )
     )

@@ -18,6 +18,12 @@ micro-batch:
 4. commits the flags, then the batch's fingerprints into the store — both
    exactly-once txlog appends keyed per epoch.
 
+Exactly-once holds ACROSS epochs too, not just for epoch replays: docs
+already present in the store (source re-ingest of an old doc_id in a new
+epoch) are anti-joined out of the batch before any consumer sees them, so
+a re-delivered doc neither duplicates store rows (which would inflate
+later n_shared counts) nor flags against its own stored fingerprints.
+
 FLAGS COMMIT FIRST (the dedup-maintenance ordering argument): a crash
 between the commits replays the epoch against a store that still excludes
 the batch, so the recomputed flags are identical and no-op on the key;
@@ -64,17 +70,31 @@ def overlap_maintenance_writer(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        new_fp = (
-            winnowing_fingerprints(batch_df, "doc_id", "text", k=k, window=window)
-            .select("doc", "fp")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
         store = (
             txlog.read_snapshot(spark, store_dir)
             if txlog.snapshot(store_dir).version >= 0
             else None
         )
+        new_fp = (
+            winnowing_fingerprints(batch_df, "doc_id", "text", k=k, window=window)
+            .select("doc", "fp")
+            .distinct()
+        )
+        if store is not None:
+            # Exactly-once ACROSS epochs, not just per epoch: the txlog
+            # idempotency key only dedupes EPOCH REPLAYS. If the source
+            # re-delivers a doc_id in a LATER epoch (re-ingest), appending
+            # its (doc, fp) rows again would double-count n_shared against
+            # that doc (counts are per store row) and self-flag the doc
+            # against its own stored fingerprints — silently breaking the
+            # stream==batch invariant this module pins. Anti-join on doc
+            # drops already-ingested docs before ANY consumer sees them.
+            new_fp = new_fp.join(
+                store.select("doc").distinct(), "doc", "left_anti"
+            )
+        new_fp = new_fp.localCheckpoint(eager=True)
+        if new_fp.isEmpty():
+            return
         probe = new_fp
         vs_store = None
         if store is not None:

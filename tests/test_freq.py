@@ -257,3 +257,29 @@ def test_mg_merge_matches_single_pass_bound(spark):
     assert [k for k, c in exact.items() if c > n / (capacity + 1) and k not in keys] == []
     for r in rows:
         assert 0 < r["mg_weight"] <= exact[r["key"]]
+
+
+def test_verify_exact_guard_trips_on_short_candidate_set(spark):
+    """ADVICE r10 #1: extreme skew can leave FEWER than k surviving MG
+    candidates while the corpus holds >= k distinct keys — the tail row's
+    count then clears the bound but true top-k members are missing. The
+    guard must raise rather than certify the short result."""
+    # one massive key + 10 rare keys, capacity 1: MG keeps only the hot key
+    rows = [("hot",)] * 5000 + [(f"rare_{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    with pytest.raises(ValueError, match="exactness bound violated"):
+        heavy_hitters_exact_topk(df, "key", 5, capacity=1, verify_exact=True)
+
+
+def test_verify_exact_short_result_ok_when_keys_exhausted(spark):
+    """A result with fewer than k rows IS exact when those rows are the
+    entire distinct key set (top-10 of 3 keys = all 3 keys) — the guard
+    must certify it, not raise."""
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "key string").repartition(2)
+    got = heavy_hitters_exact_topk(df, "key", 10, capacity=64, verify_exact=True)
+    assert [(r["rank"], r["key"], r["n"]) for r in got.collect()] == [
+        (1, "a", 50),
+        (2, "b", 30),
+        (3, "c", 20),
+    ]

@@ -100,3 +100,33 @@ def test_epoch_replay_is_exactly_once_flags_first(spark, tmp_path):
         for r in txlog.read_snapshot(spark, flags_dir).collect()
     )
     assert after == before
+
+
+def test_cross_epoch_redelivery_is_dropped(spark, tmp_path):
+    """Source RE-INGEST (same doc_id arriving again in a LATER epoch — not
+    an epoch replay, so the txlog idempotency key does not apply) must be
+    a no-op: no duplicate store rows (which would inflate later n_shared
+    counts), no self-flag of the doc against its own stored fingerprints."""
+    df = _corpus(spark)
+    store, flags_dir = str(tmp_path / "s3"), str(tmp_path / "f3")
+    w = overlap_maintenance_writer(store, flags_dir, query_id="redeliver")
+    w(df.filter(F.col("doc_id").isin([1, 2])), 0)
+    store_before = sorted(
+        (r["doc"], r["fp"]) for r in txlog.read_snapshot(spark, store).collect()
+    )
+    # doc 1 re-delivered in a NEW epoch
+    w(df.filter(F.col("doc_id") == 1), 1)
+    store_after = sorted(
+        (r["doc"], r["fp"]) for r in txlog.read_snapshot(spark, store).collect()
+    )
+    assert store_after == store_before  # no duplicate (doc, fp) rows
+    assert txlog.read_snapshot(spark, flags_dir).count() == 0  # no self-flag
+    # a later arrival overlapping doc 1 still gets the EXACT batch-tier
+    # n_shared — not a count inflated by duplicated store rows
+    w(df.filter(F.col("doc_id") == 3), 2)
+    want = {p for p in _batch_pairs(spark, df) if {p[0], p[1]} == {1, 3}}
+    got = {
+        (r["doc_new"], r["doc_old"], r["n_shared"])
+        for r in txlog.read_snapshot(spark, flags_dir).collect()
+    }
+    assert got == want

@@ -162,3 +162,42 @@ def test_empty_store_is_explicit_empty(spark, tmp_path):
     cand = current_summary(spark, str(tmp_path / "never_committed"), ["grp"])
     assert cand.columns == ["grp", "h"]
     assert cand.count() == 0
+
+
+def test_null_keys_raise_by_default(spark):
+    """ADVICE r10 #2: md5(NULL) is NULL, survives distinct, and Spark's
+    Window.orderBy sorts NULLS FIRST — a null key would shadow a real
+    bottom-k slot while a SQL oracle sorts NULLS LAST. Contract mirrors
+    misra_gries_summaries: error by default, opt-in ignore."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [("a", "u1"), ("a", None), ("b", "u2")], "g string, k string"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        kmv_summaries(df, ["g"], "k", 4).collect()
+
+
+def test_null_keys_ignored_matches_prefiltered_input(spark):
+    import pytest
+
+    rows = [("g1", f"u{i}") for i in range(20)] + [("g1", None), ("g2", None)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    got = sorted(
+        (r["g"], r["h"])
+        for r in kmv_summaries(df, ["g"], "k", 8, nulls="ignore").collect()
+    )
+    want = sorted(
+        (r["g"], r["h"])
+        for r in kmv_summaries(
+            df.where(F.col("k").isNotNull()), ["g"], "k", 8
+        ).collect()
+    )
+    assert got == want
+    assert all(h is not None for _, h in got)
+    # all-null group vanishes entirely (never a NULL-hash summary row)
+    assert {g for g, _ in got} == {"g1"}
+    with pytest.raises(ValueError, match="nulls"):
+        kmv_summaries(df, ["g"], "k", 8, nulls="bogus")
