@@ -373,6 +373,41 @@ GATE_ORDER: tuple[str, ...] = (
     #      ccnet pipeline + rejection_report gated — same gate stages,
     #      superset composition; r5..r9 verified).
     # All three displaced entries stay hash-verified below the window.
+    # Round-11 rotation (round-10 verdict item 2: the never-driver-gated
+    # tail — this round's six ungated newcomers plus the six oldest
+    # never-gated families get CORRECTNESS rows). Every displaced entry
+    # earned its FIRST driver-green row in CORRECTNESS_r10 (that was the
+    # point of the r10 rotation) and keeps a gated family rep:
+    # IN:  text_pmi_collocations, text_keyness_by_source,
+    #      text_phrase_search, events_time_weighted_value,
+    #      events_l_diversity, events_range_join_global_bucketed (the
+    #      round-10 newcomers, never gated), text_gopher_quality,
+    #      text_quality_model, similarity_pq_adc, funnel_click_to_purchase,
+    #      unpivot_lineitem_metrics, multimodal_audio_features (the oldest
+    #      never-gated entries).
+    # OUT: predicates_suite (predicate semantics run verbatim inside nearly
+    #      every gated entry's filters; r10-verified),
+    #      window_value_funcs + window_distribution_funcs (window family
+    #      keeps window_rank_family gated; both r10-verified),
+    #      scd2_customer_status_history + txlog_dml_timeline (merge/DML
+    #      surface stays gated through txlog_incremental_matview's
+    #      commit_upsert/commit_delete; both r10-verified),
+    #      multimodal_video_gif_thumbs (multimodal keeps three gated real
+    #      containers — jpeg_gradient, image_dhash, audio_fingerprint —
+    #      plus the incoming audio_features; r10-verified),
+    #      events_cohort_retention + events_attribution_last_touch (events
+    #      family keeps anomaly_mad gated and gains TWAP, l-diversity and
+    #      the keyless range join; both r10-verified),
+    #      customer_rfm_segments (segmentation keeps grouping_sets +
+    #      subqueries + the incoming funnel gated; r10-verified),
+    #      corpus_diversity_simpson (governance keeps split_leakage_safe
+    #      gated and gains the incoming l-diversity; r10-verified),
+    #      text_bm25_topk (lexical index family gains the strictly richer
+    #      positional-postings phrase search + PMI/keyness term stats;
+    #      r9+r10-verified),
+    #      web_warc_parse (web family keeps pagerank gated; r9+r10-verified).
+    # All twelve displaced entries stay registered + hash-verified in the
+    # committed full-catalog report (ORACLE_FULL_r11).
     "dedup_exact_groups",
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
@@ -381,7 +416,6 @@ GATE_ORDER: tuple[str, ...] = (
     "curation_ccnet_pipeline",
     "similarity_bitext_ivf",
     "similarity_topk_ivfpq",
-    "corpus_diversity_simpson",
     # duplicate-CLUSTER collapse stays gated through the split entry
     # (its oracle embeds the same component closure); text_token_counts is
     # a family twin of text_quality_scores (n_tokens), below the window.
@@ -399,17 +433,13 @@ GATE_ORDER: tuple[str, ...] = (
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_video_gif_thumbs",
     "multimodal_audio_fingerprint",
     "multimodal_image_dhash",
     "dedup_doc_containment",
-    "scd2_customer_status_history",
     "salted_agg_quantity",
     "dedup_contamination_bloom",
     "text_heavy_hitters",
-    "text_bm25_topk",
     "text_bpe_roundtrip",
-    "txlog_dml_timeline",
     "txlog_incremental_matview",
     "curation_rejection_report",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
@@ -422,7 +452,6 @@ GATE_ORDER: tuple[str, ...] = (
     # hash-verified below the gate window.
     "text_pii_redaction",
     "join_full_outer_nation_activity",
-    "customer_rfm_segments",
     # Displaced family twins (still registered + verified in the committed
     # full-catalog report): approx_count_distinct_customers (sketch twin of
     # the gated exact count-distinct), pivot_orders_status (reshape twin of
@@ -436,18 +465,25 @@ GATE_ORDER: tuple[str, ...] = (
     "sample_temperature_multilingual",
     # Window families: rank, frames (RANGE 30d).
     "window_rank_family",
-    "window_value_funcs",
     # Function suites + subqueries + TPC-H-shape joins.
     "web_link_pagerank",
-    "web_warc_parse",
-    "window_distribution_funcs",
     "subqueries_suite",
     "sole_returning_suppliers",
     "events_anomaly_mad",
     # Temporal + headline TPC-H shapes.
-    "predicates_suite",
-    "events_cohort_retention",
-    "events_attribution_last_touch",
+    # Round-11 incoming (see rotation note above).
+    "text_pmi_collocations",
+    "text_keyness_by_source",
+    "text_phrase_search",
+    "text_gopher_quality",
+    "text_quality_model",
+    "similarity_pq_adc",
+    "events_time_weighted_value",
+    "events_l_diversity",
+    "events_range_join_global_bucketed",
+    "funnel_click_to_purchase",
+    "unpivot_lineitem_metrics",
+    "multimodal_audio_features",
     "shipping_priority_top10",
 )
 
