@@ -213,3 +213,16 @@ def test_synthetic_merges_are_structurally_valid():
     for x, y in ms:
         assert len(y) == 1
         assert len(x) == 1 or x in producible
+
+
+def test_run_section_records_ambient_loadavg(tmp_path, monkeypatch):
+    """Round-10 verdict item 3: the artifact itself must carry the ambient
+    evidence — every section records the 1-min load average before/after."""
+    import bench
+
+    monkeypatch.setattr(bench, "_emit", lambda payload: None)
+    payload: dict = {}
+    bench._run_section(payload, "noop", lambda: None)
+    amb = payload["ambient"]["loadavg_by_section"]["noop"]
+    assert len(amb) == 2
+    assert all(isinstance(x, float) for x in amb)
