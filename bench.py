@@ -1663,6 +1663,8 @@ EXTENDED_QUERIES = [
     # round-10 additions
     "similarity_bitext_ivf",
     "multimodal_image_jpeg_gradient",
+    # round-11 additions
+    "multimodal_image_jpeg_gradient_420",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

@@ -1086,6 +1086,116 @@ def jpeg_error_audit(df: DataFrame) -> DataFrame:
     )
 
 
+#: measured max |decoded - source| over the ramp family at 4:2:0 is 18
+#: (512-doc sweep; chroma replication adds ~4 over the 4:4:4 max of 14);
+#: 32 leaves ~1.8x headroom while staying ~24x inside the derived bound.
+JPEG_SMOOTH_ERR_PIN_420 = 32
+
+#: the ramp fixture's RGB gradients (R = 12x+4y+c, G = 4x+12y+c,
+#: B = 8x+8y+c — _synth_ramp_pixels) and the BT.601 chroma rows; the
+#: subsampling deviation term of the 4:2:0 bound derives from these.
+_RAMP_GRAD_X = (12.0, 4.0, 8.0)
+_RAMP_GRAD_Y = (4.0, 12.0, 8.0)
+_CB_ROW = (-0.168736, -0.331264, 0.5)
+_CR_ROW = (0.5, -0.418688, -0.081312)
+
+
+def _derived_quant_bound_420_int() -> int:
+    """Worst-case per-pixel spatial error of the 4:2:0 chain over the ramp
+    family, derived (not measured) from the committed tables + the fixture
+    formulas: per-plane DCT quantization error (q/2 per coefficient, as in
+    the 4:4:4 bound) PLUS the chroma subsample-then-replicate deviation —
+    for the linear ramp, a pixel deviates from its 2x2 box mean by at most
+    (|∇c·gx| + |∇c·gy|)/2 per chroma channel — propagated through the
+    YCbCr->RGB rows channel-by-channel (B sees 1.772x the Cb error, R
+    1.402x the Cr error). The +1 inside each chroma term covers the source
+    floor- and box-mean roundings; the final +2 covers the color-transform
+    and clamp roundings on either side. Recomputed at runtime so a table
+    or fixture change breaks the oracle's literal LOUDLY."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    D = _jpeg._dct_matrix()
+
+    def worst(qt) -> float:
+        q = np.array(qt, dtype=float).reshape(8, 8)
+        return max(
+            sum(q[u, v] / 2 * abs(D[u, x] * D[v, y]) for u in range(8) for v in range(8))
+            for x in range(8)
+            for y in range(8)
+        )
+
+    e_y = worst(_jpeg.QUANT_LUMA_K1)
+    e_c = worst(_jpeg.QUANT_CHROMA_K2)
+    gx, gy = np.array(_RAMP_GRAD_X), np.array(_RAMP_GRAD_Y)
+
+    def dev(row) -> float:
+        r = np.array(row)
+        return (abs(float(r @ gx)) + abs(float(r @ gy))) / 2.0
+
+    e_cb = e_c + dev(_CB_ROW) + 1.0
+    e_cr = e_c + dev(_CR_ROW) + 1.0
+    per_channel = max(
+        1.402 * e_cr,  # R
+        0.344136 * e_cb + 0.714136 * e_cr,  # G
+        1.772 * e_cb,  # B
+    )
+    return int(e_y + per_channel) + 2
+
+
+def jpeg_error_audit_420_batch_fn(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the 4:2:0 audit: same ramp source, but the
+    encode downsamples chroma 2x2 (box mean) and the decode upsamples by
+    replication — the subsampling real corpora overwhelmingly use. Verdicts
+    run against the 4:2:0-specific derived bound and measured pin."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    hard = _derived_quant_bound_420_int()
+    for pdf in batches:
+        out = []
+        for raw in pdf["doc_id"].astype("int64"):
+            doc_id = int(raw)
+            w, h, pix = _synth_ramp_pixels(doc_id)
+            ww, hh, ch, data = _jpeg.decode_jpeg(
+                _jpeg.encode_jpeg(w, h, pix, quant="annexk", subsampling="420")
+            )
+            a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+            d = np.frombuffer(data, dtype=np.uint8).astype(int)
+            max_err = int(np.abs(a - d).max()) if a.shape == d.shape else 1 << 30
+            n = w * h * 3
+            ok_geom = (ww, hh, ch) == (w, h, 3)
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    n,
+                    int(a.sum()) * 1_000_000 // (n * 255),
+                    hard,
+                    int(ok_geom and max_err <= hard),
+                    int(ok_geom and max_err <= JPEG_SMOOTH_ERR_PIN_420),
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[f.name for f in JPEG_ERROR_AUDIT_SCHEMA.fields],
+        )
+
+
+def jpeg_error_audit_420(df: DataFrame) -> DataFrame:
+    """4:2:0 chroma-subsampled lossy roundtrip audit — the decode path for
+    the subsampling real corpora actually contain, with the same
+    bounded-error verdict discipline as the 4:4:4 audit."""
+    return df.select("doc_id").mapInPandas(
+        jpeg_error_audit_420_batch_fn, schema=JPEG_ERROR_AUDIT_SCHEMA
+    )
+
+
 def _synth_jpeg420_bytes(doc_id: int) -> bytes:
     """Real-world-shaped JPEG: Annex K typical quant tables + 4:2:0 chroma
     subsampling over the modular gradient pixels — the header-metadata

@@ -3853,6 +3853,55 @@ def multimodal_image_jpeg_gradient(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "multimodal_image_jpeg_gradient_420",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(8 + doc_id % 8 AS INT) AS w,
+                      CAST(8 + (doc_id // 8) % 8 AS INT) AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id, w, h,
+             (x*12 + y*4 + doc_id % 32)
+           + (x*4 + y*12 + (doc_id*7) % 32)
+           + ((x+y)*8 + (doc_id*13) % 32) AS s
+      FROM d,
+           unnest(generate_series(0, h - 1)) a(y),
+           unnest(generate_series(0, w - 1)) b(x)
+    )
+    SELECT doc_id, w AS width, h AS height,
+           CAST(w AS BIGINT) * h * 3 AS n_pixel_bytes,
+           CAST(SUM(s) * 1000000 // (CAST(w AS BIGINT) * h * 3 * 255) AS BIGINT)
+             AS src_mean_e6,
+           CAST(778 AS BIGINT) AS err_bound,
+           CAST(1 AS BIGINT) AS within_derived_bound,
+           CAST(1 AS BIGINT) AS within_smooth_pin
+    FROM px GROUP BY doc_id, w, h
+    """,
+    tags=("multimodal", "image", "jpeg", "lossy", "chroma-420", "real-decode", "mapInPandas"),
+)
+def multimodal_image_jpeg_gradient_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 CHROMA-SUBSAMPLED lossy JPEG roundtrip — the decode path for
+    the subsampling real corpora overwhelmingly contain (round-10 verdict
+    item 5; previously 4:2:0 streams were only header-parsed by
+    ``multimodal_image_jpeg_meta``). Same ramp fixture and verdict
+    discipline as ``multimodal_image_jpeg_gradient``, but the encoder
+    downsamples chroma 2x2 (box mean per ITU-T T.81 practice) and the
+    decoder reconstructs via replication upsampling of subsampled MCUs —
+    so the audited chain now includes the sampling-factor MCU walk, the
+    chroma plane geometry, and the upsample. The derived hard bound (778,
+    recomputed at runtime from the committed Annex-K tables + the
+    fixture's chroma gradients: per-plane q/2 DCT error plus the
+    subsample-replicate deviation of a linear ramp, propagated through the
+    BT.601 rows channel-by-channel) and the measured smooth pin (max 18
+    over a 512-doc sweep, pinned at 32) are both hash-gated per doc;
+    tests/test_jpeg_codec.py pins the raw error numbers."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.jpeg_error_audit_420(d)
+
+
+@register(
     "multimodal_image_jpeg_meta",
     """
     SELECT doc_id,

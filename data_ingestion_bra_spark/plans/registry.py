@@ -427,7 +427,12 @@ GATE_ORDER: tuple[str, ...] = (
     # exercised by the gated exact-dedup/curation pipelines, and the
     # fingerprint query stays hash-verified below the window.
     "text_winnowing_overlap",
-    "multimodal_image_jpeg_gradient",
+    # Round-11b: the 4:2:0 chroma-subsampled decode entry (built this
+    # round, verdict item 5) gates in place of its 4:4:4 twin
+    # multimodal_image_jpeg_gradient (r10-verified; same fixture + verdict
+    # discipline, strictly less chain coverage — the 4:2:0 entry audits
+    # the sampling-factor MCU walk and the chroma upsample on top).
+    "multimodal_image_jpeg_gradient_420",
     # REAL decoders: genuine PNG / RIFF-WAVE / animated-GIF containers
     # parsed by vendored/stdlib code inside the mapInPandas contract. The
     # stub twins (multimodal_decode_features, multimodal_audio_features,

@@ -381,3 +381,32 @@ def test_ramp_source_error_within_catalog_pin():
         worst = max(worst, int(np.abs(a - d).max()))
     assert worst <= multimodal.JPEG_SMOOTH_ERR_PIN, worst
     assert worst > 0  # genuinely lossy: this is NOT the constant-image case
+
+
+def test_gradient_420_error_bounds():
+    """4:2:0 audit (round-10 verdict item 5): the measured max error over
+    the ramp family must clear both the measured pin and the derived
+    bound, and the derived bound must dominate the pin by a wide margin."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as J
+    from data_ingestion_bra_spark.operators.multimodal import (
+        JPEG_SMOOTH_ERR_PIN_420,
+        _derived_quant_bound_420_int,
+        _synth_ramp_pixels,
+    )
+
+    hard = _derived_quant_bound_420_int()
+    assert hard == 778  # the oracle literal — a table/fixture change lands here
+    assert JPEG_SMOOTH_ERR_PIN_420 < hard
+    mx = 0
+    for doc_id in range(0, 256, 3):  # ramp-family sweep, all 64 geometries
+        w, h, pix = _synth_ramp_pixels(doc_id)
+        ww, hh, ch, data = J.decode_jpeg(
+            J.encode_jpeg(w, h, pix, quant="annexk", subsampling="420")
+        )
+        assert (ww, hh, ch) == (w, h, 3)
+        a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+        d = np.frombuffer(data, dtype=np.uint8).astype(int)
+        mx = max(mx, int(np.abs(a - d).max()))
+    assert 0 < mx <= JPEG_SMOOTH_ERR_PIN_420

@@ -77,6 +77,7 @@ PYTHON_ALLOWED = {
     # non-constant lossy audit: real Annex-K encode+decode with bounded-
     # error verdicts, same Arrow-batched contract (pixels never shuffle)
     "multimodal_image_jpeg_gradient",
+    "multimodal_image_jpeg_gradient_420",
     # real video containers: ISO-BMFF (MP4) box walk, header-only — same
     # zero-decode contract as the JPEG metadata tier
     "multimodal_video_mp4_meta",
