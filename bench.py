@@ -1665,6 +1665,10 @@ EXTENDED_QUERIES = [
     "multimodal_image_jpeg_gradient",
     # round-11 additions
     "multimodal_image_jpeg_gradient_420",
+    "approx_term_counts_cms",
+    "multimodal_audio_mulaw_roundtrip",
+    "events_trend_theil_sen",
+    "linkage_customers_fellegi_sunter",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

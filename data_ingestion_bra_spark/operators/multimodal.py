@@ -1468,3 +1468,115 @@ def wav_audio_fingerprint(df: DataFrame) -> DataFrame:
     Hamming, the simhash machinery) — samples never leave the decode
     stage."""
     return df.mapInPandas(wav_fingerprint_batch_fn, schema=AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ITU-T G.711 mu-law companding — the telephony/VoIP codec tier. 14-bit
+# linear PCM <-> 8-bit logarithmic bytes: sign(1) + segment(3) + mantissa(4),
+# segment step sizes doubling per segment (the piecewise-linear approximation
+# of the mu=255 log curve). Encode maps a sample to its segment cell; decode
+# reconstructs the CELL MIDPOINT, so the roundtrip error is bounded by half
+# the segment step: |decode(encode(x)) - x| <= 2^(e+2) for segment e —
+# a per-sample DERIVED bound, not a measurement. All arithmetic is integer
+# (bias 132, clip 32635 per the spec), so a SQL oracle replays the entire
+# encode+decode chain bit-for-bit — a REAL lossy audio codec with an
+# exactly-verifiable roundtrip, unlike float-DCT JPEG.
+# ---------------------------------------------------------------------------
+
+#: G.711 segment upper edges of the biased magnitude (a = |x|_clipped + 132).
+_MULAW_SEG_EDGES = (256, 512, 1024, 2048, 4096, 8192, 16384)
+_MULAW_BIAS = 132
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized G.711 mu-law encode: int PCM (14-bit range) -> uint8
+    companded bytes (sign | segment<<4 | mantissa; spec bit-inversion is a
+    transport cosmetic and does not change the mapping)."""
+    import numpy as np
+
+    x = x.astype(np.int64)
+    sign = (x < 0).astype(np.int64)
+    a = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    e = np.searchsorted(np.array(_MULAW_SEG_EDGES), a, side="right").astype(np.int64)
+    m = (a >> (e + 3)) & 15
+    return ((sign << 7) | (e << 4) | m).astype(np.uint8)
+
+
+def mulaw_decode(b: "np.ndarray") -> "np.ndarray":
+    """Vectorized G.711 mu-law decode: uint8 byte -> reconstructed int
+    sample (segment-cell midpoint, bias removed, sign applied)."""
+    import numpy as np
+
+    b = b.astype(np.int64)
+    sign = (b >> 7) & 1
+    e = (b >> 4) & 7
+    m = b & 15
+    d = ((m * 8 + _MULAW_BIAS) << e) - _MULAW_BIAS
+    return np.where(sign == 1, -d, d)
+
+
+def _synth_pcm14(doc_id: int) -> "np.ndarray":
+    """Deterministic 14-bit PCM fixture: a modular chirp covering the full
+    [-8192, 8191] range (every mu-law segment 0..6 is exercised). Pure
+    integer formula a SQL oracle replays sample-for-sample."""
+    import numpy as np
+
+    n = 240 + doc_id % 60
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 31 + 7 * i * i) % 16384) - 8192
+
+
+MULAW_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_encoded_bytes", T.LongType()),
+        T.StructField("sum_decoded", T.LongType()),
+        T.StructField("max_abs_err", T.LongType()),
+        T.StructField("within_halfstep_bound", T.LongType()),
+    ]
+)
+
+
+def mulaw_roundtrip_batch_fn(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize PCM, compand through the REAL G.711
+    chain (encode to 8-bit bytes, decode back), and emit per-doc exact
+    roundtrip statistics + the per-sample derived half-step-bound verdict.
+    Samples never leave the batch — 6 scalar columns per clip shuffle."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for raw in pdf["doc_id"].astype("int64"):
+            doc_id = int(raw)
+            x = _synth_pcm14(doc_id)
+            enc = mulaw_encode(x)
+            dec = mulaw_decode(enc)
+            err = np.abs(dec - x)
+            e = (enc.astype(np.int64) >> 4) & 7
+            ok = bool((err <= (1 << (e + 2))).all())
+            out.append(
+                (
+                    doc_id,
+                    int(x.size),
+                    int(enc.nbytes),
+                    int(dec.sum()),
+                    int(err.max()),
+                    int(ok),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=[f.name for f in MULAW_AUDIT_SCHEMA.fields]
+        )
+
+
+def mulaw_roundtrip_audit(df: DataFrame) -> DataFrame:
+    """G.711 mu-law companding roundtrip audit: real encode+decode per clip,
+    bit-exact oracle replay of every statistic (integer codec — no float
+    anywhere in the chain)."""
+    return df.select("doc_id").mapInPandas(
+        mulaw_roundtrip_batch_fn, schema=MULAW_AUDIT_SCHEMA
+    )

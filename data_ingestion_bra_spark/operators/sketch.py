@@ -123,3 +123,115 @@ def kmv_estimates(
         .otherwise(F.expr(f"CAST(({k} - 1) * CAST({KMV_SPACE} AS BIGINT) div kth_hash AS BIGINT)"))
         .cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the FREQUENCY-ESTIMATE member of the mergeable-summary
+# family (Cormode & Muthukrishnan, J. Algorithms 2005). Where Misra-Gries
+# answers "which keys are frequent" with a candidate set, CMS answers "how
+# frequent is ANY key" from a fixed d x w integer grid:
+#
+# - cell(j, h_j(key)) += count for each of d independent row hashes;
+# - estimate(key) = min_j cell(j, h_j(key));
+# - NEVER underestimates (every cell holding the key's counts also holds
+#   nonnegative collision mass), overestimates by <= N/w in expectation per
+#   row — taking the min over d rows drives the overshoot probability down
+#   exponentially;
+# - EXACTLY mergeable: cell-wise sum (counting is linear), so per-epoch
+#   sketches fold into a standing store byte-identically to one pass.
+#
+# Engine-portable determinism: row hash j is the md5-prefix BIGINT of
+# "<j>:<key>" mod w — the same construction the KMV/sampling tiers use, so
+# a SQL oracle rebuilds the ENTIRE grid bit-for-bit and the "approximate"
+# estimates are hash-checkable values.
+# ---------------------------------------------------------------------------
+
+
+def cms_hash_expr(key, j: int, width: int) -> "F.Column":
+    """Row-j CMS column index of a key: engine-portable md5-prefix
+    arithmetic (DuckDB: ``('0x' || substr(md5(j || ':' || key), 1, 12))
+    ::BIGINT % width``)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), c.cast("string"))), 1, 12), 16, 10
+    ).cast("bigint")
+    return (h % width).cast("bigint")
+
+
+def cms_summaries(
+    df: DataFrame, key_col: str, *, depth: int = 3, width: int = 1024,
+    nulls: str = "error",
+) -> DataFrame:
+    """Count-Min sketch of ``df[key_col]`` as a relation: one row per
+    non-empty cell, ``(j, col, cell)`` — at most depth x width rows forever,
+    regardless of input size. The build is ONE partial-aggregable groupBy
+    over a depth-way stack (each input row contributes depth cells);
+    nothing key-shaped survives the aggregation.
+
+    Null keys follow the family contract (``misra_gries_summaries``,
+    ``kmv_summaries``): md5(NULL) is NULL, which would silently drop the
+    key's mass from some rows — ``nulls='error'`` raises at execution,
+    ``nulls='ignore'`` drops null keys."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    if nulls not in ("error", "ignore"):
+        raise ValueError("nulls must be 'error' or 'ignore'")
+    src = df
+    if nulls == "ignore":
+        src = df.filter(F.col(key_col).isNotNull())
+    rows = []
+    for j in range(depth):
+        h = cms_hash_expr(key_col, j, width)
+        if nulls == "error":
+            h = F.when(
+                F.col(key_col).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"cms_summaries: null key in {key_col!r} (nulls='error')"
+                    )
+                ).cast("bigint"),
+            ).otherwise(h)
+        rows.append(src.select(F.lit(j).cast("int").alias("j"), h.alias("col")))
+    stacked = rows[0]
+    for r in rows[1:]:
+        stacked = stacked.unionByName(r)
+    return stacked.groupBy("j", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell")
+    )
+
+
+def cms_merge(summaries: DataFrame) -> DataFrame:
+    """Merge any union of CMS relations (same depth/width) into one:
+    cell-wise sum — EXACT, because counting is linear. All work is
+    summary-sized."""
+    return summaries.groupBy("j", "col").agg(
+        F.sum("cell").cast("bigint").alias("cell")
+    )
+
+
+def cms_estimates(
+    summary: DataFrame, keys: DataFrame, key_col: str, *, depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: estimate =
+    min over rows j of cell(j, h_j(key)), with absent cells read as 0.
+    Output: ``(key_col, estimate)`` — BIGINT, NEVER below the true count.
+    The probe is a summary-sized broadcast join per row hash (d small)."""
+    probes = []
+    for j in range(depth):
+        probes.append(
+            keys.select(
+                key_col,
+                F.lit(j).cast("int").alias("j"),
+                cms_hash_expr(key_col, j, width).alias("col"),
+            )
+        )
+    stacked = probes[0]
+    for p in probes[1:]:
+        stacked = stacked.unionByName(p)
+    joined = stacked.join(F.broadcast(summary), ["j", "col"], "left").select(
+        key_col, F.coalesce(F.col("cell"), F.lit(0)).cast("bigint").alias("cell")
+    )
+    return joined.groupBy(key_col).agg(
+        F.min("cell").cast("bigint").alias("estimate")
+    )

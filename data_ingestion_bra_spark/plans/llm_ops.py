@@ -1708,6 +1708,100 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_term_counts_cms",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    t AS (SELECT term FROM tok WHERE term <> ''),
+    js AS (SELECT unnest(generate_series(0, 2)) AS j),
+    cells AS (
+      SELECT j,
+             ('0x' || substr(md5(j || ':' || term), 1, 12))::BIGINT % 1024 AS col,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM t CROSS JOIN js GROUP BY j, col
+    ),
+    exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact
+              FROM t GROUP BY term),
+    top AS (SELECT term, n_exact,
+                   ROW_NUMBER() OVER (ORDER BY n_exact DESC, term) AS rank
+            FROM exact),
+    probe AS (
+      SELECT rank, term, n_exact, j,
+             ('0x' || substr(md5(j || ':' || term), 1, 12))::BIGINT % 1024 AS col
+      FROM top CROSS JOIN js WHERE rank <= 20
+    ),
+    est AS (SELECT rank, term, n_exact,
+                   CAST(MIN(COALESCE(cell, 0)) AS BIGINT) AS estimate
+            FROM probe LEFT JOIN cells USING (j, col)
+            GROUP BY rank, term, n_exact)
+    SELECT CAST(rank AS BIGINT) AS rank, term, n_exact, estimate,
+           CAST(estimate >= n_exact AS BIGINT) AS never_under
+    FROM est
+    """,
+    tags=("sketch", "frequency", "count-min", "approx", "mergeable-summary"),
+)
+def approx_term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-frequency point queries from a COUNT-MIN sketch (Cormode &
+    Muthukrishnan 2005) — the fourth mergeable-summary member, completing
+    the family: LSH signatures (membership), Misra-Gries (which keys are
+    frequent), KMV (how many distinct), CMS (how frequent is ANY key).
+    Where MG keeps a candidate SET, CMS answers arbitrary point queries
+    from a fixed depth x width integer grid whose size never grows with
+    the corpus: each key increments one cell per row hash, the estimate is
+    the min over rows, and the deterministic invariant — NEVER an
+    underestimate — is emitted as a per-key verdict column the hash gate
+    checks corpus-wide. Cell-wise-sum mergeability is exact (counting is
+    linear), pytest-pinned in tests/test_sketch.py.
+
+    The sketch is a deterministic function of the data (md5-prefix row
+    hashes, the KMV construction), so the DuckDB oracle rebuilds the
+    ENTIRE 3x1024 grid bit-for-bit and replays every estimate. The exact
+    top-20 counts ride alongside for self-auditing rows (at fixture scale
+    the exact side is affordable; at 100 TB only the grid survives — at
+    most depth x width rows shuffle, ever).
+
+    Plan shape (operators/sketch.py): the build is one partial-aggregable
+    groupBy over a 3-way stacked projection (map-side combine does the
+    heavy lifting; nothing key-shaped leaves the executors beyond the
+    grid), and the probe is a summary-sized broadcast join."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_bra_spark.operators.sketch import (
+        cms_estimates,
+        cms_summaries,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    # The token relation feeds the sketch build AND the exact recount —
+    # one tokenization pass, two partial-aggregable consumers.
+    t = t.localCheckpoint(eager=True)
+    summary = cms_summaries(t, "term", depth=3, width=1024, nulls="ignore")
+    exact = t.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    top = (
+        exact.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("n_exact").desc(), "term"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= 20)
+    )
+    est = cms_estimates(summary, top.select("term"), "term", depth=3, width=1024)
+    return top.join(est, "term").select(
+        "rank",
+        "term",
+        "n_exact",
+        "estimate",
+        (F.col("estimate") >= F.col("n_exact")).cast("bigint").alias("never_under"),
+    )
+
+
+@register(
     "text_winnowing_overlap",
     r"""
     WITH base AS (
@@ -3899,6 +3993,63 @@ def multimodal_image_jpeg_gradient_420(spark: SparkSession, sf_dir: str) -> Data
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return multimodal.jpeg_error_audit_420(d)
+
+
+@register(
+    "multimodal_audio_mulaw_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, CAST(240 + doc_id % 60 AS BIGINT) AS n
+               FROM documents),
+    s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+    x AS (SELECT doc_id, n,
+                 ((doc_id*31 + 7*i*i) % 16384) - 8192 AS v
+          FROM s),
+    enc AS (SELECT doc_id, n, v,
+                   CASE WHEN v < 0 THEN -1 ELSE 1 END AS sgn,
+                   LEAST(ABS(v), 32635) + 132 AS a
+            FROM x),
+    seg AS (SELECT doc_id, n, v, sgn, a,
+                   CASE WHEN a < 256 THEN 0 WHEN a < 512 THEN 1
+                        WHEN a < 1024 THEN 2 WHEN a < 2048 THEN 3
+                        WHEN a < 4096 THEN 4 WHEN a < 8192 THEN 5
+                        WHEN a < 16384 THEN 6 ELSE 7 END AS e
+            FROM enc),
+    dec AS (SELECT doc_id, n, v, e,
+                   sgn * ((((a // (1 << (e + 3))) % 16) * 8 + 132)
+                          * (1 << e) - 132) AS dv
+            FROM seg)
+    SELECT doc_id,
+           n AS n_samples,
+           n AS n_encoded_bytes,
+           CAST(SUM(dv) AS BIGINT) AS sum_decoded,
+           CAST(MAX(ABS(dv - v)) AS BIGINT) AS max_abs_err,
+           CAST(MIN(CASE WHEN ABS(dv - v) <= (1 << (e + 2)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS within_halfstep_bound
+    FROM dec GROUP BY doc_id, n
+    """,
+    tags=("multimodal", "audio", "g711", "mulaw", "lossy", "real-codec", "mapInPandas"),
+)
+def multimodal_audio_mulaw_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITU-T G.711 mu-law companding roundtrip — the telephony/VoIP audio
+    codec tier (operators/multimodal.py:mulaw_encode/mulaw_decode): each
+    doc synthesizes a full-range 14-bit PCM chirp (every mu-law segment
+    exercised), compands it through the REAL 8-bit logarithmic encode and
+    decodes back, and emits exact roundtrip statistics. Unlike the
+    float-DCT JPEG tier (bounded-error verdicts), G.711 is an ALL-INTEGER
+    lossy codec — bias 132, clip 32635, doubling segment steps per the
+    spec — so the DuckDB oracle replays the complete encode+decode chain
+    sample-for-sample and the hash gate checks the lossy output EXACTLY:
+    sum of decoded samples, max roundtrip error, and the per-sample
+    DERIVED half-step bound |decode(encode(x)) - x| <= 2^(e+2) (decode
+    reconstructs the segment-cell midpoint). 8:1 vs PCM16 stays a real
+    compression claim: n_encoded_bytes = n_samples.
+
+    Scale shape: one shuffle-free Arrow-batched mapInPandas stage; samples
+    never leave the batch (6 scalar columns per clip shuffle)."""
+    from data_ingestion_bra_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.mulaw_roundtrip_audit(d)
 
 
 @register(

@@ -408,7 +408,28 @@ GATE_ORDER: tuple[str, ...] = (
     #      web_warc_parse (web family keeps pagerank gated; r9+r10-verified).
     # All twelve displaced entries stay registered + hash-verified in the
     # committed full-catalog report (ORACLE_FULL_r11).
-    "dedup_exact_groups",
+    # Round-11c rotation (the session's four NEW capability classes get
+    # driver credit the round they are born — the round-10b pattern):
+    # IN:  approx_term_counts_cms (Count-Min sketch: point-query frequency
+    #      estimates, the fourth mergeable-summary member),
+    #      multimodal_audio_mulaw_roundtrip (ITU-T G.711 mu-law companding
+    #      — an all-integer REAL lossy audio codec with a bit-exact oracle),
+    #      events_trend_theil_sen (robust median-of-slopes trend, the
+    #      29.3%-breakdown monitor statistic),
+    #      linkage_customers_fellegi_sunter (probabilistic record linkage:
+    #      blocking + agreement patterns + two-threshold decision).
+    # OUT (every one verified green across many prior rounds; family reps
+    # stay gated):
+    #      dedup_exact_groups (r1..r10-verified; dedup keeps passages, SNM,
+    #      incremental, simhash, containment gated),
+    #      multimodal_audio_fingerprint (r9+r10-verified; audio keeps the
+    #      incoming mu-law REAL codec + audio_features gated, image/video
+    #      keep dhash + jpeg tiers),
+    #      events_anomaly_mad (r9+r10-verified; the monitor family rep is
+    #      the incoming robust-trend sibling, same daily-rollup shape),
+    #      sole_returning_suppliers (Q21, r1..r10-verified; join family
+    #      keeps the flagship broadcast join + full-outer gated).
+    # All four displaced entries stay hash-verified below the window.
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
     "dedup_incremental_batch",
@@ -438,7 +459,7 @@ GATE_ORDER: tuple[str, ...] = (
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_audio_fingerprint",
+    "multimodal_audio_mulaw_roundtrip",
     "multimodal_image_dhash",
     "dedup_doc_containment",
     "salted_agg_quantity",
@@ -451,6 +472,7 @@ GATE_ORDER: tuple[str, ...] = (
     "flagship_customer_orders",
     "agg_pricing_summary",
     "approx_distinct_users_kmv",
+    "approx_term_counts_cms",
     # PII scrub is a first-class curation capability; the semi-join it
     # displaces stays driver-covered through sole_returning_suppliers
     # (Q21: decorrelated EXISTS/NOT EXISTS → semi + anti) and remains
@@ -473,8 +495,8 @@ GATE_ORDER: tuple[str, ...] = (
     # Function suites + subqueries + TPC-H-shape joins.
     "web_link_pagerank",
     "subqueries_suite",
-    "sole_returning_suppliers",
-    "events_anomaly_mad",
+    "linkage_customers_fellegi_sunter",
+    "events_trend_theil_sen",
     # Temporal + headline TPC-H shapes.
     # Round-11 incoming (see rotation note above).
     "text_pmi_collocations",

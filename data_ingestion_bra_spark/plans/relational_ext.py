@@ -1395,3 +1395,139 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").cast("bigint").alias("min_recency_days"),
         F.max("frequency").cast("bigint").alias("max_frequency"),
     )
+
+
+@register(
+    "linkage_customers_fellegi_sunter",
+    """
+    WITH a AS (
+      SELECT c_custkey AS a_key, c_name AS name_a,
+             substr(c_name, length(c_name) - 2, 3) AS suffix_a,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents_a,
+             c_nationkey AS nation_a,
+             c_mktsegment AS blk_seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) // 10000 AS bucket
+      FROM customer
+    ),
+    b AS (
+      SELECT c_custkey AS b_key,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN replace(c_name, 'Customer', 'Custmer')
+                  ELSE c_name END AS name_b,
+             substr(c_name, length(c_name) - 2, 3) AS suffix_b,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+               + (c_custkey % 7) * 100 AS cents_b,
+             CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS nation_b,
+             CASE WHEN c_custkey % 13 = 0 THEN reverse(c_mktsegment)
+                  ELSE c_mktsegment END AS blk_seg,
+             (CAST(ROUND(c_acctbal * 100) AS BIGINT)
+              + (c_custkey % 7) * 100) // 10000 AS bucket
+      FROM customer
+    ),
+    p AS (SELECT * FROM a JOIN b USING (blk_seg, bucket)),
+    scored AS (
+      SELECT a_key, b_key,
+             CASE WHEN levenshtein(name_a, name_b) <= 1 THEN 1 ELSE 0 END AS f0,
+             CASE WHEN suffix_a = suffix_b THEN 1 ELSE 0 END AS f1,
+             CASE WHEN ABS(cents_a - cents_b) <= 700 THEN 1 ELSE 0 END AS f2,
+             CASE WHEN nation_a = nation_b THEN 1 ELSE 0 END AS f3
+      FROM p
+    ),
+    s AS (
+      SELECT a_key, b_key,
+             CAST(f0 + f1*2 + f2*4 + f3*8 AS BIGINT) AS pattern,
+             CAST(CASE WHEN f0 = 1 THEN 320 ELSE -160 END
+                + CASE WHEN f1 = 1 THEN 300 ELSE -100 END
+                + CASE WHEN f2 = 1 THEN 250 ELSE -180 END
+                + CASE WHEN f3 = 1 THEN 120 ELSE -220 END AS BIGINT) AS score_e2
+      FROM scored
+    )
+    SELECT a_key, b_key, pattern, score_e2,
+           CASE WHEN score_e2 >= 600 THEN 'match'
+                WHEN score_e2 >= 150 THEN 'possible'
+                ELSE 'non_match' END AS verdict,
+           CAST(a_key = b_key AS BIGINT) AS is_true
+    FROM s
+    """,
+    tags=("linkage", "entity-resolution", "fellegi-sunter", "blocking"),
+)
+def linkage_customers_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROBABILISTIC record linkage by the Fellegi-Sunter decision model
+    (JASA 1969) — the scoring tier entity resolution needs ABOVE candidate
+    generation (SNM/LSH say which pairs to look at; this says how much the
+    evidence supports a link). The fixture is the classic linkage
+    evaluation setup: the customer file linked against a deterministically
+    CORRUPTED mirror of itself (name typo every 5th key, acctbal drift
+    (k%7)*100 cents, nation bump every 11th, segment scramble every 13th)
+    so candidate pairs carry realistic mixed agreement patterns AND known
+    ground truth (``is_true``).
+
+    Chain (operators/linkage.py): BLOCKING equi-join on (market segment,
+    $100-acctbal bucket) — never an all-pairs product; four deterministic
+    field comparators (bounded Levenshtein, equality, difference window)
+    -> bit-packed agreement ``pattern``; committed integer centi-log-odds
+    weights (the langid/LM committed-weights discipline; EM would fit
+    these in production) -> ``score_e2``; two Fellegi-Sunter thresholds ->
+    match / possible / non_match. Every stage is integer/boolean SQL the
+    oracle replays bit-for-bit.
+
+    Scale shape: the corpus-sized work is two projections + one blocking
+    equi-join; scoring is row-local (zero added exchanges). Blocking-key
+    recall losses (acctbal drift across a bucket edge, segment scramble)
+    are the documented real-world trade; production adds passes with
+    rotated blocking keys exactly like the SNM multi-pass."""
+    from data_ingestion_bra_spark.operators.linkage import fellegi_sunter_score
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("name_a"),
+        F.expr("substring(c_name, length(c_name) - 2, 3)").alias("suffix_a"),
+        cents.alias("cents_a"),
+        F.col("c_nationkey").alias("nation_a"),
+        F.col("c_mktsegment").alias("blk_seg"),
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 10000").alias("bucket"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.expr(
+            "CASE WHEN c_custkey % 5 = 0"
+            " THEN replace(c_name, 'Customer', 'Custmer') ELSE c_name END"
+        ).alias("name_b"),
+        F.expr("substring(c_name, length(c_name) - 2, 3)").alias("suffix_b"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) * 100"
+        ).alias("cents_b"),
+        F.expr(
+            "CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25"
+            " ELSE c_nationkey END"
+        ).alias("nation_b"),
+        F.expr(
+            "CASE WHEN c_custkey % 13 = 0 THEN reverse(c_mktsegment)"
+            " ELSE c_mktsegment END"
+        ).alias("blk_seg"),
+        F.expr(
+            "(CAST(ROUND(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) * 100)"
+            " div 10000"
+        ).alias("bucket"),
+    )
+    pairs = a.join(b, ["blk_seg", "bucket"])
+    comparators = [
+        ("name", F.expr("levenshtein(name_a, name_b) <= 1"), 320, -160),
+        ("suffix", F.col("suffix_a") == F.col("suffix_b"), 300, -100),
+        ("acctbal", F.expr("abs(cents_a - cents_b) <= 700"), 250, -180),
+        ("nation", F.col("nation_a") == F.col("nation_b"), 120, -220),
+    ]
+    scored = fellegi_sunter_score(
+        pairs, comparators, match_threshold_e2=600, possible_threshold_e2=150
+    )
+    return scored.select(
+        "a_key",
+        "b_key",
+        "pattern",
+        "score_e2",
+        "verdict",
+        (F.col("a_key") == F.col("b_key")).cast("bigint").alias("is_true"),
+    )

@@ -931,3 +931,88 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("suppress"),
     )
+
+
+@register(
+    "events_trend_theil_sen",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST((b.n - a.n) * 10000 // (b.day - a.day) AS BIGINT) AS slope_e4
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+      SELECT event_type, slope_e4,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_e4) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM pairs
+    )
+    SELECT event_type,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope_e4 AS trend_slope_e4
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    tags=("temporal", "robust-statistics", "theil-sen", "monitoring"),
+)
+def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST trend of daily event volume per type — the Theil–Sen
+    estimator (Theil 1950 / Sen 1968): the median of all pairwise slopes
+    between daily counts. Unlike an OLS slope, it has a 29.3% breakdown
+    point — a burst day, an outage day, or an ingest backfill spike moves
+    the estimate by at most one rank, which is exactly the robustness an
+    ingest-volume monitor needs (the MAD anomaly entry flags single days;
+    this reports the underlying drift direction/magnitude those outliers
+    would corrupt). Slopes are integer fixed-point events/day*1e4 via the
+    truncation-parity floor division (tests/test_engine_div_parity.py);
+    the median is the deterministic LOWER median (rank (n+1) div 2), so
+    the whole statistic is hash-exact across engines.
+
+    Scale shape: the corpus-sized work is ONE partial-aggregable daily
+    rollup (events shuffle by (type, day) once); the O(d^2) pair join runs
+    over the per-type DAILY series, whose size is bounded by the time
+    range (~days^2 rows per type), never by corpus volume — at 100 TB the
+    pair relation is still tiny. The daily relation feeds both sides of
+    the self-join, so it is checkpointed once (exchange reuse does not
+    cover window/aggregate subtrees)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("day"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select("event_type", F.col("day").alias("day_a"), F.col("n").alias("n_a"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            F.expr("CAST((n_b - n_a) * 10000 div (day_b - day_a) AS BIGINT)").alias(
+                "slope_e4"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_e4")
+    wc = Window.partitionBy("event_type")
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(wc).cast("bigint")
+    )
+    return ranked.filter(F.expr("rn = (n_pairs + 1) div 2")).select(
+        "event_type", "n_pairs", F.col("slope_e4").alias("trend_slope_e4")
+    )

@@ -78,6 +78,7 @@ PYTHON_ALLOWED = {
     # error verdicts, same Arrow-batched contract (pixels never shuffle)
     "multimodal_image_jpeg_gradient",
     "multimodal_image_jpeg_gradient_420",
+    "multimodal_audio_mulaw_roundtrip",
     # real video containers: ISO-BMFF (MP4) box walk, header-only — same
     # zero-decode contract as the JPEG metadata tier
     "multimodal_video_mp4_meta",

@@ -201,3 +201,84 @@ def test_null_keys_ignored_matches_prefiltered_input(spark):
     assert {g for g, _ in got} == {"g1"}
     with pytest.raises(ValueError, match="nulls"):
         kmv_summaries(df, ["g"], "k", 8, nulls="bogus")
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_without_collisions(spark):
+    from data_ingestion_bra_spark.operators.sketch import (
+        cms_estimates,
+        cms_summaries,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 7
+    df = spark.createDataFrame(rows, "k string").repartition(3)
+    summ = cms_summaries(df, "k", depth=3, width=1024)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "k string")
+    got = {r["k"]: r["estimate"] for r in cms_estimates(summ, keys, "k").collect()}
+    # 3 keys in a 1024-wide grid: no collisions, estimates are exact;
+    # an absent key can only be overestimated (>= 0), never negative
+    assert got["a"] == 50 and got["b"] == 30 and got["c"] == 7
+    assert got["zzz"] >= 0
+
+
+def test_cms_merge_equals_single_pass(spark):
+    """Counting is linear: cell-wise sum of per-epoch sketches must be
+    BYTE-identical to one sketch of the whole stream — the property that
+    makes CMS valid standing streaming state."""
+    from data_ingestion_bra_spark.operators.sketch import cms_merge, cms_summaries
+
+    rows = [(f"k{i % 17}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    whole = {
+        (r["j"], r["col"]): r["cell"]
+        for r in cms_summaries(df, "k", depth=3, width=64).collect()
+    }
+    parts = [
+        cms_summaries(
+            df.filter(F.crc32(F.col("k")) % 3 == i), "k", depth=3, width=64
+        )
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = {(r["j"], r["col"]): r["cell"] for r in cms_merge(u).collect()}
+    assert merged == whole
+
+
+def test_cms_null_contract(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from data_ingestion_bra_spark.operators.sketch import cms_summaries
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        cms_summaries(df, "k", depth=2, width=16).collect()
+    ok = cms_summaries(df, "k", depth=2, width=16, nulls="ignore").collect()
+    assert sum(r["cell"] for r in ok) == 2 * 2  # 2 non-null keys x depth 2
+    with pytest.raises(ValueError, match="nulls"):
+        cms_summaries(df, "k", depth=2, width=16, nulls="bogus")
+    with pytest.raises(ValueError, match="depth"):
+        cms_summaries(df, "k", depth=0, width=16)
+
+
+def test_cms_hash_is_engine_portable(spark):
+    import duckdb
+
+    from data_ingestion_bra_spark.operators.sketch import cms_hash_expr
+
+    keys = ["hello", "wörld", "123", "k:with:colons"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", cms_hash_expr("k", 2, 1024).alias("h")).collect()
+    }
+    for k in keys:
+        want = duckdb.sql(
+            f"SELECT ('0x' || substr(md5(2 || ':' || '{k}'), 1, 12))::BIGINT % 1024"
+        ).fetchone()[0]
+        assert got[k] == want, k
