@@ -71,6 +71,12 @@ SHOWCASE: list[tuple[str, str]] = [
     ("approx_distinct_users_kmv", "KMV sketch: one (group,hash) distinct shuffle + per-group bottom-k window; estimate is a codegen floor division — the sketch itself is hash-checkable"),
     ("text_phrase_search", "phrase query: per-term filtered postings chained by (doc, pos+offset) equi-joins — cost tracks the rarest posting list, not corpus bytes"),
     ("multimodal_image_jpeg_gradient", "lossy audit: synth + Annex-K encode + decode + error verdicts in ONE Arrow-batched MapInPandas — pixels never shuffle, 8 scalars per image do"),
+    # round 11
+    ("multimodal_image_jpeg_gradient_420", "4:2:0 audit: chroma downsample + subsampled-MCU decode + replication upsample inside the same single MapInPandas — still zero shuffles"),
+    ("approx_term_counts_cms", "Count-Min: ONE partial-agg groupBy over a 3-way stacked projection builds the grid; probes are a summary-sized broadcast join — at most depth×width rows ever shuffle"),
+    ("multimodal_audio_mulaw_roundtrip", "G.711 companding: synth + encode + decode + exact stats in ONE Arrow-batched MapInPandas — samples never leave the batch"),
+    ("events_trend_theil_sen", "Theil-Sen: one partial-agg daily rollup touches the corpus; the O(d²) pair self-join runs over the checkpointed |days×types| aggregate"),
+    ("linkage_customers_fellegi_sunter", "Fellegi-Sunter: two projections + ONE blocking equi-join; agreement vector, score and verdict are row-local codegen — zero added exchanges"),
 ]
 
 
