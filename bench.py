@@ -1202,6 +1202,42 @@ def _cardinality_maintenance_bench(
         out["n_groups"] = len(est)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+    # Sibling store, same section budget: the Count-Min fold (point-query
+    # frequency member of the mergeable family) priced the same way.
+    from data_ingestion_bra_spark.streaming.cms_maintenance import (
+        cms_maintenance_writer,
+        current_estimates as cms_current_estimates,
+        current_sketch,
+    )
+
+    store = tempfile.mkdtemp(prefix="cms_bench_store_")
+    try:
+        events = load_table(spark, sf_dir, "events").select("user_id")
+        writer = cms_maintenance_writer(
+            store, key_col="user_id", depth=3, width=1024, query_id="bench-cms"
+        )
+        epoch_secs = []
+        for e in range(n_epochs):
+            batch = events.filter(
+                F.crc32(F.col("user_id").cast("string")) % n_epochs == e
+            )
+            t0 = time.perf_counter()
+            writer(batch, e)
+            epoch_secs.append(time.perf_counter() - t0)
+        cms: dict = {
+            "sec_per_epoch_median": round(_median(epoch_secs), 3),
+            "sec_per_epoch": [round(s, 3) for s in epoch_secs],
+            "standing_sketch_rows": current_sketch(spark, store).count(),
+        }
+        keys = events.distinct().limit(32)
+        t0 = time.perf_counter()
+        cms["n_probed"] = cms_current_estimates(
+            spark, store, keys, "user_id", depth=3, width=1024
+        ).count()
+        cms["serve_probe_sec"] = round(time.perf_counter() - t0, 3)
+        out["cms"] = cms
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
     return out
 
 
@@ -1669,6 +1705,7 @@ EXTENDED_QUERIES = [
     "multimodal_audio_mulaw_roundtrip",
     "events_trend_theil_sen",
     "linkage_customers_fellegi_sunter",
+    "approx_quantiles_histogram",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

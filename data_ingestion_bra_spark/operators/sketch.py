@@ -235,3 +235,100 @@ def cms_estimates(
     return joined.groupBy(key_col).agg(
         F.min("cell").cast("bigint").alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile summaries — the QUANTILE member of the
+# mergeable-summary family (the deterministic fixed-bin alternative to
+# GK/KLL: those trade determinism for adaptivity; on a bounded integer
+# domain — cents, micros, day numbers, token counts — fixed bins give a
+# HARD error bound of one bin width, exact cell-wise-sum mergeability
+# (counting is linear, the CMS argument), and bit-reproducibility any SQL
+# oracle replays). Summary size is at most n_bins rows per group forever.
+# ---------------------------------------------------------------------------
+
+
+def histogram_summaries(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lo: int,
+    bin_width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group equi-width histogram of a BIGINT value column over the
+    domain ``[lo, lo + bin_width*n_bins)``: one row per non-empty bin,
+    ``(*group_cols, bin, cnt)``. Out-of-domain values clamp to the edge
+    bins (the summary still counts them; their bin just saturates — the
+    documented behavior for a monitoring quantile). ONE partial-aggregable
+    groupBy; nothing value-shaped survives it."""
+    if bin_width < 1 or n_bins < 1:
+        raise ValueError("bin_width and n_bins must be >= 1")
+    bin_expr = F.least(
+        F.greatest(
+            F.expr(
+                f"(CAST(`{value_col}` AS BIGINT) - CAST({int(lo)} AS BIGINT))"
+                f" div {int(bin_width)}"
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(int(n_bins - 1)).cast("bigint"),
+    )
+    return (
+        df.select(*group_cols, bin_expr.cast("bigint").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def histogram_merge(summaries: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge any union of per-group histograms: cell-wise sum — EXACT."""
+    return summaries.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    summaries: DataFrame,
+    group_cols: list[str],
+    qs_e4: list[int],
+    *,
+    lo: int,
+    bin_width: int,
+) -> DataFrame:
+    """Quantile estimates from per-group histograms: for each q (fixed
+    point, e4), the estimate is the UPPER EDGE of the first bin whose
+    cumulative count reaches rank ceil(q*N/1e4) — so the true discrete
+    quantile lies in ``(est - bin_width, est]``, a derived hard bound of
+    one bin width. Output: ``(*group_cols, q_e4, n, est_hi)``, all BIGINT.
+    All work is summary-sized (cumsum window per group over <= n_bins
+    rows)."""
+    w = Window.partitionBy(*group_cols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = summaries.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn).cast("bigint")
+    )
+    qdf = None
+    for q in qs_e4:
+        part = cum.withColumn("q_e4", F.lit(int(q)).cast("bigint"))
+        qdf = part if qdf is None else qdf.unionByName(part)
+    assert qdf is not None, "qs_e4 must be non-empty"
+    hit = qdf.filter(
+        F.col("cum") >= F.expr("CAST((q_e4 * n + 9999) div 10000 AS BIGINT)")
+    )
+    first = (
+        hit.groupBy(*group_cols, "q_e4", "n")
+        .agg(F.min("bin").alias("bin"))
+        .withColumn(
+            "est_hi",
+            (
+                F.lit(int(lo))
+                + (F.col("bin") + 1) * F.lit(int(bin_width))
+                - F.lit(1)
+            ).cast("bigint"),
+        )
+    )
+    return first.select(*group_cols, "q_e4", "n", "est_hi")

@@ -467,7 +467,13 @@ GATE_ORDER: tuple[str, ...] = (
     "text_heavy_hitters",
     "text_bpe_roundtrip",
     "txlog_incremental_matview",
-    "curation_rejection_report",
+    # Round-11d: the quantile member of the mergeable-summary family gets
+    # driver credit (approx_quantiles_histogram IN — hard one-bin-width
+    # bound, exact mergeability, hash-gated containment verdicts);
+    # curation_rejection_report OUT (r9+r10-verified; curation keeps the
+    # gated ccnet pipeline, the reporting class keeps keyness + the gated
+    # manifest row; stays hash-verified below the window).
+    "approx_quantiles_histogram",
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
     "agg_pricing_summary",

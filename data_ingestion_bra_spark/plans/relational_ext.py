@@ -1531,3 +1531,112 @@ def linkage_customers_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFr
         "verdict",
         (F.col("a_key") == F.col("b_key")).cast("bigint").alias("is_true"),
     )
+
+
+@register(
+    "approx_quantiles_histogram",
+    """
+    WITH v AS (SELECT l_returnflag,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c
+               FROM lineitem),
+    hist AS (SELECT l_returnflag,
+                    LEAST(GREATEST(c // 4096, 0), 4095) AS bin,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM v GROUP BY l_returnflag, bin),
+    qs AS (SELECT unnest([5000, 9000, 9900]) AS q_e4),
+    cum AS (SELECT l_returnflag, bin, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY l_returnflag
+                                       ORDER BY bin) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+            FROM hist),
+    hit AS (SELECT l_returnflag, q_e4, n, MIN(bin) AS bin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= (q_e4 * n + 9999) // 10000
+            GROUP BY l_returnflag, q_e4, n),
+    est AS (SELECT l_returnflag, CAST(q_e4 AS BIGINT) AS q_e4, n,
+                   CAST((bin + 1) * 4096 - 1 AS BIGINT) AS est_hi_cents
+            FROM hit),
+    ranked AS (SELECT l_returnflag, c,
+                      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+                      COUNT(*) OVER (PARTITION BY l_returnflag) AS nn
+               FROM v),
+    exact AS (SELECT r.l_returnflag, CAST(q.q_e4 AS BIGINT) AS q_e4,
+                     CAST(r.c AS BIGINT) AS exact_cents
+              FROM ranked r CROSS JOIN qs q
+              WHERE r.rn = (q.q_e4 * r.nn + 9999) // 10000)
+    SELECT e.l_returnflag, e.q_e4, e.n, e.est_hi_cents, x.exact_cents,
+           CAST(x.exact_cents <= e.est_hi_cents
+                AND x.exact_cents > e.est_hi_cents - 4096 AS BIGINT) AS within_bin
+    FROM est e JOIN exact x
+      ON e.l_returnflag = x.l_returnflag AND e.q_e4 = x.q_e4
+    """,
+    tags=("sketch", "quantile", "histogram", "approx", "mergeable-summary"),
+)
+def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from an EQUI-WIDTH HISTOGRAM summary — the
+    QUANTILE member of the mergeable-summary family (LSH: membership, MG:
+    frequent keys, KMV: distinct counts, CMS: any-key frequency, this:
+    distribution shape). The deterministic fixed-bin alternative to
+    GK/KLL: on a bounded integer domain (price cents here; micros, day
+    numbers, token counts generally), 4096 bins x 4096-cent width give a
+    HARD derived error bound of one bin width — the true discrete
+    quantile provably lies in (est - 4096, est] — with exact cell-wise-sum
+    mergeability (counting is linear, the CMS argument) and a summary of
+    at most n_bins rows per group forever. p50/p90/p99 of extended price
+    per return flag, with the exact rank-based quantile riding alongside
+    and the containment verdict hash-gated corpus-wide.
+
+    Plan shape (operators/sketch.py): the corpus-sized work is ONE
+    partial-aggregable (group, bin) groupBy; the cumsum window and the
+    rank selection run over <= n_bins summary rows per group. The exact
+    side (a full per-group sort window) exists for the self-audit at
+    fixture scale — at 100 TB only the histogram build touches the data.
+    Power-of-two bin widths keep every edge computation exact in BIGINT on
+    both engines."""
+    from pyspark.sql.window import Window as W
+
+    from data_ingestion_bra_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_summaries,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    ).localCheckpoint(eager=True)  # feeds the histogram AND the exact audit
+    hist = histogram_summaries(
+        v, ["l_returnflag"], "c", lo=0, bin_width=4096, n_bins=4096
+    )
+    est = histogram_quantiles(
+        hist, ["l_returnflag"], [5000, 9000, 9900], lo=0, bin_width=4096
+    ).select(
+        "l_returnflag",
+        "q_e4",
+        "n",
+        F.col("est_hi").alias("est_hi_cents"),
+    )
+    ranked = v.withColumn(
+        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("c"))
+    ).withColumn(
+        "nn", F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).cast("bigint")
+    )
+    qs = spark.createDataFrame([(5000,), (9000,), (9900,)], "q_e4 bigint")
+    exact = (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.expr("rn = (q_e4 * nn + 9999) div 10000"))
+        .select("l_returnflag", "q_e4", F.col("c").cast("bigint").alias("exact_cents"))
+    )
+    return est.join(exact, ["l_returnflag", "q_e4"]).select(
+        "l_returnflag",
+        "q_e4",
+        "n",
+        "est_hi_cents",
+        "exact_cents",
+        (
+            (F.col("exact_cents") <= F.col("est_hi_cents"))
+            & (F.col("exact_cents") > F.col("est_hi_cents") - 4096)
+        )
+        .cast("bigint")
+        .alias("within_bin"),
+    )

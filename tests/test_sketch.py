@@ -282,3 +282,74 @@ def test_cms_hash_is_engine_portable(spark):
             f"SELECT ('0x' || substr(md5(2 || ':' || '{k}'), 1, 12))::BIGINT % 1024"
         ).fetchone()[0]
         assert got[k] == want, k
+
+
+# --- Equi-width histogram quantile summaries --------------------------------
+
+
+def test_histogram_merge_equals_single_pass(spark):
+    from data_ingestion_bra_spark.operators.sketch import (
+        histogram_merge,
+        histogram_summaries,
+    )
+
+    rows = [("g", (i * 37) % 1000) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    whole = {
+        (r["g"], r["bin"]): r["cnt"]
+        for r in histogram_summaries(
+            df, ["g"], "v", lo=0, bin_width=64, n_bins=16
+        ).collect()
+    }
+    parts = [
+        histogram_summaries(
+            df.filter(F.col("v") % 3 == i), ["g"], "v", lo=0, bin_width=64, n_bins=16
+        )
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = {
+        (r["g"], r["bin"]): r["cnt"] for r in histogram_merge(u, ["g"]).collect()
+    }
+    assert merged == whole
+
+
+def test_histogram_quantile_one_bin_bound(spark):
+    """For every q, the exact discrete quantile lies in (est-bin_width, est]
+    — the derived hard bound, checked against a brute-force sort."""
+    from data_ingestion_bra_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_summaries,
+    )
+
+    vals = sorted(((i * 193) % 5000) for i in range(777))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    hist = histogram_summaries(df, ["g"], "v", lo=0, bin_width=256, n_bins=32)
+    qs = [1000, 5000, 9000, 9999]
+    got = {
+        r["q_e4"]: (r["n"], r["est_hi"])
+        for r in histogram_quantiles(
+            hist, ["g"], qs, lo=0, bin_width=256
+        ).collect()
+    }
+    n = len(vals)
+    for q in qs:
+        target = (q * n + 9999) // 10000
+        exact = vals[target - 1]
+        n_got, est = got[q]
+        assert n_got == n
+        assert est - 256 < exact <= est, (q, exact, est)
+
+
+def test_histogram_clamps_out_of_domain(spark):
+    from data_ingestion_bra_spark.operators.sketch import histogram_summaries
+
+    df = spark.createDataFrame(
+        [("g", -50), ("g", 10), ("g", 99999)], "g string, v long"
+    )
+    got = {r["bin"]: r["cnt"] for r in histogram_summaries(
+        df, ["g"], "v", lo=0, bin_width=16, n_bins=4
+    ).collect()}
+    assert got == {0: 2, 3: 1}  # -50 clamps to bin 0, 99999 to the top bin

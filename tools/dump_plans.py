@@ -77,6 +77,7 @@ SHOWCASE: list[tuple[str, str]] = [
     ("multimodal_audio_mulaw_roundtrip", "G.711 companding: synth + encode + decode + exact stats in ONE Arrow-batched MapInPandas — samples never leave the batch"),
     ("events_trend_theil_sen", "Theil-Sen: one partial-agg daily rollup touches the corpus; the O(d²) pair self-join runs over the checkpointed |days×types| aggregate"),
     ("linkage_customers_fellegi_sunter", "Fellegi-Sunter: two projections + ONE blocking equi-join; agreement vector, score and verdict are row-local codegen — zero added exchanges"),
+    ("approx_quantiles_histogram", "histogram quantiles: ONE partial-agg (group,bin) groupBy touches the corpus; cumsum + rank selection run over <= n_bins summary rows per group"),
 ]
 
 
