@@ -2127,7 +2127,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         (
             "cardinality_maintenance",
             "SPARK_GRAFT_SKIP_CARDINALITY_MAINT",
-            40,
+            60,  # prices BOTH the KMV store and the CMS store folds
             cardinality_stream,
         ),
         ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 120, incremental),
