@@ -163,7 +163,11 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - text_pmi_collocations / text_keyness_by_source: the 1-ROW corpus-total
 #    frame broadcasts onto the count relations (1 × N, the text_bm25_topk
 #    shape); all other joins are term/source equi-keys.
+#  - approx_quantiles_histogram: the 3-ROW quantile frame broadcasts onto
+#    the exact-audit rank relation (3 × N, the corpus-total shape); the
+#    sketch path itself and the est↔exact join are pure equi-joins.
 BNLJ_ALLOWED = {
+    "approx_quantiles_histogram",
     "similarity_bitext_ivf",
     "text_pmi_collocations",
     "text_keyness_by_source",
