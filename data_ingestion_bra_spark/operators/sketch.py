@@ -332,3 +332,40 @@ def histogram_quantiles(
         )
     )
     return first.select(*group_cols, "q_e4", "n", "est_hi")
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar 1996,
+# the assignment rule consistent hashing popularized: doc d goes to the
+# shard s maximizing hash(s, d). The property that matters at 100 TB is
+# MINIMAL DISRUPTION on resharding: growing N -> N+1 moves exactly the
+# docs whose new-shard weight wins (expected 1/(N+1) of the corpus), and
+# every moved doc lands ON THE NEW SHARD — nothing reshuffles between
+# existing shards (each old shard's winner among the old set is unchanged).
+# Deterministic md5-prefix weights make assignments engine-portable, so a
+# SQL oracle replays every argmax and the minimal-disruption property is a
+# hash-gated verdict, not a claim.
+# ---------------------------------------------------------------------------
+
+
+def rendezvous_shard_expr(id_col, n_shards: int) -> "F.Column":
+    """Row-local HRW assignment: argmax over ``n_shards`` md5-prefix
+    weights, packed as struct(w, s) and reduced with array_max (struct
+    ordering breaks the impossible tie by shard id). Zero shuffles."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    cells = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{s}:"), c.cast("string"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint").alias("w"),
+            F.lit(s).cast("bigint").alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return F.array_max(F.array(*cells))["s"]

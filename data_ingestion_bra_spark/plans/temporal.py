@@ -1016,3 +1016,160 @@ def events_trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.expr("rn = (n_pairs + 1) div 2")).select(
         "event_type", "n_pairs", F.col("slope_e4").alias("trend_slope_e4")
     )
+
+
+@register(
+    "sketch_users_intersection_kmv",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM events
+    ),
+    rk AS (SELECT event_type, h,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+           FROM h),
+    summ AS (SELECT event_type, h FROM rk WHERE rk <= 64),
+    tp AS (SELECT DISTINCT event_type FROM events),
+    pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+           FROM tp a JOIN tp b ON a.event_type < b.event_type),
+    ua AS (SELECT pr.type_a, pr.type_b, s.h
+           FROM pr JOIN summ s ON s.event_type = pr.type_a),
+    ub AS (SELECT pr.type_a, pr.type_b, s.h
+           FROM pr JOIN summ s ON s.event_type = pr.type_b),
+    u AS (SELECT DISTINCT type_a, type_b, h FROM (
+            SELECT * FROM ua UNION ALL SELECT * FROM ub)),
+    ur AS (SELECT type_a, type_b, h,
+                  ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                                     ORDER BY h) AS rk,
+                  COUNT(*) OVER (PARTITION BY type_a, type_b) AS n_u
+           FROM u),
+    th AS (SELECT type_a, type_b,
+                  CAST(MAX(h) AS BIGINT) AS theta,
+                  CAST(MAX(n_u) AS BIGINT) AS n_u,
+                  CAST(COUNT(*) AS BIGINT) AS k_eff
+           FROM ur WHERE rk <= 64 GROUP BY type_a, type_b),
+    common AS (SELECT ua.type_a, ua.type_b, ua.h
+               FROM ua JOIN ub USING (type_a, type_b, h)),
+    cc AS (SELECT c.type_a, c.type_b,
+                  CAST(COUNT(*) AS BIGINT) AS c_common
+           FROM common c JOIN th USING (type_a, type_b)
+           WHERE c.h <= th.theta
+           GROUP BY c.type_a, c.type_b),
+    ue AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (SELECT pr.type_a, pr.type_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+           FROM pr
+           JOIN ue a ON a.event_type = pr.type_a
+           JOIN ue b ON b.event_type = pr.type_b AND b.user_id = a.user_id
+           GROUP BY pr.type_a, pr.type_b)
+    SELECT th.type_a, th.type_b,
+           COALESCE(ex.n_exact_inter, 0) AS n_exact_inter,
+           th.theta,
+           COALESCE(cc.c_common, 0) AS c_common,
+           CAST(CASE WHEN th.n_u < 64 THEN COALESCE(cc.c_common, 0)
+                     ELSE COALESCE(cc.c_common, 0) * 281474976710656 // th.theta
+                END AS BIGINT) AS est_inter
+    FROM th
+    LEFT JOIN cc USING (type_a, type_b)
+    LEFT JOIN ex USING (type_a, type_b)
+    """,
+    tags=("sketch", "kmv", "set-algebra", "intersection", "mergeable-summary"),
+)
+def sketch_users_intersection_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-ALGEBRA over KMV sketches — the theta-sketch idea (Dasgupta et
+    al., the Apache DataSketches lineage): estimate |A ∩ B| for every
+    event-type pair WITHOUT touching raw keys, from the per-type bottom-k
+    summaries alone. The union's k-th smallest hash theta defines a
+    deterministic sampling region [0, theta]; hashes below theta present
+    in BOTH summaries are a uniform sample of the intersection, so
+    est = c_common · 2^48 div theta (one BIGINT floor division; when the
+    union summary holds < k hashes the summaries ARE the sets and
+    c_common is exact). Everything is a deterministic function of the
+    data — the oracle rebuilds both sketches and replays every estimate
+    bit-for-bit — and the exact intersection rides alongside as the
+    self-audit, exactly like the KMV cardinality entry.
+
+    Why it matters at 100 TB: cross-dataset overlap questions (shared
+    users across products, shared documents across crawls) become
+    summary-sized joins over standing sketch stores
+    (streaming/cardinality_maintenance.py) instead of key-level joins
+    across corpora.
+
+    Plan shape: sketches from the existing one-(group,hash)-distinct
+    shuffle; everything after is |pairs| x k rows — windows and joins over
+    640 rows here, summary-sized at any corpus scale."""
+    from data_ingestion_bra_spark.operators.sketch import KMV_SPACE, kmv_summaries
+
+    k = 64
+    e = load_table(spark, sf_dir, "events")
+    summ = kmv_summaries(e, ["event_type"], "user_id", k).localCheckpoint(
+        eager=True
+    )  # feeds BOTH pair sides and the union
+    tp = summ.select("event_type").distinct()
+    pr = (
+        tp.select(F.col("event_type").alias("type_a"))
+        .join(tp.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    ua = pr.join(
+        summ.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h")
+    ub = pr.join(
+        summ.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h")
+    u = ua.unionByName(ub).distinct()
+    wr = Window.partitionBy("type_a", "type_b").orderBy("h")
+    wc = Window.partitionBy("type_a", "type_b")
+    ur = u.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n_u", F.count(F.lit(1)).over(wc)
+    )
+    th = (
+        ur.filter(F.col("rk") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.max("h").cast("bigint").alias("theta"),
+            F.max("n_u").cast("bigint").alias("n_u"),
+        )
+    )
+    common = ua.join(ub, ["type_a", "type_b", "h"]).select("type_a", "type_b", "h")
+    cc = (
+        common.join(th, ["type_a", "type_b"])
+        .filter(F.col("h") <= F.col("theta"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_common"))
+    )
+    ue = e.select("event_type", "user_id").distinct()
+    ex = (
+        pr.join(ue.select(F.col("event_type").alias("type_a"), "user_id"), "type_a")
+        .join(
+            ue.select(F.col("event_type").alias("type_b"), "user_id"),
+            ["type_b", "user_id"],
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_inter"))
+    )
+    return (
+        th.join(cc, ["type_a", "type_b"], "left")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("n_exact_inter", F.lit(0)).cast("bigint").alias(
+                "n_exact_inter"
+            ),
+            "theta",
+            F.coalesce("c_common", F.lit(0)).cast("bigint").alias("c_common"),
+            F.when(
+                F.col("n_u") < k, F.coalesce("c_common", F.lit(0))
+            )
+            .otherwise(
+                F.expr(
+                    f"coalesce(c_common, 0) * CAST({KMV_SPACE} AS BIGINT)"
+                    " div theta"
+                )
+            )
+            .cast("bigint")
+            .alias("est_inter"),
+        )
+    )
