@@ -1706,6 +1706,8 @@ EXTENDED_QUERIES = [
     "events_trend_theil_sen",
     "linkage_customers_fellegi_sunter",
     "approx_quantiles_histogram",
+    "corpus_shard_rendezvous",
+    "sketch_users_intersection_kmv",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

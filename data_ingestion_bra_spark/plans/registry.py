@@ -432,7 +432,16 @@ GATE_ORDER: tuple[str, ...] = (
     # All four displaced entries stay hash-verified below the window.
     "dedup_repeated_passages",
     "dedup_sorted_neighborhood",
-    "dedup_incremental_batch",
+    # Round-11e: the session's last two new classes get driver credit:
+    # corpus_shard_rendezvous (HRW minimal-disruption resharding — verdict
+    # columns prove docs only move TO the new shard) IN for
+    # dedup_incremental_batch OUT (r7c..r10-verified; dedup keeps
+    # repeated_passages/SNM/simhash/contamination gated and the
+    # signature-store machinery stays pytest-verified in streaming tests);
+    # sketch_users_intersection_kmv (theta-style set algebra over KMV
+    # summaries) IN for dedup_doc_containment OUT (r10-verified green;
+    # the containment shape stays hash-verified below the window).
+    "corpus_shard_rendezvous",
     "dedup_simhash_full",
     "curation_ccnet_pipeline",
     "similarity_bitext_ivf",
@@ -461,7 +470,7 @@ GATE_ORDER: tuple[str, ...] = (
     # hash-verified in the full-catalog report.
     "multimodal_audio_mulaw_roundtrip",
     "multimodal_image_dhash",
-    "dedup_doc_containment",
+    "sketch_users_intersection_kmv",
     "salted_agg_quantity",
     "dedup_contamination_bloom",
     "text_heavy_hitters",

@@ -1107,9 +1107,11 @@ def sketch_users_intersection_kmv(spark: SparkSession, sf_dir: str) -> DataFrame
         eager=True
     )  # feeds BOTH pair sides and the union
     tp = summ.select("event_type").distinct()
+    # |types| x |types| pair frame: a deliberately-broadcast tiny cross
+    # (5 x 5 here; |groups|^2 generally — pairs of SKETCHES, never of keys)
     pr = (
         tp.select(F.col("event_type").alias("type_a"))
-        .join(tp.select(F.col("event_type").alias("type_b")))
+        .join(F.broadcast(tp.select(F.col("event_type").alias("type_b"))))
         .filter(F.col("type_a") < F.col("type_b"))
     )
     ua = pr.join(

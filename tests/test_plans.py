@@ -166,8 +166,12 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - approx_quantiles_histogram: the 3-ROW quantile frame broadcasts onto
 #    the exact-audit rank relation (3 × N, the corpus-total shape); the
 #    sketch path itself and the est↔exact join are pure equi-joins.
+#  - sketch_users_intersection_kmv: the |groups|x|groups| PAIR frame is a
+#    deliberately-broadcast tiny cross (pairs of sketches, never of keys);
+#    all sketch-row joins are (type, h) equi-keys.
 BNLJ_ALLOWED = {
     "approx_quantiles_histogram",
+    "sketch_users_intersection_kmv",
     "similarity_bitext_ivf",
     "text_pmi_collocations",
     "text_keyness_by_source",

@@ -353,3 +353,58 @@ def test_histogram_clamps_out_of_domain(spark):
         df, ["g"], "v", lo=0, bin_width=16, n_bins=4
     ).collect()}
     assert got == {0: 2, 3: 1}  # -50 clamps to bin 0, 99999 to the top bin
+
+
+# --- KMV set intersection + rendezvous sharding ------------------------------
+
+
+def test_kmv_intersection_estimator_partial_overlap(spark):
+    """Known ground truth: |A|=1000, |B|=1000, |A∩B|=500. The theta-region
+    estimator at k=64 must land within the ~1/sqrt(k) error regime (a
+    generous 4-sigma band here) and be EXACTLY 0 for disjoint sets."""
+    from data_ingestion_bra_spark.operators.sketch import KMV_SPACE, kmv_summaries
+
+    k = 64
+    rows = [("A", f"u{i}") for i in range(1000)] + [
+        ("B", f"u{i}") for i in range(500, 1500)
+    ] + [("C", f"v{i}") for i in range(800)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    summ = {g: None for g in ("A", "B", "C")}
+    s = kmv_summaries(df, ["g"], "k", k)
+    hs = {g: sorted(r["h"] for r in s.filter(F.col("g") == g).collect()) for g in summ}
+
+    def est_inter(a, b):
+        union = sorted(set(hs[a]) | set(hs[b]))[:k]
+        theta = union[-1]
+        c = len({h for h in hs[a] if h <= theta} & {h for h in hs[b] if h <= theta})
+        return c * KMV_SPACE // theta
+
+    e_ab = est_inter("A", "B")
+    assert 500 * 0.5 <= e_ab <= 500 * 1.5, e_ab  # 4-sigma-ish band at k=64
+    assert est_inter("A", "C") == 0  # disjoint key spaces
+
+
+def test_rendezvous_minimal_disruption_and_balance(spark):
+    """HRW growing N -> N+1: every moved id lands ON THE NEW shard, the
+    moved fraction is ~1/(N+1), and the N-shard assignment is balanced."""
+    from data_ingestion_bra_spark.operators.sketch import rendezvous_shard_expr
+
+    n = 2000
+    df = spark.range(n).select(F.col("id").cast("string").alias("doc"))
+    a = df.select(
+        rendezvous_shard_expr("doc", 8).alias("s8"),
+        rendezvous_shard_expr("doc", 9).alias("s9"),
+    ).collect()
+    moved = [r for r in a if r["s8"] != r["s9"]]
+    assert all(r["s9"] == 8 for r in moved)  # never between existing shards
+    frac = len(moved) / n
+    assert 0.05 <= frac <= 0.18, frac  # ~1/9 with slack
+    from collections import Counter
+
+    c = Counter(r["s8"] for r in a)
+    assert len(c) == 8
+    assert max(c.values()) < 2.0 * min(c.values())  # rough balance
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        rendezvous_shard_expr("doc", 0)

@@ -78,6 +78,8 @@ SHOWCASE: list[tuple[str, str]] = [
     ("events_trend_theil_sen", "Theil-Sen: one partial-agg daily rollup touches the corpus; the O(d²) pair self-join runs over the checkpointed |days×types| aggregate"),
     ("linkage_customers_fellegi_sunter", "Fellegi-Sunter: two projections + ONE blocking equi-join; agreement vector, score and verdict are row-local codegen — zero added exchanges"),
     ("approx_quantiles_histogram", "histogram quantiles: ONE partial-agg (group,bin) groupBy touches the corpus; cumsum + rank selection run over <= n_bins summary rows per group"),
+    ("corpus_shard_rendezvous", "HRW resharding: assignment is a row-local struct argmax riding the scan; the only aggregation is the 16-cell (shard8, shard9) rollup"),
+    ("sketch_users_intersection_kmv", "KMV set algebra: sketches from one (group,hash) distinct shuffle; every pair-wise stage after is |pairs| x k summary rows"),
 ]
 
 
