@@ -73,6 +73,22 @@ def _load_all() -> None:
 #: (e.g. cube when grouping-sets is gated, sliding when tumbling is gated)
 #: follow after and remain hash-verified by ``tools/check_oracle.py`` across
 #: the whole catalog. Names not listed keep registration order at the end.
+#: Round-12 rotation material, computed end of round 11 (catalog minus all
+#: CORRECTNESS_r01..r10 rows minus the current window — 31 entries never
+#: driver-gated): agg_filtered_counts, approx_percentile_quantity,
+#: arrayagg_orders_per_customer, bilateral_trade_volumes,
+#: corpus_cluster_report, corpus_dataset_card, corpus_shard_shuffle,
+#: curation_model_pipeline, dedup_canonical_selection,
+#: dedup_contamination_spans, dedup_exact_per_domain, dedup_lsh_calibration,
+#: embedding_dim_stats, events_gap_fill_daily, histogram_order_totals,
+#: minby_maxby_per_status, multimodal_image_jpeg_meta,
+#: multimodal_video_gif_meta, multimodal_video_mp4_meta,
+#: orders_above_customer_avg, salted_distinct_parts,
+#: sample_stratified_orders, sample_upsample_epochs,
+#: text_bpe_fertility_by_lang, text_chunk_overlap,
+#: text_cut_contaminated_spans, text_cut_repeated_passages,
+#: text_token_counts_subword, txlog_metadata_stats,
+#: web_domain_blocklist_stats, web_robots_filter.
 GATE_ORDER: tuple[str, ...] = (
     # LLM-data tier: each row of the capability table gets driver credit.
     # Round-5 rotation (verdict item 7 + the round's new capabilities):
