@@ -1708,6 +1708,7 @@ EXTENDED_QUERIES = [
     "approx_quantiles_histogram",
     "corpus_shard_rendezvous",
     "sketch_users_intersection_kmv",
+    "events_forecast_backtest_snaive",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

@@ -88,7 +88,8 @@ def _load_all() -> None:
 #: text_bpe_fertility_by_lang, text_chunk_overlap,
 #: text_cut_contaminated_spans, text_cut_repeated_passages,
 #: text_token_counts_subword, txlog_metadata_stats,
-#: web_domain_blocklist_stats, web_robots_filter.
+#: web_domain_blocklist_stats, web_robots_filter; plus the round-11
+#: below-window newcomer events_forecast_backtest_snaive.
 GATE_ORDER: tuple[str, ...] = (
     # LLM-data tier: each row of the capability table gets driver credit.
     # Round-5 rotation (verdict item 7 + the round's new capabilities):

@@ -1175,3 +1175,96 @@ def sketch_users_intersection_kmv(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("est_inter"),
         )
     )
+
+
+@register(
+    "events_forecast_backtest_snaive",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT event_type, day, n,
+             lag(n, 7) OVER w AS snaive,
+             lag(n, 1) OVER w AS naive1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    scored AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+             CAST(SUM(ABS(n - snaive)) AS BIGINT) AS sae_snaive,
+             CAST(SUM(ABS(n - naive1)) AS BIGINT) AS sae_naive1
+      FROM lagged WHERE snaive IS NOT NULL AND naive1 IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_days_scored, sae_snaive, sae_naive1,
+           CAST(CASE WHEN sae_naive1 = 0 THEN NULL
+                     ELSE sae_snaive * 10000 // sae_naive1 END AS BIGINT)
+             AS mase_e4,
+           CAST(sae_snaive <= sae_naive1 AS BIGINT) AS beats_naive
+    FROM scored
+    """,
+    tags=("temporal", "forecasting", "backtest", "monitoring"),
+)
+def events_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTESTING for ingest-volume planning: score the
+    seasonal-naive forecaster (predict today = same weekday last week —
+    the baseline every forecasting paper must beat) against the naive-1
+    baseline (predict today = yesterday) over the daily event series, per
+    type. The headline statistic is MASE (Hyndman & Koehler 2006) with the
+    in-sample denominator replaced by the naive-1 backtest SAE — a pure
+    ratio of two integer absolute-error sums, emitted fixed-point
+    (``mase_e4 < 10000`` ⇔ weekly seasonality carries real signal), so
+    the whole scorecard is hash-exact across engines. ``beats_naive`` is
+    the gate a pipeline would alert on (seasonality broke ⇒ mix shift).
+
+    Scale shape: the corpus-sized work is the SAME single partial-agg
+    daily rollup the monitor tier uses; both forecasters are lag() windows
+    over the |days × types| aggregate, and the scorecard is one roll-up.
+    Rows where either lag is undefined (first week) are excluded on both
+    engines identically."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("day"),
+            "n",
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("snaive", F.lag("n", 7).over(w)).withColumn(
+        "naive1", F.lag("n", 1).over(w)
+    )
+    scored = (
+        lagged.filter(F.col("snaive").isNotNull() & F.col("naive1").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            F.sum(F.abs(F.col("n") - F.col("snaive")))
+            .cast("bigint")
+            .alias("sae_snaive"),
+            F.sum(F.abs(F.col("n") - F.col("naive1")))
+            .cast("bigint")
+            .alias("sae_naive1"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "n_days_scored",
+        "sae_snaive",
+        "sae_naive1",
+        F.when(F.col("sae_naive1") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("CAST(sae_snaive * 10000 div sae_naive1 AS BIGINT)"))
+        .alias("mase_e4"),
+        (F.col("sae_snaive") <= F.col("sae_naive1")).cast("bigint").alias(
+            "beats_naive"
+        ),
+    )
