@@ -165,12 +165,20 @@ def heavy_hitters_exact_topk(
         # by the MG bound, and trusting the tail row's count would certify
         # a top-k that is provably missing true members (extreme-skew
         # corpora with few surviving counters but >= k distinct keys).
-        # The limit bounds the probe at n_rows+1 distinct rows.
+        # Probe: does ANY row carry a key outside the materialized set? A
+        # broadcast left_anti + limit(1) short-circuits the scan on the
+        # first witness (LocalLimit stops tasks early) and never runs a
+        # distinct-key shuffle — the full-aggregate cost this operator's
+        # contract exists to avoid.
         keys = df.select(key_col)
         if nulls == "ignore":
             keys = keys.filter(F.col(key_col).isNotNull())
-        distinct_capped = keys.distinct().limit(n_rows + 1).count()
-        if distinct_capped <= n_rows:
+        witness = (
+            keys.join(F.broadcast(out.select(key_col)), key_col, "left_anti")
+            .limit(1)
+            .count()
+        )
+        if witness == 0:
             return out  # complete enumeration of the key set — exact
         kth = 0  # force the raise below: candidates exist that MG lost
     else:

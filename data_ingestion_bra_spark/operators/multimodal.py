@@ -1094,10 +1094,28 @@ JPEG_SMOOTH_ERR_PIN_420 = 32
 #: the ramp fixture's RGB gradients (R = 12x+4y+c, G = 4x+12y+c,
 #: B = 8x+8y+c — _synth_ramp_pixels) and the BT.601 chroma rows; the
 #: subsampling deviation term of the 4:2:0 bound derives from these.
-_RAMP_GRAD_X = (12.0, 4.0, 8.0)
-_RAMP_GRAD_Y = (4.0, 12.0, 8.0)
-_CB_ROW = (-0.168736, -0.331264, 0.5)
-_CR_ROW = (0.5, -0.418688, -0.081312)
+_RAMP_GRAD_X = (12, 4, 8)
+_RAMP_GRAD_Y = (4, 12, 8)
+_CB_ROW = ("-0.168736", "-0.331264", "0.5")
+_CR_ROW = ("0.5", "-0.418688", "-0.081312")
+
+#: |cos(k*pi/16)| for k = 0..8 as LITERAL 15-digit rationals — the only
+#: irrational inputs to the derived bound, frozen so the computation is
+#: exact rational arithmetic end-to-end (no libm/platform dependence; the
+#: float-path int() truncation sat one rounding error away from flipping
+#: the oracle literal). tests/test_jpeg_codec.py pins each against
+#: math.cos to 1e-12 and the final bound to 778.
+_COS16_Q = (
+    "1",
+    "0.980785280403230",
+    "0.923879532511287",
+    "0.831469612302545",
+    "0.707106781186548",
+    "0.555570233019602",
+    "0.382683432365090",
+    "0.195090322016128",
+    "0",
+)
 
 
 def _derived_quant_bound_420_int() -> int:
@@ -1111,35 +1129,52 @@ def _derived_quant_bound_420_int() -> int:
     1.402x the Cr error). The +1 inside each chroma term covers the source
     floor- and box-mean roundings; the final +2 covers the color-transform
     and clamp roundings on either side. Recomputed at runtime so a table
-    or fixture change breaks the oracle's literal LOUDLY."""
-    import numpy as np
+    or fixture change breaks the oracle's literal LOUDLY — and computed in
+    EXACT Fraction arithmetic over literal rational constants, so the
+    recomputation can never flip the literal via a platform rounding
+    difference at the int() boundary (ADVICE r11)."""
+    from fractions import Fraction
 
     from data_ingestion_bra_spark.operators import jpeg as _jpeg
 
-    D = _jpeg._dct_matrix()
+    cos_q = [Fraction(c) for c in _COS16_Q]
 
-    def worst(qt) -> float:
-        q = np.array(qt, dtype=float).reshape(8, 8)
+    def dct_abs(u: int, x: int) -> Fraction:
+        # |D[u,x]| with D[u,x] = 0.5 * cu * cos((2x+1)u * pi/16),
+        # cu = 1/sqrt(2) = cos(4*pi/16) for u == 0 else 1.
+        m = ((2 * x + 1) * u) % 16
+        if m > 8:
+            m = 16 - m
+        cu = cos_q[4] if u == 0 else Fraction(1)
+        return Fraction(1, 2) * cu * cos_q[m]
+
+    def worst(qt) -> Fraction:
+        q = [Fraction(int(v)) for v in qt]
         return max(
-            sum(q[u, v] / 2 * abs(D[u, x] * D[v, y]) for u in range(8) for v in range(8))
+            sum(
+                q[u * 8 + v] / 2 * dct_abs(u, x) * dct_abs(v, y)
+                for u in range(8)
+                for v in range(8)
+            )
             for x in range(8)
             for y in range(8)
         )
 
     e_y = worst(_jpeg.QUANT_LUMA_K1)
     e_c = worst(_jpeg.QUANT_CHROMA_K2)
-    gx, gy = np.array(_RAMP_GRAD_X), np.array(_RAMP_GRAD_Y)
 
-    def dev(row) -> float:
-        r = np.array(row)
-        return (abs(float(r @ gx)) + abs(float(r @ gy))) / 2.0
+    def dev(row) -> Fraction:
+        r = [Fraction(v) for v in row]
+        dot_x = sum(ri * gi for ri, gi in zip(r, _RAMP_GRAD_X))
+        dot_y = sum(ri * gi for ri, gi in zip(r, _RAMP_GRAD_Y))
+        return (abs(dot_x) + abs(dot_y)) / 2
 
-    e_cb = e_c + dev(_CB_ROW) + 1.0
-    e_cr = e_c + dev(_CR_ROW) + 1.0
+    e_cb = e_c + dev(_CB_ROW) + 1
+    e_cr = e_c + dev(_CR_ROW) + 1
     per_channel = max(
-        1.402 * e_cr,  # R
-        0.344136 * e_cb + 0.714136 * e_cr,  # G
-        1.772 * e_cb,  # B
+        Fraction("1.402") * e_cr,  # R
+        Fraction("0.344136") * e_cb + Fraction("0.714136") * e_cr,  # G
+        Fraction("1.772") * e_cb,  # B
     )
     return int(e_y + per_channel) + 2
 

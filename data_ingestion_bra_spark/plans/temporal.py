@@ -1177,14 +1177,62 @@ def sketch_users_intersection_kmv(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _dense_daily_counts(e: DataFrame) -> DataFrame:
+    """Per-type daily event counts DENSIFIED over each type's min..max day
+    (epoch-day BIGINT), with n=0 for days that produced no events.
+
+    Shared harness for the forecast-backtest tier: lag()/fold offsets over
+    this relation are calendar offsets by construction. The sparse rollup
+    is checkpointed once because it feeds two consumers (the per-type
+    bounds aggregate and the dense left join) and AQE exchange reuse does
+    not cover aggregate subtrees. Corpus-sized work is the one rollup;
+    everything after runs on |days × types| rows."""
+    sparse = (
+        e.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("day"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    dense = sparse.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1)")).alias("day"),
+    )
+    return dense.join(sparse, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+
+
 @register(
     "events_forecast_backtest_snaive",
     """
-    WITH daily AS (
+    WITH sparse AS (
       SELECT event_type,
              (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY event_type
+    ),
+    dense AS (
+      SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT dense.event_type, dense.day,
+             CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+      FROM dense LEFT JOIN sparse USING (event_type, day)
     ),
     lagged AS (
       SELECT event_type, day, n,
@@ -1221,24 +1269,22 @@ def events_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFra
     the whole scorecard is hash-exact across engines. ``beats_naive`` is
     the gate a pipeline would alert on (seasonality broke ⇒ mix shift).
 
+    The per-type day range is DENSIFIED before the lag windows (min..max
+    day, n=0 for absent days): lag() is a ROW offset, so on a sparse
+    series lag(n, 7) would drift off the same-weekday phase after any
+    gap and zero-volume days — exactly the days a volume monitor cares
+    about — would be silently excluded from both SAE sums. With the
+    dense series, lag 7 ≡ calendar day−7 and lag 1 ≡ calendar day−1 by
+    construction.
+
     Scale shape: the corpus-sized work is the SAME single partial-agg
-    daily rollup the monitor tier uses; both forecasters are lag() windows
-    over the |days × types| aggregate, and the scorecard is one roll-up.
-    Rows where either lag is undefined (first week) are excluded on both
-    engines identically."""
+    daily rollup the monitor tier uses; densification, both forecasters'
+    lag() windows, and the scorecard all run over the |days × types|
+    aggregate (the rollup is checkpointed once — it feeds both the
+    bounds aggregate and the dense left join). Rows where either lag is
+    undefined (first week) are excluded on both engines identically."""
     e = load_table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type",
-            F.to_date(F.col("ts").cast("timestamp")).alias("d"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            "event_type",
-            F.datediff("d", F.lit("1970-01-01")).cast("bigint").alias("day"),
-            "n",
-        )
-    )
+    daily = _dense_daily_counts(e)
     w = Window.partitionBy("event_type").orderBy("day")
     lagged = daily.withColumn("snaive", F.lag("n", 7).over(w)).withColumn(
         "naive1", F.lag("n", 1).over(w)

@@ -24,6 +24,17 @@ epoch) are anti-joined out of the batch before any consumer sees them, so
 a re-delivered doc neither duplicates store rows (which would inflate
 later n_shared counts) nor flags against its own stored fingerprints.
 
+CONTENT-IDENTITY CONTRACT: ``doc_id`` names immutable content — an
+upstream UPDATE must arrive under a new doc_id (the medallion tier's CDC
+path, not this monitor, owns mutation). The drop-on-redelivery rule is
+only sound under that contract, so it is ENFORCED, not assumed: a
+re-delivered doc_id whose fingerprint set differs from the stored set
+(i.e. its text changed) is detected by a per-doc symmetric set-difference
+probe against the store and, by default, raises — silently dropping it
+would leave stale fingerprints standing forever while the new content is
+never flagged. Pass ``on_changed_redelivery="ignore"`` only for sources
+known to re-send byte-identical payloads with nondeterministic envelopes.
+
 FLAGS COMMIT FIRST (the dedup-maintenance ordering argument): a crash
 between the commits replays the epoch against a store that still excludes
 the batch, so the recomputed flags are identical and no-op on the key;
@@ -61,10 +72,16 @@ def overlap_maintenance_writer(
     window: int = 4,
     min_shared: int = 2,
     hot_cap: int = 50,
+    on_changed_redelivery: str = "error",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch hook: flag overlaps of the arriving batch (vs store AND
     within batch, >= ``min_shared`` shared fingerprints), then fold the
     batch's fingerprints into the store — both exactly-once per epoch."""
+    if on_changed_redelivery not in ("error", "ignore"):
+        raise ValueError(
+            "on_changed_redelivery must be 'error' or 'ignore', got "
+            f"{on_changed_redelivery!r}"
+        )
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -89,6 +106,42 @@ def overlap_maintenance_writer(
             # against its own stored fingerprints — silently breaking the
             # stream==batch invariant this module pins. Anti-join on doc
             # drops already-ingested docs before ANY consumer sees them.
+            #
+            # Dropping is only sound if the re-delivered content is THE
+            # SAME content (doc_id = immutable identity, module contract).
+            # Enforce it: a re-delivered doc whose fingerprint set differs
+            # from the stored set changed upstream — surfacing it beats
+            # keeping stale fingerprints forever and never flagging the
+            # new text. Both probes are equi-joins bounded by the batch's
+            # redelivered docs (batch-sized side broadcast by AQE).
+            if on_changed_redelivery == "error":
+                stored_docs = store.select("doc").distinct()
+                redelivered = new_fp.join(stored_docs, "doc", "left_semi")
+                store_of_redelivered = store.select("doc", "fp").join(
+                    redelivered.select("doc").distinct(), "doc", "left_semi"
+                )
+                changed = (
+                    redelivered.join(
+                        store_of_redelivered, ["doc", "fp"], "left_anti"
+                    )
+                    .select("doc")
+                    .unionByName(
+                        store_of_redelivered.join(
+                            redelivered, ["doc", "fp"], "left_anti"
+                        ).select("doc")
+                    )
+                    .distinct()
+                )
+                sample = [r["doc"] for r in changed.limit(5).collect()]
+                if sample:
+                    raise ValueError(
+                        "overlap_maintenance: re-delivered doc_id(s) with "
+                        f"CHANGED content (fingerprint sets differ): "
+                        f"{sample} — doc_id is an immutable content "
+                        "identity; route updates through a new doc_id (or "
+                        "pass on_changed_redelivery='ignore' for sources "
+                        "that re-send identical payloads)"
+                    )
             new_fp = new_fp.join(
                 store.select("doc").distinct(), "doc", "left_anti"
             )

@@ -1,0 +1,101 @@
+"""Forecast-backtest harness tests — sparse-series densification semantics.
+
+The ADVICE-r11 medium finding: lag(n, 7)/lag(n, 1) are ROW offsets, so on
+a daily series with gaps 'snaive' stops meaning same-weekday-last-week and
+zero-volume days are silently excluded from both SAE sums. The fix
+densifies each type's min..max day range with n=0 before the lag windows;
+these tests pin that behavior on synthetic sparse fixtures.
+"""
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_ingestion_bra_spark.plans.temporal import (
+    _dense_daily_counts,
+    events_forecast_backtest_snaive,
+)
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_type, day_offset, n_events). Writes an events
+    parquet with the fixture schema; day 0 = 2024-01-01 (a Monday)."""
+    base = dt.datetime(2024, 1, 1)
+    recs = []
+    eid = 0
+    for etype, day, n in rows:
+        for i in range(n):
+            recs.append(
+                {
+                    "event_id": eid,
+                    "ts": base + dt.timedelta(days=day, minutes=i),
+                    "user_id": eid % 7,
+                    "event_type": etype,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    df = pd.DataFrame.from_records(recs)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_dense_daily_counts_fills_gaps_with_zero(spark, tmp_path):
+    sf = _write_events(tmp_path, [("click", 0, 3), ("click", 2, 5), ("click", 6, 1)])
+    e = spark.read.parquet(sf + "/events.parquet")
+    out = {
+        r["day"]: r["n"]
+        for r in _dense_daily_counts(e).collect()
+    }
+    d0 = min(out)
+    # span 0..6 relative to the first day: 7 dense rows, zeros at gaps
+    assert len(out) == 7
+    assert [out[d0 + i] for i in range(7)] == [3, 0, 5, 0, 0, 0, 1]
+
+
+def test_snaive_keeps_weekday_phase_across_gaps(spark, tmp_path):
+    """A perfectly weekly-periodic series with one zero-volume day: with
+    dense semantics snaive is exact (SAE 0 on every scored day except the
+    two days the gap itself perturbs), and crucially the forecaster stays
+    on the same-weekday phase AFTER the gap. Row-offset semantics would
+    shift the phase for every post-gap day and score nonzero errors
+    forever."""
+    weekly = [10, 20, 30, 40, 50, 60, 70]  # Mon..Sun pattern
+    rows = []
+    for day in range(28):  # 4 full weeks
+        n = weekly[day % 7]
+        if day == 9:  # one silent day (Wednesday of week 2)
+            continue
+        rows.append(("click", day, n))
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r["event_type"]: r
+        for r in events_forecast_backtest_snaive(spark, sf).collect()
+    }
+    r = out["click"]
+    # dense span is 28 days; first 7 are warm-up
+    assert r["n_days_scored"] == 21
+    # errors: day 9 (0 vs snaive 30), day 16 (30 vs snaive 0) -> SAE 60.
+    # Phase is preserved: day 23 forecasts from day 16's true 30 again.
+    assert r["sae_snaive"] == 60
+    # naive1 on this sawtooth is far worse; snaive must win
+    assert r["beats_naive"] == 1
+    assert r["mase_e4"] < 10000
+
+
+def test_snaive_zero_volume_days_are_scored_not_dropped(spark, tmp_path):
+    """Constant series with two missing days: the zero days must appear
+    in the SAE sums (old behavior dropped them entirely)."""
+    rows = [("view", day, 8) for day in range(21) if day not in (10, 11)]
+    sf = _write_events(tmp_path, rows)
+    r = events_forecast_backtest_snaive(spark, sf).collect()[0]
+    assert r["n_days_scored"] == 14  # 21 dense days - 7 warm-up
+    # snaive errors: days 10,11 (0 vs 8), days 17,18 (8 vs 0) -> 32
+    assert r["sae_snaive"] == 32

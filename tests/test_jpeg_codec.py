@@ -399,6 +399,16 @@ def test_gradient_420_error_bounds():
     hard = _derived_quant_bound_420_int()
     assert hard == 778  # the oracle literal — a table/fixture change lands here
     assert JPEG_SMOOTH_ERR_PIN_420 < hard
+    # The derivation is exact rational arithmetic; its only approximated
+    # inputs are the literal |cos(k*pi/16)| rationals — pin them to libm
+    # so the frozen constants can never drift from the real DCT.
+    import math
+    from fractions import Fraction
+
+    from data_ingestion_bra_spark.operators.multimodal import _COS16_Q
+
+    for k, lit in enumerate(_COS16_Q):
+        assert abs(float(Fraction(lit)) - math.cos(k * math.pi / 16)) < 1e-12
     mx = 0
     for doc_id in range(0, 256, 3):  # ramp-family sweep, all 64 geometries
         w, h, pix = _synth_ramp_pixels(doc_id)

@@ -130,3 +130,36 @@ def test_cross_epoch_redelivery_is_dropped(spark, tmp_path):
         for r in txlog.read_snapshot(spark, flags_dir).collect()
     }
     assert got == want
+
+
+def test_changed_redelivery_raises_not_silently_dropped(spark, tmp_path):
+    """A re-delivered doc_id whose TEXT changed (upstream update) violates
+    the immutable-content-identity contract: by default the writer raises
+    instead of silently dropping the new fingerprints (which would leave
+    the stale ones standing forever and never flag the new text)."""
+    import pytest
+
+    df = _corpus(spark)
+    store, flags_dir = str(tmp_path / "s4"), str(tmp_path / "f4")
+    w = overlap_maintenance_writer(store, flags_dir, query_id="chg")
+    w(df.filter(F.col("doc_id").isin([1, 2])), 0)
+    mutated = spark.createDataFrame(
+        [(1, "entirely different replacement body for document one zzz yy")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="CHANGED content"):
+        w(mutated, 1)
+    # the store must be untouched by the failed epoch
+    assert txlog.read_snapshot(spark, store).filter(
+        F.col("doc") == 1
+    ).count() > 0
+    # identical re-delivery still sails through silently (the contract's
+    # legitimate case) under the default 'error' mode
+    w(df.filter(F.col("doc_id") == 1), 2)
+    assert txlog.read_snapshot(spark, flags_dir).count() == 0
+    # and 'ignore' restores the old drop-without-looking behavior
+    w2 = overlap_maintenance_writer(
+        store, flags_dir, query_id="chg2", on_changed_redelivery="ignore"
+    )
+    w2(mutated, 3)  # no raise
+    assert txlog.read_snapshot(spark, flags_dir).count() == 0
