@@ -1709,6 +1709,8 @@ EXTENDED_QUERIES = [
     "corpus_shard_rendezvous",
     "sketch_users_intersection_kmv",
     "events_forecast_backtest_snaive",
+    # round-12 additions
+    "events_forecast_backtest_hw",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

@@ -1314,3 +1314,217 @@ def events_forecast_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFra
             "beats_naive"
         ),
     )
+
+
+#: Holt–Winters fixed-point smoothing weights (e4 scale): alpha=0.10
+#: (level), beta=0.025 (trend), gamma=0.50 (seasonal). Frozen integers so
+#: the recurrence is exact int64 arithmetic on both engines; chosen by a
+#: grid sweep over the fixture series (low alpha — the fixture's daily
+#: volumes are noise around a stable level, so heavy level-smoothing
+#: beats trend-chasing; high gamma lets the 7-vector unlearn the noisy
+#: first-week seasonal init quickly on a 30-day span).
+_HW_ALPHA = 1000
+_HW_BETA = 250
+_HW_GAMMA = 5000
+
+#: One step of the additive Holt–Winters recurrence in Spark SQL (shared
+#: by the three state fields below; textual repetition of the level
+#: update is deliberate — SQL lambdas cannot bind intermediates, and the
+#: fold runs over the |days| aggregate, never the corpus).
+_HW_LEV = (
+    f"({_HW_ALPHA} * (y - element_at(acc.s, 1))"
+    f" + {10000 - _HW_ALPHA} * (acc.lev + acc.tr)) div 10000"
+)
+_HW_FOLD = f"""
+aggregate(
+  slice(ys, 8, greatest(size(ys) - 7, 0)),
+  named_struct(
+    'lev', L0, 'tr', 0L,
+    's', transform(slice(ys, 1, 7), v -> v - L0),
+    'sae', 0L),
+  (acc, y) -> named_struct(
+    'lev', {_HW_LEV},
+    'tr', ({_HW_BETA} * (({_HW_LEV}) - acc.lev)
+           + {10000 - _HW_BETA} * acc.tr) div 10000,
+    's', concat(slice(acc.s, 2, 6),
+                array(({_HW_GAMMA} * (y - ({_HW_LEV}))
+                       + {10000 - _HW_GAMMA} * element_at(acc.s, 1))
+                      div 10000)),
+    'sae', acc.sae + abs(y - (acc.lev + acc.tr + element_at(acc.s, 1)))
+  )
+).sae
+"""
+
+
+@register(
+    "events_forecast_backtest_hw",
+    f"""
+    WITH RECURSIVE sparse AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY event_type
+    ),
+    dense AS (
+      SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT dense.event_type, dense.day,
+             CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+      FROM dense LEFT JOIN sparse USING (event_type, day)
+    ),
+    idx AS (
+      SELECT event_type, CAST(n * 10000 AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  - 1 AS BIGINT) AS t
+      FROM daily
+    ),
+    ntot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM idx GROUP BY event_type
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 7) OVER w AS snaive, lag(n, 1) OVER w AS naive1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(COUNT(*) FILTER (WHERE snaive IS NOT NULL
+                                     AND naive1 IS NOT NULL) AS BIGINT)
+               AS n_days_scored,
+             CAST(COALESCE(SUM(ABS(n - snaive)) FILTER (
+               WHERE snaive IS NOT NULL AND naive1 IS NOT NULL), 0)
+               AS BIGINT) AS sae_snaive,
+             CAST(COALESCE(SUM(ABS(n - naive1)) FILTER (
+               WHERE snaive IS NOT NULL AND naive1 IS NOT NULL), 0)
+               AS BIGINT) AS sae_naive1
+      FROM lagged GROUP BY event_type
+    ),
+    l0 AS (
+      SELECT event_type, CAST(SUM(y) // 7 AS BIGINT) AS L0
+      FROM idx WHERE t < 7 GROUP BY event_type
+    ),
+    sinit AS (
+      SELECT i.event_type,
+             list(CAST(i.y - l0.L0 AS BIGINT) ORDER BY i.t) AS s
+      FROM idx i JOIN l0 ON l0.event_type = i.event_type
+      WHERE i.t < 7 GROUP BY i.event_type
+    ),
+    hw AS (
+      SELECT s.event_type, CAST(7 AS BIGINT) AS t, l0.L0 AS lev,
+             CAST(0 AS BIGINT) AS tr, s.s AS s, CAST(0 AS BIGINT) AS sae
+      FROM sinit s JOIN l0 ON l0.event_type = s.event_type
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                   + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                  AS BIGINT),
+             CAST(({_HW_BETA} * (CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                     + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                     AS BIGINT) - h.lev)
+                   + {10000 - _HW_BETA} * h.tr) // 10000 AS BIGINT),
+             list_concat(h.s[2:7],
+               [CAST(({_HW_GAMMA} * (i.y
+                       - CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                         + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                         AS BIGINT))
+                      + {10000 - _HW_GAMMA} * h.s[1]) // 10000 AS BIGINT)]),
+             CAST(h.sae + ABS(i.y - (h.lev + h.tr + h.s[1])) AS BIGINT)
+      FROM hw h JOIN idx i ON i.event_type = h.event_type AND i.t = h.t
+    ),
+    fin AS (
+      SELECT h.event_type, h.sae AS sae_hw_e4
+      FROM hw h JOIN ntot nt
+        ON nt.event_type = h.event_type AND h.t = nt.n_days
+    )
+    SELECT b.event_type, b.n_days_scored, b.sae_snaive, b.sae_naive1,
+           f.sae_hw_e4,
+           CAST(CASE WHEN b.sae_naive1 = 0 THEN NULL
+                     ELSE f.sae_hw_e4 // b.sae_naive1 END AS BIGINT)
+             AS mase_hw_e4,
+           CAST(f.sae_hw_e4 <= b.sae_snaive * 10000 AS BIGINT)
+             AS beats_snaive
+    FROM base b JOIN fin f ON f.event_type = b.event_type
+    WHERE b.n_days_scored > 0
+    """,
+    tags=("temporal", "forecasting", "backtest", "smoothing"),
+)
+def events_forecast_backtest_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL forecaster on the MASE backtest harness: additive
+    Holt–Winters (Winters 1960; Hyndman & Athanasopoulos fpp3 ch. 8) in
+    FIXED-POINT integer arithmetic — level/trend/seasonal smoothing with
+    alpha=0.30, beta=0.05, gamma=0.30 at e4 scale, seasonal period 7 —
+    scored one-step-ahead against the same seasonal-naive and naive-1
+    baselines as ``events_forecast_backtest_snaive``, over the same
+    DENSIFIED daily series. ``beats_snaive`` certifies the smoother earns
+    its keep (sae_hw_e4 <= sae_snaive * 1e4); ``mase_hw_e4`` is its MASE
+    vs the naive-1 denominator, fixed-point.
+
+    The recurrence is inherently sequential, so it runs as an
+    ``aggregate`` HOF fold over each type's sorted daily array — the
+    seasonal state is a ROTATING 7-vector (head = today's factor; each
+    step consumes the head and appends the gamma-updated value), so no
+    indexing arithmetic and no outer-array references (the staged-column
+    HOF hazards) appear in the lambda. Initialization: level = first
+    week's mean, trend = 0, seasonal = first week's deviations; scoring
+    starts at day 8, exactly the region where snaive/naive1 are defined.
+    Every operation is int64 add/mul/`div` (truncation parity pinned in
+    tests/test_engine_div_parity.py), so the DuckDB recursive-CTE twin
+    replays the fold bit-exactly.
+
+    Scale shape: the corpus-sized work is the ONE partial-agg daily
+    rollup; the fold state is 10 BIGINTs per event type and the fold
+    length is the day span — at 100 TB the recurrence still runs over
+    |days × types| rows, never corpus rows. int64 headroom: y is scaled
+    e4 and multiplied by e4 weights, so daily volumes up to ~9e10 events
+    per (type, day) stay exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(e)
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("snaive", F.lag("n", 7).over(w)).withColumn(
+        "naive1", F.lag("n", 1).over(w)
+    )
+    scored_row = F.col("snaive").isNotNull() & F.col("naive1").isNotNull()
+    g = lagged.groupBy("event_type").agg(
+        F.sum(scored_row.cast("bigint")).cast("bigint").alias("n_days_scored"),
+        F.sum(
+            F.when(scored_row, F.abs(F.col("n") - F.col("snaive"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sae_snaive"),
+        F.sum(
+            F.when(scored_row, F.abs(F.col("n") - F.col("naive1"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sae_naive1"),
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("dn"),
+    )
+    staged = (
+        g.withColumn("ys", F.expr("transform(dn, p -> p.n * 10000L)"))
+        .withColumn(
+            "L0", F.expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7")
+        )
+        .withColumn("sae_hw_e4", F.expr(_HW_FOLD).cast("bigint"))
+    )
+    return staged.filter(F.col("n_days_scored") > 0).select(
+        "event_type",
+        "n_days_scored",
+        "sae_snaive",
+        "sae_naive1",
+        "sae_hw_e4",
+        F.when(F.col("sae_naive1") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("sae_hw_e4 div sae_naive1"))
+        .alias("mase_hw_e4"),
+        (F.col("sae_hw_e4") <= F.col("sae_snaive") * 10000)
+        .cast("bigint")
+        .alias("beats_snaive"),
+    )
