@@ -1711,6 +1711,7 @@ EXTENDED_QUERIES = [
     "events_forecast_backtest_snaive",
     # round-12 additions
     "events_forecast_backtest_hw",
+    "text_winnowing_overlap_incremental",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

@@ -1801,10 +1801,12 @@ def approx_term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_winnowing_overlap",
-    r"""
-    WITH base AS (
+#: The winnowing fingerprint relation as a DuckDB CTE chain (doc, fp) —
+#: bit-for-bit replay of operators/text.py:winnowing_fingerprints with
+#: k=8, window=4: gram rolling hash, code packing (rightmost-min tie
+#: break), frame-bounded window MIN selection. Shared by the batch
+#: forensics oracle and the incremental serve-path oracle.
+_WINNOW_FPS_CTE = r"""base AS (
       SELECT doc_id AS doc,
              regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
       FROM documents
@@ -1831,7 +1833,14 @@ def approx_term_counts_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps AS (
       SELECT DISTINCT doc, sel_code // 1048576 AS fp
       FROM sel WHERE pos <= np - 4 + 1
-    ),
+    )"""
+
+
+@register(
+    "text_winnowing_overlap",
+    "WITH "
+    + _WINNOW_FPS_CTE
+    + """,
     keep AS (
       SELECT doc, fp FROM fps
       WHERE fp NOT IN (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) > 50)
@@ -1889,6 +1898,74 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 32)
+    )
+
+
+@register(
+    "text_winnowing_overlap_incremental",
+    "WITH "
+    + _WINNOW_FPS_CTE
+    + """,
+    store AS (SELECT doc, fp FROM fps WHERE doc % 10 <> 0),
+    batch AS (SELECT doc, fp FROM fps WHERE doc % 10 = 0),
+    hot AS (SELECT fp FROM store GROUP BY fp HAVING COUNT(*) > 50),
+    probe AS (SELECT doc, fp FROM batch WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT p.doc AS doc_new, s.doc AS doc_old,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM probe p JOIN store s ON s.fp = p.fp
+    GROUP BY p.doc, s.doc
+    HAVING COUNT(*) >= 32
+    """,
+    tags=("text", "fingerprint", "winnowing", "incremental", "streaming-twin"),
+)
+def text_winnowing_overlap_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE PATH of the streaming overlap store
+    (streaming/overlap_maintenance.py): an arriving BATCH (doc_id % 10 == 0
+    stands in for the daily crawl increment, the convention
+    ``dedup_incremental_batch`` set for LSH) is winnowed and its
+    fingerprints equi-joined against the STANDING store (the rest of the
+    corpus) — the exact per-epoch vs-store flag computation the
+    foreachBatch writer runs at the front door, as an oracle-twinned batch
+    relation. Same parameters as the batch forensics tier (k=8, window=4)
+    with the WRITER's hot-cap semantics: fingerprints already in > 50
+    STORE docs are dropped from the batch's join side (per-key fanout
+    bound), and pairs sharing >= 32 fingerprints are flagged
+    (doc_new, doc_old, n_shared). Equality with the live streaming store's
+    vs-store flags is pytest-pinned (tests/test_overlap_maintenance.py).
+
+    Plan shape: the store side is winnowed once and materialized (it feeds
+    the hot-count and the join — at 100 TB it IS the persisted store,
+    bucketed by fp on disk so it never re-shuffles); the batch side costs
+    one winnowing pass over the increment + one fp equi-join sized by the
+    batch. Never a corpus self-join."""
+    from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    # store fps feed TWO consumers (hot-cap count + join side): checkpoint,
+    # or the window-selection subtree runs twice (AQE exchange reuse does
+    # not cover it — the measured winnowing/simhash lesson).
+    store = (
+        winnowing_fingerprints(d.filter(~is_batch), "doc_id", "text", k=8, window=4)
+        .select("doc", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    batch = (
+        winnowing_fingerprints(d.filter(is_batch), "doc_id", "text", k=8, window=4)
+        .select("doc", "fp")
+        .distinct()
+    )
+    hot = store.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") > 50
+    )
+    probe = batch.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    return (
+        probe.select(F.col("doc").alias("doc_new"), "fp")
+        .join(store.select(F.col("doc").alias("doc_old"), "fp"), "fp")
+        .groupBy("doc_new", "doc_old")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= 32)
     )

@@ -163,3 +163,36 @@ def test_changed_redelivery_raises_not_silently_dropped(spark, tmp_path):
     )
     w2(mutated, 3)  # no raise
     assert txlog.read_snapshot(spark, flags_dir).count() == 0
+
+
+def test_incremental_catalog_entry_equals_live_store_serve_path(spark, tmp_path):
+    """The oracle-twinned serve-path entry (text_winnowing_overlap_incremental)
+    must equal the LIVE streaming store's vs-store flags when the standing
+    corpus is epoch 0 and the batch increment is epoch 1 — same winnowing
+    params, same hot-cap semantics, same threshold."""
+    from data_ingestion_bra_spark.plans.llm_ops import (
+        text_winnowing_overlap_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select("doc_id", "text")
+    store, flags_dir = str(tmp_path / "s5"), str(tmp_path / "f5")
+    w = overlap_maintenance_writer(
+        store, flags_dir, query_id="serve", min_shared=32, hot_cap=50
+    )
+    w(docs.filter(F.col("doc_id") % 10 != 0), 0)  # standing corpus
+    w(docs.filter(F.col("doc_id") % 10 == 0), 1)  # the increment
+    live = {
+        (r["doc_new"], r["doc_old"], r["n_shared"])
+        for r in txlog.read_snapshot(spark, flags_dir)
+        .filter(F.col("epoch") == 1)
+        # the writer also emits within-batch pairs; the serve-path entry is
+        # the vs-store relation only
+        .filter(F.col("doc_old") % 10 != 0)
+        .collect()
+    }
+    entry = {
+        (r["doc_new"], r["doc_old"], r["n_shared"])
+        for r in text_winnowing_overlap_incremental(spark, sf).collect()
+    }
+    assert entry == live
