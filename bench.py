@@ -1712,6 +1712,7 @@ EXTENDED_QUERIES = [
     # round-12 additions
     "events_forecast_backtest_hw",
     "text_winnowing_overlap_incremental",
+    "multimodal_image_jpeg_progressive",
     "text_winnowing_overlap",
     "dedup_doc_containment",
     "text_pmi_collocations",

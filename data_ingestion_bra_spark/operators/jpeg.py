@@ -8,12 +8,20 @@ IDCT, chroma upsample, YCbCr→RGB — is the real shape of production image
 ingestion. Implements the PUBLIC baseline-sequential process of ITU-T T.81
 (ISO/IEC 10918-1): SOI/APP0/DQT/SOF0/DHT/SOS/DRI/RSTn/EOI markers, 8-bit
 samples, Huffman coding with the Annex K typical tables, interleaved MCUs
-with arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale tested).
+with arbitrary sampling factors (4:4:4, 4:2:0, 4:2:2, grayscale tested) —
+PLUS the PROGRESSIVE process (SOF2, T.81 Annex G; round-11 verdict item
+5): multi-scan decode with spectral selection and successive
+approximation (DC first/refine, AC first with EOBRUN, AC refinement with
+correction bits), and a progressive encoder driving the libjpeg-style
+scan script with per-scan frequency-optimal Huffman tables (Annex K.2
+construction). Progressive transmits the SAME quantized coefficients as
+baseline, only reordered — so progressive decode is bit-identical to the
+baseline roundtrip, which is the pytest pin.
 
-Scope is deliberately tight (the PNG/GIF playbook): no progressive (SOF2),
-no arithmetic coding, no 12-bit, no ICC. That covers every fixture this
-repo synthesizes; libjpeg-turbo/Pillow slot into the same per-payload
-callable signature (``operators/multimodal.py:pick_decoder``).
+Scope still excludes: arithmetic coding, 12-bit, hierarchical (SOF3+),
+ICC, and restart intervals inside progressive scans. That covers every
+fixture this repo synthesizes; libjpeg-turbo/Pillow slot into the same
+per-payload callable signature (``operators/multimodal.py:pick_decoder``).
 
 Determinism contract (what the DuckDB oracle leans on): all roundings are
 ``floor(x + 0.5)`` — color conversion both ways, quantization, and the
@@ -319,6 +327,66 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, v
 
 
+def _build_huffman_spec(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies — the
+    T.81 Annex K.2 procedure (CODE_SIZE via pairwise merge with the
+    reserved symbol 256 guaranteeing the all-ones code is never assigned,
+    COUNT_BITS, ADJUST_BITS to the 16-bit limit, SORT_INPUT). Progressive
+    scans emit EOBn / correction symbols the fixed Annex-K tables don't
+    define, so each scan carries its own frequency-built tables (the
+    libjpeg "optimize" path)."""
+    freq = [0] * 257
+    for s, f in freqs.items():
+        freq[s] = f
+    freq[256] = 1  # reserved: soaks up the all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = min(
+            (v for v in range(257) if freq[v] > 0),
+            key=lambda v: (freq[v], -v),
+        )
+        rest = [v for v in range(257) if freq[v] > 0 and v != v1]
+        if not rest:
+            break
+        v2 = min(rest, key=lambda v: (freq[v], -v))
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for v in range(257):
+        if codesize[v]:
+            bits[codesize[v]] += 1
+    i = 32
+    while i > 16:  # ADJUST_BITS
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's (longest) code
+    huffval = [
+        v
+        for cs in range(1, 17)
+        for v in sorted(s for s in range(256) if codesize[s] == cs)
+    ]
+    return bits[1:17], huffval
+
+
 # --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
@@ -346,6 +414,252 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
+#: libjpeg-style progressive scan script (jcparam.c "simple" script, a
+#: public reference shape): DC with one point-transform bit held back,
+#: spectral bands per component, then AC refinement passes, DC refinement
+#: last-but-one. Exercises every progressive decode path: interleaved DC
+#: first/refine, AC first with EOBRUN, AC refine with correction bits.
+def _progressive_scan_script(ncomp: int) -> list[tuple[tuple[int, ...], int, int, int, int]]:
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((1,), 1, 63, 0, 1),
+        ((2,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def _nonpadded_grid(width: int, height: int, h: int, v: int, hmax: int, vmax: int) -> tuple[int, int]:
+    """Single-component (non-interleaved) scan block grid per T.81 A.1.1 /
+    A.2.2: ceil over the component's own sample dimensions, NOT the
+    MCU-padded grid (for subsampled luma they differ by up to one block
+    column/row; padding blocks are simply never transmitted in AC scans)."""
+    comp_w = -(-width * h // hmax)
+    comp_h = -(-height * v // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _ops_dc_first(ops, scan_comps, comps, quantized, pbws, grids, mcus_x, mcus_y, al):
+    pred = {ci: 0 for ci in scan_comps}
+
+    def emit(ci, blk, tid):
+        v = int(blk[0]) >> al  # arithmetic shift per G.1.2.1
+        diff = v - pred[ci]
+        pred[ci] = v
+        size, bits_ = _magnitude(diff)
+        ops.append(("s", tid, size))
+        if size:
+            ops.append(("b", bits_, size))
+
+    if len(scan_comps) > 1:  # interleaved MCU walk (padded grid)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in scan_comps:
+                    _cid, (h, v), _qi = comps[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            bi = (my * v + by) * pbws[ci] + (mx * h + bx)
+                            emit(ci, quantized[ci][bi], 0 if ci == 0 else 1)
+    else:
+        ci = scan_comps[0]
+        nbw, nbh = grids[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                emit(ci, quantized[ci][by * pbws[ci] + bx], 0)
+
+
+def _ops_dc_refine(ops, scan_comps, comps, quantized, pbws, grids, mcus_x, mcus_y, al):
+    def emit(blk):
+        ops.append(("b", (int(blk[0]) >> al) & 1, 1))
+
+    if len(scan_comps) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in scan_comps:
+                    _cid, (h, v), _qi = comps[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            emit(quantized[ci][(my * v + by) * pbws[ci] + (mx * h + bx)])
+    else:
+        ci = scan_comps[0]
+        nbw, nbh = grids[ci]
+        for by in range(nbh):
+            for bx in range(nbw):
+                emit(quantized[ci][by * pbws[ci] + bx])
+
+
+def _ops_ac_first(ops, qrows, pbw, grid, ss, se, al):
+    nbw, nbh = grid
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("s", 0, n << 4))
+            if n:
+                ops.append(("b", eobrun - (1 << n), n))
+            eobrun = 0
+
+    for by in range(nbh):
+        for bx in range(nbw):
+            blk = qrows[by * pbw + bx]
+            run = 0
+            for k in range(ss, se + 1):
+                c = int(blk[k])
+                av = abs(c) >> al  # magnitude shift per G.1.2.2
+                if av == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    ops.append(("s", 0, 0xF0))
+                    run -= 16
+                size, bits_ = _magnitude(av if c > 0 else -av)
+                ops.append(("s", 0, (run << 4) | size))
+                ops.append(("b", bits_, size))
+                run = 0
+            if run:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _ops_ac_refine(ops, qrows, pbw, grid, ss, se, al):
+    """T.81 G.1.2.3 AC successive-approximation refinement (the jcphuff.c
+    shape): newly-significant coefficients emit (run, 1) + sign, history
+    coefficients contribute correction bits buffered behind the next
+    emitted symbol (or the EOB run that folds them)."""
+    nbw, nbh = grid
+    eobrun = 0
+    gbuf: list[int] = []  # correction bits owned by the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun, gbuf
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            ops.append(("s", 0, n << 4))
+            if n:
+                ops.append(("b", eobrun - (1 << n), n))
+            for b in gbuf:
+                ops.append(("b", b, 1))
+            eobrun = 0
+            gbuf = []
+
+    for by in range(nbh):
+        for bx in range(nbw):
+            blk = qrows[by * pbw + bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1
+            for i, t in enumerate(absv):
+                if t == 1:  # |c|>>al == 1 <=> newly significant at this point
+                    eobpos = i
+            r = 0
+            bbuf: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    ops.append(("s", 0, 0xF0))
+                    r -= 16
+                    for b in bbuf:
+                        ops.append(("b", b, 1))
+                    bbuf = []
+                if t > 1:  # history coefficient: one correction bit
+                    bbuf.append(t & 1)
+                    continue
+                flush_eob()
+                ops.append(("s", 0, (r << 4) | 1))
+                ops.append(("b", 1 if int(blk[ss + i]) > 0 else 0, 1))
+                for b in bbuf:
+                    ops.append(("b", b, 1))
+                bbuf = []
+                r = 0
+            if r > 0 or bbuf:
+                eobrun += 1
+                gbuf.extend(bbuf)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_progressive_scans(
+    quantized, comps, planes, width, height, hmax, vmax, mcus_x, mcus_y
+) -> bytes:
+    """Emit the full progressive tail (per-scan DHT + SOS + entropy data)
+    for the scan script. Every Huffman-coded scan carries frequency-built
+    optimal tables (the Annex-K fixed tables lack the EOBn/correction
+    symbols progressive scans need)."""
+    pbws = [p.shape[1] // 8 for p in planes]
+    grids = [
+        _nonpadded_grid(width, height, h, v, hmax, vmax) for _cid, (h, v), _qi in comps
+    ]
+    out = bytearray()
+    for scan_comps, ss, se, ah, al in _progressive_scan_script(len(comps)):
+        ops: list[tuple] = []
+        if ss == 0:
+            if ah == 0:
+                _ops_dc_first(ops, scan_comps, comps, quantized, pbws, grids, mcus_x, mcus_y, al)
+            else:
+                _ops_dc_refine(ops, scan_comps, comps, quantized, pbws, grids, mcus_x, mcus_y, al)
+        else:
+            ci = scan_comps[0]
+            if ah == 0:
+                _ops_ac_first(ops, quantized[ci], pbws[ci], grids[ci], ss, se, al)
+            else:
+                _ops_ac_refine(ops, quantized[ci], pbws[ci], grids[ci], ss, se, al)
+        freqs: dict[int, dict[int, int]] = {}
+        for op in ops:
+            if op[0] == "s":
+                freqs.setdefault(op[1], {})
+                freqs[op[1]][op[2]] = freqs[op[1]].get(op[2], 0) + 1
+        tclass = 0 if ss == 0 else 1
+        enc_tabs: dict[int, dict[int, tuple[int, int]]] = {}
+        dht = bytearray()
+        for tid in sorted(freqs):
+            bits, vals = _build_huffman_spec(freqs[tid])
+            enc_tabs[tid] = _canonical_codes(bits, vals)
+            dht += bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        if dht:
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            tid = 0 if (ss > 0 or ci == 0) else 1
+            td_ta = (tid << 4) if ss == 0 else tid
+            if ah > 0 and ss == 0:
+                td_ta = 0  # DC refinement reads raw bits, no table
+            sos += bytes([comps[ci][0], td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        w = _BitWriter()
+        for op in ops:
+            if op[0] == "s":
+                code, length = enc_tabs[op[1]][op[2]]
+                w.write(code, length)
+            else:
+                w.write(op[1], op[2])
+        w.flush()
+        out += w.buf
+    return bytes(out)
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -354,12 +668,18 @@ def encode_jpeg(
     channels: int = 3,
     subsampling: str = "444",
     quant: str = "flat",
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF encode of an interleaved 8-bit buffer (RGB or gray).
+    """JFIF encode of an interleaved 8-bit buffer (RGB or gray).
 
     subsampling: '444' | '420' | '422' (ignored for grayscale).
     quant: 'flat' (all-ones — constant images roundtrip bit-exactly) or
     'annexk' (T.81 K.1/K.2 typical tables).
+    progressive: emit SOF2 with the libjpeg-style scan script (spectral
+    selection + successive approximation). The quantized coefficients are
+    IDENTICAL to the baseline encode — progressive only reorders their
+    transmission — so progressive decode output is bit-identical to the
+    baseline roundtrip (pytest-pinned).
     """
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
@@ -405,13 +725,35 @@ def encode_jpeg(
         qd = _round_half_up(coef / q).astype(np.int32)
         quantized.append(qd.reshape(-1, 64)[:, zz])  # natural -> zigzag rows
 
+    mcus_x = planes[0].shape[1] // (8 * hmax)
+    mcus_y = planes[0].shape[0] // (8 * vmax)
+
+    if progressive:
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += (
+            b"\xff\xe0"
+            + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
+        for ti, tab in enumerate(qtabs[: 2 if channels == 3 else 1]):
+            zz_tab = bytes(tab[i] for i in ZIGZAG)
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti]) + zz_tab
+        sof = struct.pack(">BHHB", 8, height, width, len(comps))
+        for cid, (h, v), qi in comps:
+            sof += bytes([cid, (h << 4) | v, qi])
+        out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+        out += _encode_progressive_scans(
+            quantized, comps, planes, width, height, hmax, vmax, mcus_x, mcus_y
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     dc_enc = [_canonical_codes(*DC_LUMA_SPEC), _canonical_codes(*DC_CHROMA_SPEC)]
     ac_enc = [_canonical_codes(*AC_LUMA_SPEC), _canonical_codes(*AC_CHROMA_SPEC)]
 
     w = _BitWriter()
     pred = [0] * len(comps)
-    mcus_x = planes[0].shape[1] // (8 * hmax)
-    mcus_y = planes[0].shape[0] // (8 * vmax)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, (_cid, (h, v), qi) in enumerate(comps):
@@ -488,7 +830,12 @@ def parse_header(data: bytes) -> dict:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    out = {"n_quant_tables": 0, "n_huffman_tables": 0, "restart_interval": 0}
+    out = {
+        "n_quant_tables": 0,
+        "n_huffman_tables": 0,
+        "restart_interval": 0,
+        "progressive": False,
+    }
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
@@ -509,7 +856,8 @@ def parse_header(data: bytes) -> dict:
             while off < len(seg):
                 out["n_huffman_tables"] += 1
                 off += 17 + sum(seg[off + 1 : off + 17])
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
+            out["progressive"] = marker == 0xC2
             out["height"], out["width"] = struct.unpack(">HH", seg[1:5])
             out["channels"] = seg[5]
             out["sampling"] = [
@@ -522,13 +870,186 @@ def parse_header(data: bytes) -> dict:
             break
     return out
 
+def _decode_sym(r: "_BitReader", tables) -> int:
+    mincode, maxcode, valptr, vals = tables
+    code = r.bit()
+    length = 1
+    while code > maxcode[length]:
+        code = (code << 1) | r.bit()
+        length += 1
+        if length > 16:
+            raise ValueError("invalid Huffman stream")
+    return vals[valptr[length] + code - mincode[length]]
+
+
+def _resync_to_marker(data: bytes, pos: int) -> int:
+    """After a progressive scan's entropy data, advance to the next real
+    marker (0xFF not followed by a stuffed 0x00). In-scan 0xFF bytes are
+    always stuffed per B.1.1.5, so the first unstuffed 0xFF is a marker."""
+    while pos < len(data) - 1 and (
+        data[pos] != 0xFF or data[pos + 1] == 0x00
+    ):
+        pos += 1
+    return pos
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    scan: list[dict],
+    huff_dc: dict,
+    huff_ac: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) in place into each
+    component's ``coef`` array; returns the stream position of the next
+    marker. ``scan`` is the ordered list of components in this scan, each
+    dict carrying coef/bw/grid geometry plus the scan's td/ta ids."""
+    if ss == 0 and se != 0:
+        # T.81 G.1.1.1.1: a progressive DC scan must have Se = 0 (a
+        # baseline stream mislabeled SOF2 lands here and is rejected
+        # rather than mis-decoded as DC-only).
+        raise ValueError("progressive scan with Ss=0 requires Se=0")
+    if not (ss <= se <= 63):
+        raise ValueError("invalid spectral band")
+    r = _BitReader(data, pos)
+    if ss == 0:  # DC scan (interleaved if ns > 1, else single component)
+        if ah == 0:
+            pred = [0] * len(scan)
+            if len(scan) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for si, c in enumerate(scan):
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    size = _decode_sym(r, huff_dc[c["td"]])
+                                    diff = _extend(r.bits(size), size) if size else 0
+                                    pred[si] += diff
+                                    bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                                    c["coef"][bi, 0] = pred[si] << al
+            else:
+                c = scan[0]
+                nbw, nbh = c["nbw"], c["nbh"]
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        size = _decode_sym(r, huff_dc[c["td"]])
+                        diff = _extend(r.bits(size), size) if size else 0
+                        pred[0] += diff
+                        c["coef"][by * c["bw"] + bx, 0] = pred[0] << al
+        else:  # DC refinement: one raw bit per block, |= (bit << al)
+            if len(scan) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for c in scan:
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    if r.bit():
+                                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                                        c["coef"][bi, 0] |= 1 << al
+            else:
+                c = scan[0]
+                for by in range(c["nbh"]):
+                    for bx in range(c["nbw"]):
+                        if r.bit():
+                            c["coef"][by * c["bw"] + bx, 0] |= 1 << al
+    else:  # AC scan: always single component, non-padded grid
+        if len(scan) != 1:
+            raise ValueError("interleaved AC progressive scan is illegal")
+        c = scan[0]
+        tab = huff_ac[c["ta"]]
+        coef = c["coef"]
+        nbw, nbh, bw = c["nbw"], c["nbh"], c["bw"]
+        eobrun = 0
+        p1 = 1 << al
+        if ah == 0:  # first scan of this band
+            for by in range(nbh):
+                for bx in range(nbw):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    row = coef[by * bw + bx]
+                    k = ss
+                    while k <= se:
+                        sym = _decode_sym(r, tab)
+                        rn, s = sym >> 4, sym & 15
+                        if s:
+                            k += rn
+                            if k > se:
+                                raise ValueError("AC run overflow")
+                            row[k] = _extend(r.bits(s), s) << al
+                            k += 1
+                        elif rn != 15:  # EOBn
+                            eobrun = (1 << rn) - 1
+                            if rn:
+                                eobrun += r.bits(rn)
+                            break
+                        else:  # ZRL
+                            k += 16
+        else:  # refinement of this band (G.1.2.3 / the jdphuff.c shape)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    row = coef[by * bw + bx]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            sym = _decode_sym(r, tab)
+                            rn, s = sym >> 4, sym & 15
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("bad refinement symbol")
+                                newval = p1 if r.bit() else -p1
+                            elif rn != 15:  # EOBn
+                                eobrun = 1 << rn
+                                if rn:
+                                    eobrun += r.bits(rn)
+                                break
+                            # advance past rn zero-history positions,
+                            # correcting nonzero history on the way
+                            while k <= se:
+                                cv = int(row[k])
+                                if cv != 0:
+                                    if r.bit() and (cv & p1) == 0:
+                                        row[k] = cv + (p1 if cv >= 0 else -p1)
+                                else:
+                                    if rn == 0:
+                                        break
+                                    rn -= 1
+                                k += 1
+                            if newval and k <= se:
+                                row[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            cv = int(row[k])
+                            if cv != 0:
+                                if r.bit() and (cv & p1) == 0:
+                                    row[k] = cv + (p1 if cv >= 0 else -p1)
+                            k += 1
+                        eobrun -= 1
+    return _resync_to_marker(data, r.pos)
+
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode baseline JPEG bytes -> (width, height, channels, pixels).
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG bytes ->
+    (width, height, channels, pixels).
 
     Pixels are interleaved 8-bit RGB (3 components, JFIF YCbCr assumed) or
-    grayscale (1 component). Raises ValueError on non-baseline streams.
-    """
+    grayscale (1 component). Progressive streams are decoded scan by scan
+    (spectral selection + successive approximation, T.81 Annex G) into the
+    same per-component coefficient store the baseline path fills — the
+    reconstruction tail (dequantize, IDCT, upsample, color transform) is
+    shared, so a progressive stream of the same quantized coefficients
+    decodes bit-identically to its baseline counterpart (pytest-pinned).
+    Raises ValueError on hierarchical/arithmetic/12-bit streams and on
+    restart intervals inside progressive scans (our encoder never emits
+    them; real-world DRI progressive streams are routed to the metadata
+    tier)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -538,6 +1059,28 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
+    progressive = False
+    geom_ready = False
+    scans_done = 0
+    baseline_scan = None  # (scan_sel,) once the single baseline SOS is seen
+
+    def _init_geometry():
+        nonlocal geom_ready
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mx = -(-width // (8 * hmax))
+        my = -(-height // (8 * vmax))
+        for c in comps:
+            c["bw"] = mx * c["h"]
+            c["bh"] = my * c["v"]
+            c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+            c["nbw"], c["nbh"] = _nonpadded_grid(
+                width, height, c["h"], c["v"], hmax, vmax
+            )
+        geom_ready = True
+        return hmax, vmax, mx, my
+
+    hmax = vmax = mcus_x = mcus_y = 0
 
     while True:
         if data[pos] != 0xFF:
@@ -545,6 +1088,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and scans_done:
+                break
             raise ValueError("EOI before SOS")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
@@ -563,7 +1108,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     nat[idx] = zzvals[zpos]
                 qtabs[tq] = nat
                 off += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (may appear between progressive scans)
             off = 0
             while off < len(seg):
                 tc, th = seg[off] >> 4, seg[off] & 0x0F
@@ -572,7 +1117,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 vals = list(seg[off + 17 : off + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_tables(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-compatible)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -583,85 +1129,87 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("non-baseline SOF not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if not comps or not width:
+                raise ValueError("missing SOF before SOS")
+            if not geom_ready:
+                hmax, vmax, mcus_x, mcus_y = _init_geometry()
             ns = seg[0]
-            scan_sel = {}
+            sel = {}
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
-                scan_sel[cs] = (td_ta >> 4, td_ta & 0x0F)
-            break
+                sel[cs] = (td_ta >> 4, td_ta & 0x0F)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                baseline_scan = sel
+                break
+            if restart_interval:
+                raise ValueError(
+                    "restart intervals in progressive scans not supported"
+                )
+            scan = []
+            for c in comps:
+                if c["id"] in sel:
+                    c2 = dict(c)
+                    c2["coef"] = c["coef"]  # share the array, not a copy
+                    c2["td"], c2["ta"] = sel[c["id"]]
+                    scan.append(c2)
+            pos = _decode_progressive_scan(
+                data, pos, scan, huff_dc, huff_ac,
+                ss, se, ah, al, mcus_x, mcus_y,
+            )
+            scans_done += 1
         # APPn / COM / others: skipped
 
-    if not comps or not width:
-        raise ValueError("missing SOF before SOS")
+    if not progressive:
+        # ---- baseline: single interleaved scan ----
+        for c in comps:
+            c["td"], c["ta"] = baseline_scan[c["id"]]
+        r = _BitReader(data, pos)
+        pred = [0] * len(comps)
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    r.align_to_rst()
+                    pred = [0] * len(comps)
+                mcu_count += 1
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = np.zeros(64, dtype=np.int64)
+                            size = _decode_sym(r, huff_dc[c["td"]])
+                            diff = _extend(r.bits(size), size) if size else 0
+                            pred[ci] += diff
+                            row[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_sym(r, huff_ac[c["ta"]])
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                row[k] = _extend(r.bits(size), size)
+                                k += 1
+                            bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            c["coef"][bi] = row
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-
-    # Per-component coefficient storage (zigzag-order rows, one per block)
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
-        c["td"], c["ta"] = scan_sel[c["id"]]
-
-    r = _BitReader(data, pos)
-
-    def _decode_sym(tables) -> int:
-        mincode, maxcode, valptr, vals = tables
-        code = r.bit()
-        length = 1
-        while code > maxcode[length]:
-            code = (code << 1) | r.bit()
-            length += 1
-            if length > 16:
-                raise ValueError("invalid Huffman stream")
-        return vals[valptr[length] + code - mincode[length]]
-
-    pred = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                r.align_to_rst()
-                pred = [0] * len(comps)
-            mcu_count += 1
-            for ci, c in enumerate(comps):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        row = np.zeros(64, dtype=np.float64)
-                        size = _decode_sym(huff_dc[c["td"]])
-                        diff = _extend(r.bits(size), size) if size else 0
-                        pred[ci] += diff
-                        row[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(huff_ac[c["ta"]])
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run overflow")
-                            row[k] = _extend(r.bits(size), size)
-                            k += 1
-                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                        c["coef"][bi] = row
-
-    # Dequantize + un-zigzag + IDCT per component, vectorized
+    # Dequantize + un-zigzag + IDCT per component, vectorized (shared tail)
     planes = []
     for c in comps:
         q = qtabs[c["tq"]]
-        nat = np.zeros_like(c["coef"])
+        nat = np.zeros(c["coef"].shape, dtype=np.float64)
         nat[:, ZIGZAG] = c["coef"]  # zigzag row -> natural order
         nat *= q
         samples = np.clip(

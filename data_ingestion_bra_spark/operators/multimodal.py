@@ -1231,6 +1231,77 @@ def jpeg_error_audit_420(df: DataFrame) -> DataFrame:
     )
 
 
+JPEG_PROGRESSIVE_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_scans", T.LongType()),
+        T.StructField("src_mean_e6", T.LongType()),
+        T.StructField("prog_equals_baseline", T.LongType()),
+        T.StructField("within_derived_bound", T.LongType()),
+    ]
+)
+
+
+def jpeg_progressive_audit_batch_fn(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per doc, encode the ramp pixels BOTH ways at
+    4:2:0/Annex-K (baseline SOF0 and progressive SOF2 with the 10-scan
+    libjpeg-style script), decode both through the real entropy decoders,
+    and certify (a) the progressive decode is BIT-IDENTICAL to baseline —
+    progressive only reorders the transmission of the same quantized
+    coefficients, so any inequality is a codec bug — and (b) the shared
+    decode error stays inside the 4:2:0 derived hard bound. n_scans is
+    counted from the actual SOS markers of the emitted stream (stuffing
+    makes a raw 0xFFDA scan unambiguous)."""
+    import numpy as np
+
+    from data_ingestion_bra_spark.operators import jpeg as _jpeg
+
+    hard = _derived_quant_bound_420_int()
+    for pdf in batches:
+        out = []
+        for raw in pdf["doc_id"].astype("int64"):
+            doc_id = int(raw)
+            w, h, pix = _synth_ramp_pixels(doc_id)
+            base = _jpeg.decode_jpeg(
+                _jpeg.encode_jpeg(w, h, pix, quant="annexk", subsampling="420")
+            )
+            stream = _jpeg.encode_jpeg(
+                w, h, pix, quant="annexk", subsampling="420", progressive=True
+            )
+            prog = _jpeg.decode_jpeg(stream)
+            assert _jpeg.parse_header(stream)["progressive"]
+            a = np.frombuffer(pix, dtype=np.uint8).astype(int)
+            d = np.frombuffer(prog[3], dtype=np.uint8).astype(int)
+            max_err = int(np.abs(a - d).max()) if a.shape == d.shape else 1 << 30
+            ok_geom = prog[:3] == (w, h, 3)
+            out.append(
+                (
+                    doc_id,
+                    w,
+                    h,
+                    stream.count(b"\xff\xda"),
+                    int(a.sum()) * 1_000_000 // (w * h * 3 * 255),
+                    int(base == prog),
+                    int(ok_geom and max_err <= hard),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=[f.name for f in JPEG_PROGRESSIVE_AUDIT_SCHEMA.fields]
+        )
+
+
+def jpeg_progressive_audit(df: DataFrame) -> DataFrame:
+    """Progressive (SOF2) decode audit: spectral-selection + successive-
+    approximation scans reassemble the exact baseline coefficients."""
+    return df.select("doc_id").mapInPandas(
+        jpeg_progressive_audit_batch_fn, schema=JPEG_PROGRESSIVE_AUDIT_SCHEMA
+    )
+
+
 def _synth_jpeg420_bytes(doc_id: int) -> bytes:
     """Real-world-shaped JPEG: Annex K typical quant tables + 4:2:0 chroma
     subsampling over the modular gradient pixels — the header-metadata

@@ -157,12 +157,21 @@ def test_parse_header_without_decode():
 def test_decode_rejects_out_of_scope():
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(b"\x00\x01not a jpeg")
-    # progressive SOF2 must be rejected, not mis-decoded
+    # a BASELINE stream mislabeled as progressive (SOF2) must be rejected
+    # (its single Ss=0/Se=63 scan is illegal in the progressive process),
+    # not silently mis-decoded as a DC-only image
     data = bytearray(jpeg.encode_jpeg(8, 8, bytes(8 * 8 * 3)))
     i = bytes(data).index(b"\xff\xc0")
     data[i + 1] = 0xC2
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(bytes(data))
+    # genuinely out-of-scope SOFs (lossless SOF3, arithmetic SOF9) reject
+    for sof in (0xC3, 0xC9):
+        bad = bytearray(jpeg.encode_jpeg(8, 8, bytes(8 * 8 * 3)))
+        j = bytes(bad).index(b"\xff\xc0")
+        bad[j + 1] = sof
+        with pytest.raises(ValueError):
+            jpeg.decode_jpeg(bytes(bad))
 
 
 def test_byte_stuffing_roundtrip():
@@ -420,3 +429,82 @@ def test_gradient_420_error_bounds():
         d = np.frombuffer(data, dtype=np.uint8).astype(int)
         mx = max(mx, int(np.abs(a - d).max()))
     assert 0 < mx <= JPEG_SMOOTH_ERR_PIN_420
+
+
+def test_progressive_equals_baseline_ramp_family():
+    """Progressive transmits the same quantized coefficients as baseline,
+    only reordered — decode must be bit-identical across the ramp family,
+    every subsampling, both quant presets."""
+    from data_ingestion_bra_spark.operators.multimodal import _synth_ramp_pixels
+
+    for doc_id in range(0, 96, 11):
+        w, h, pix = _synth_ramp_pixels(doc_id)
+        for sub in ("444", "420", "422"):
+            for quant in ("flat", "annexk"):
+                base = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg(w, h, pix, subsampling=sub, quant=quant)
+                )
+                prog = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg(
+                        w, h, pix, subsampling=sub, quant=quant, progressive=True
+                    )
+                )
+                assert base == prog, (doc_id, sub, quant)
+
+
+def test_progressive_large_geometry_eobrun_and_grid_mismatch():
+    """Geometries where the subsampled luma's non-interleaved AC-scan grid
+    is SMALLER than the MCU-padded grid (w % 16 in 1..8), plus smooth
+    content that drives EOBRUN > 1 and random content that stresses the
+    refinement correction-bit path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for (w, h) in [(33, 18), (40, 17), (64, 48)]:
+        for kind in ("random", "smooth"):
+            if kind == "random":
+                pix = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            else:
+                y, x = np.mgrid[0:h, 0:w]
+                pix = np.stack(
+                    [(x + y) % 200, (2 * x) % 200, (3 * y) % 200], axis=-1
+                ).astype(np.uint8)
+            pb = pix.tobytes()
+            for sub in ("420", "422"):
+                base = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg(w, h, pb, subsampling=sub, quant="annexk")
+                )
+                prog = jpeg.decode_jpeg(
+                    jpeg.encode_jpeg(
+                        w, h, pb, subsampling=sub, quant="annexk", progressive=True
+                    )
+                )
+                assert base == prog, (w, h, sub, kind)
+
+
+def test_progressive_grayscale_and_header_flag():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    g = rng.randint(0, 256, size=(24, 40), dtype=np.uint8).tobytes()
+    enc_p = jpeg.encode_jpeg(40, 24, g, channels=1, quant="annexk", progressive=True)
+    enc_b = jpeg.encode_jpeg(40, 24, g, channels=1, quant="annexk")
+    assert jpeg.decode_jpeg(enc_p) == jpeg.decode_jpeg(enc_b)
+    assert jpeg.parse_header(enc_p)["progressive"] is True
+    assert jpeg.parse_header(enc_b)["progressive"] is False
+    # gray script has 6 scans, color script 10
+    assert enc_p.count(b"\xff\xda") == 6
+    c = jpeg.encode_jpeg(8, 8, bytes(192), progressive=True)
+    assert c.count(b"\xff\xda") == 10
+
+
+def test_progressive_scan_tables_are_self_contained():
+    """Every Huffman-coded scan carries its own DHT (frequency-built) —
+    decode must not depend on the Annex-K fixed tables at all."""
+    from data_ingestion_bra_spark.operators.multimodal import _synth_ramp_pixels
+
+    w, h, pix = _synth_ramp_pixels(42)
+    enc = jpeg.encode_jpeg(w, h, pix, quant="annexk", subsampling="420",
+                           progressive=True)
+    # 10 scans; the DC-refinement scan (scan 7) is table-free => 9 DHTs
+    assert enc.count(b"\xff\xc4") == 9

@@ -78,6 +78,9 @@ PYTHON_ALLOWED = {
     # error verdicts, same Arrow-batched contract (pixels never shuffle)
     "multimodal_image_jpeg_gradient",
     "multimodal_image_jpeg_gradient_420",
+    # progressive (SOF2) decode audit: baseline + progressive encode/decode
+    # per doc, bit-identity verdict — same contract, pixels never shuffle
+    "multimodal_image_jpeg_progressive",
     "multimodal_audio_mulaw_roundtrip",
     # real video containers: ISO-BMFF (MP4) box walk, header-only — same
     # zero-decode contract as the JPEG metadata tier
