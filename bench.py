@@ -1278,6 +1278,156 @@ def _pagerank_scale_bench(
     }
 
 
+def _linkage_bench(spark, points: list[tuple[str, str]], *, passes: int = 3) -> dict:
+    """Fellegi-Sunter linkage priced at scale (round-11 verdict item 7):
+    candidate-pair volume under PROGRESSIVELY FINER blocking keys plus
+    end-to-end scoring throughput. The point being proven: blocking on
+    (segment, balance-bucket) has a FIXED number of cells, so the pair
+    relation grows quadratically with corpus size inside each cell — the
+    cure is exactly the module contract ("add keys until the largest cell
+    fits"), here a finer bucket width. Pair counts per blocking scheme are
+    computed from cell-count PRODUCTS (a tiny groupBy join — no pair
+    materialization), and the scoring leg runs on the finest width whose
+    estimated relation stays under the cap, so the measured throughput is
+    the operator, not an exploding join."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.operators.linkage import fellegi_sunter_score
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    # Bound the SCORED relation: the sf1 width-10000 blocking yields ~40M
+    # pairs and scores at ~350k pairs/s (113 s measured) — fine evidence,
+    # wrong cost for a per-round section. 8M keeps the scored leg ~15-25 s
+    # at sf1 (width 1000) while the per-width pair COUNTS still document
+    # the quadratic blow-up of the coarse blocking.
+    pair_cap = 8_000_000
+    out: dict = {}
+    for label, d in points:
+        c = load_table(spark, d, "customer")
+        n_rows = c.count()
+        cents_a = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+        cents_b = F.expr(
+            "CAST(ROUND(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) * 100"
+        )
+        seg_a = F.col("c_mktsegment")
+        seg_b = F.expr(
+            "CASE WHEN c_custkey % 13 = 0 THEN reverse(c_mktsegment)"
+            " ELSE c_mktsegment END"
+        )
+        per_width: dict = {}
+        chosen = None
+        for width in (10_000, 1_000, 100):
+            a_cells = (
+                c.select(
+                    seg_a.alias("blk_seg"),
+                    F.expr(
+                        f"CAST(ROUND(c_acctbal * 100) AS BIGINT) div {width}"
+                    ).alias("bucket"),
+                )
+                .groupBy("blk_seg", "bucket")
+                .agg(F.count(F.lit(1)).alias("na"))
+            )
+            b_cells = (
+                c.select(
+                    seg_b.alias("blk_seg"),
+                    F.expr(
+                        "(CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+                        f" + (c_custkey % 7) * 100) div {width}"
+                    ).alias("bucket"),
+                )
+                .groupBy("blk_seg", "bucket")
+                .agg(F.count(F.lit(1)).alias("nb"))
+            )
+            stats = (
+                a_cells.join(b_cells, ["blk_seg", "bucket"])
+                .agg(
+                    F.sum(F.col("na") * F.col("nb")).alias("pairs"),
+                    F.max(F.col("na") * F.col("nb")).alias("max_cell"),
+                    F.count(F.lit(1)).alias("cells"),
+                )
+                .collect()[0]
+            )
+            n_pairs = int(stats["pairs"] or 0)
+            per_width[f"width_{width}"] = {
+                "n_blocking_cells": int(stats["cells"]),
+                "n_candidate_pairs": n_pairs,
+                "max_cell_pairs": int(stats["max_cell"] or 0),
+            }
+            if chosen is None and n_pairs <= pair_cap:
+                chosen = width
+        if chosen is None:
+            chosen = 100
+        # end-to-end scoring leg on the chosen blocking width: blocked
+        # equi-join -> comparators -> verdict counts, one job per pass
+        bucket_a = F.expr(f"CAST(ROUND(c_acctbal * 100) AS BIGINT) div {chosen}")
+        bucket_b = F.expr(
+            "(CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+            f" + (c_custkey % 7) * 100) div {chosen}"
+        )
+        a = c.select(
+            F.col("c_custkey").alias("a_key"),
+            F.col("c_name").alias("name_a"),
+            F.expr("substring(c_name, length(c_name) - 2, 3)").alias("suffix_a"),
+            cents_a.alias("cents_a"),
+            F.col("c_nationkey").alias("nation_a"),
+            seg_a.alias("blk_seg"),
+            bucket_a.alias("bucket"),
+        )
+        b = c.select(
+            F.col("c_custkey").alias("b_key"),
+            F.expr(
+                "CASE WHEN c_custkey % 5 = 0"
+                " THEN replace(c_name, 'Customer', 'Custmer') ELSE c_name END"
+            ).alias("name_b"),
+            F.expr("substring(c_name, length(c_name) - 2, 3)").alias("suffix_b"),
+            cents_b.alias("cents_b"),
+            F.expr(
+                "CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25"
+                " ELSE c_nationkey END"
+            ).alias("nation_b"),
+            seg_b.alias("blk_seg"),
+            bucket_b.alias("bucket"),
+        )
+        comparators = [
+            ("name", F.expr("levenshtein(name_a, name_b) <= 1"), 320, -160),
+            ("suffix", F.col("suffix_a") == F.col("suffix_b"), 300, -100),
+            ("acctbal", F.expr("abs(cents_a - cents_b) <= 700"), 250, -180),
+            ("nation", F.col("nation_a") == F.col("nation_b"), 120, -220),
+        ]
+        samples: list[float] = []
+        counts = None
+        for _ in range(passes if label == "sf1" else 1):
+            t0 = time.perf_counter()
+            scored = fellegi_sunter_score(
+                a.join(b, ["blk_seg", "bucket"]),
+                comparators,
+                match_threshold_e2=600,
+                possible_threshold_e2=150,
+            )
+            counts = scored.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum((F.col("verdict") == "match").cast("bigint")).alias("n_match"),
+                F.sum((F.col("verdict") == "possible").cast("bigint")).alias(
+                    "n_possible"
+                ),
+            ).collect()[0]
+            samples.append(time.perf_counter() - t0)
+        sec = _median(samples)
+        n_scored = int(counts["n_pairs"])
+        out[label] = {
+            "n_rows_per_side": n_rows,
+            "blocking": per_width,
+            "scored_width": chosen,
+            "scored_pairs": n_scored,
+            "scored_sec": round(sec, 3),
+            "scored_sec_spread": [round(min(samples), 3), round(max(samples), 3)],
+            "pairs_per_sec": int(n_scored / sec) if sec > 0 else None,
+            "n_match": int(counts["n_match"] or 0),
+            "n_possible": int(counts["n_possible"] or 0),
+        }
+    return out
+
+
 def _skipping_bench(spark, sf_dir: str) -> dict:
     """Measured payoff of log-side data skipping + OPTIMIZE ZORDER: one
     txlog table of orders keys, version 0 = random 32-file layout,
@@ -1912,18 +2062,28 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # is what keeps the section inside the global envelope (round-10
         # overran by 59 s on exactly this).
         cost_guess = {"sf0.1": 3.0, "sf1": 15.0, "sf10": 120.0}
-        for pass_i in range(3):
+        # PER-QUERY GROUPING (round-11 verdict item 3): a query's 3 samples
+        # run CONSECUTIVELY per scale point, so samples 2-3 are warm and the
+        # committed median is the plan, not the page cache. The previous
+        # round-robin interleave ran 14 other sf10 inputs between a query's
+        # samples, evicting its input every time — it manufactured a ~78 s
+        # phantom simhash regression per full run that then needed an
+        # isolated re-measure to refute. Degradation mode changes with the
+        # ordering: an overrun now truncates trailing QUERIES (each emitted
+        # query carries a full warm median) instead of trailing samples —
+        # the partial-medians behavior the round-11 review asked for.
+        for name in raw:
             for label, d in scale_points:
-                for name in raw:
-                    key = f"{name}@{label}"
+                key = f"{name}@{label}"
+                for pass_i in range(3):
                     if key in failed:
-                        continue
+                        break
                     prior = raw[name].get(label)
                     est_pt = prior[-1] if prior else cost_guess[label]
                     if time.perf_counter() - sec_start + est_pt > budget:
-                        if pass_i == 0 and not prior:
+                        if not prior:
                             truncated.append(key)
-                        continue
+                        break
                     t0 = time.perf_counter()
                     try:
                         _materialize(queries[name](spark, d))
@@ -1932,7 +2092,7 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
                         payload.setdefault("errors", []).append(
                             f"sf10:{key}: {type(exc).__name__}: {exc}"[:500]
                         )
-                        continue
+                        break
                     raw[name].setdefault(label, []).append(
                         time.perf_counter() - t0
                     )
@@ -1952,15 +2112,31 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             sum(v.get("sf10", 0.0) for v in scaling.values()), 3
         )
         payload["sf10"] = sf10
+        payload["sf10_meter"] = (
+            "per-query grouped: 3 consecutive samples per (query, scale) "
+            "point — committed medians are warm numbers (r11 item 3)"
+        )
         if truncated:
             payload["sf10_truncated"] = truncated
+
+    # Driver-window mode: the 1500 s window must fund at least one row for
+    # EVERY section (round-11 verdict item 4: ivf_build / semdedup_scale /
+    # contamination_sf10 had zero driver-run evidence for two rounds), so
+    # the expensive mid-sections drop their sf10 legs (named degradations)
+    # and sf10 query medians defer to the committed full run.
+    tight_window = total_budget_sec() <= 1800
+
+    def _degrade(section: str, what: str) -> None:
+        payload.setdefault("sections_degraded", []).append(f"{section}: {what}")
 
     def simhash_vocab() -> None:
         # Shuffled vs broadcast-vocabulary simhash fingerprints (round-5
         # nit 3): median-of-3 at sf1, single-shot at sf10.
         points = ([("sf1", sf1, 3)] if sf1 else []) + (
-            [("sf10", sf10, 1)] if sf10 else []
+            [("sf10", sf10, 1)] if sf10 and not tight_window else []
         )
+        if sf10 and tight_window:
+            _degrade("simhash_vocab", "sf10 point deferred to the full run")
         if points:
             payload["simhash_vocab_bench"] = _simhash_vocab_bench(spark, points)
 
@@ -2004,14 +2180,34 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         return pts
 
     def ivf_build() -> None:
-        points = _scale_points(500.0)
+        # r11 full-run measured cost: 90 s for BOTH points — the old 500 s
+        # sf10 reservation (and the 330 s section estimate) were relics of
+        # a pre-index-cache build and kept this section out of every
+        # driver window.
+        points = _scale_points(150.0)
         if points:
             payload["ivf_build_bench"] = _ivf_build_bench(spark, points)
 
     def ivfpq_serve() -> None:
-        points = _scale_points(400.0)
+        if sf10 and tight_window:
+            _degrade("ivfpq_serve", "sf10 point deferred to the full run")
+            points = [("sf1", sf1)] if sf1 else []
+        else:
+            points = _scale_points(400.0)
         if points:
             payload["ivfpq_serve_bench"] = _ivfpq_serve_bench(spark, points)
+
+    def linkage() -> None:
+        # Fellegi-Sunter at scale (round-11 verdict item 7): pair counts
+        # per blocking width + scoring throughput at sf1/sf10 in the full
+        # run; sf1-only in the driver window (named degradation).
+        if sf10 and tight_window:
+            _degrade("linkage_bench", "sf10 point deferred to the full run")
+            points = [("sf1", sf1)] if sf1 else []
+        else:
+            points = _scale_points(120.0)
+        if points:
+            payload["linkage_bench"] = _linkage_bench(spark, points)
 
     def bitext_serve() -> None:
         # Served-vs-exact bitext pair recall + latency (round-9 verdict
@@ -2022,12 +2218,15 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # the expensive leg and degrades loudly) keeps the section inside
         # its estimate instead of evicting later sections.
         points = [(Path(sf_dir).name, sf_dir)] + ([("sf1", sf1)] if sf1 else [])
-        # 150 s inside the driver's tight window (sf1 adversarial point
-        # degrades to a named skip), 600 s in a full local evidence run.
+        # 100 s inside the driver's tight window (sf1 adversarial point
+        # degrades to a named skip; r11 measured 248 s against the old
+        # 150 s budget — in-flight points can't be truncated, so the
+        # budget must be set below the target, not at it), 600 s in a
+        # full local evidence run.
         budget = float(
             os.environ.get("SPARK_GRAFT_BITEXT_BUDGET_SEC")
             or min(
-                150.0 if total_budget_sec() <= 1800 else 600.0,
+                100.0 if tight_window else 600.0,
                 max(60.0, budget_remaining() - 60.0),
             )
         )
@@ -2058,8 +2257,16 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # Stress + crossover merged into ONE budget unit (round-10 item 1:
         # two separate 350 s/700 s tail sections were two skip lines every
         # driver run; they always run or skip together anyway — both need
-        # the sf10 replica and measure the same operator family).
+        # the sf10 replica and measure the same operator family). Driver
+        # window: stress only — the crossover's 8M-synthetic-shingle leg is
+        # the expensive half and its result (bloom wins the big-benchmark
+        # regime) is regime-stable across rounds (r11 item 4).
         payload["contamination_stress"] = _contamination_stress(spark, sf10)
+        if tight_window:
+            _degrade(
+                "contamination_sf10", "crossover leg deferred to the full run"
+            )
+            return
         _section_hygiene(spark)
         payload["contamination_crossover"] = _contamination_crossover(spark, sf10)
 
@@ -2070,10 +2277,21 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
 
     def semdedup() -> None:
         # SemDeDup with corpus-proportional k (the paper's regime) at the
-        # replica scale points.
-        points = _scale_points(600.0)
+        # replica scale points. Driver window: a single-pass sf1 point (the
+        # full run keeps sf1+sf10 median-of-3) so the section fits and
+        # still emits a row (r11 item 4).
+        if tight_window:
+            _degrade(
+                "semdedup_scale",
+                "single-pass sf1 point (full run: sf1+sf10, 3 passes)",
+            )
+            points = [("sf1", sf1)] if sf1 else []
+        else:
+            points = _scale_points(600.0)
         if points:
-            payload["semdedup_scale_bench"] = _semdedup_scale_bench(spark, points)
+            payload["semdedup_scale_bench"] = _semdedup_scale_bench(
+                spark, points, passes=1 if tight_window else 3
+            )
 
     # The plan: (name, skip_env, estimated_sec, fn), run IN ORDER while the
     # total budget holds. Estimates are clean-box round-7 measurements with
@@ -2151,12 +2369,29 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             ),
         ),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
-        # sf10_scaling self-budgets to the remaining window (minimum useful
-        # run ~60 s of sf0.1 medians) and per-point cost guards keep it
-        # from overrunning — the est here is the minimum, not the typical.
-        ("sf10_scaling", None if sf10 else "1", 60, sf10_section),
-        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 330, ivf_build),
-        ("semdedup_scale", "SPARK_GRAFT_SKIP_SEMDEDUP", 500, semdedup),
+        (
+            "linkage_bench",
+            "SPARK_GRAFT_SKIP_LINKAGE_BENCH",
+            70 if tight_window else 280,
+            linkage,
+        ),
+        # Round-12 tail rebalance (r11 verdict item 4): estimates re-synced
+        # to the r11 clean full run's MEASURED section_seconds + headroom
+        # (ivf_build 90 -> est 120, semdedup 434/3-pass -> 180 single-pass,
+        # contamination 266 -> est 330; the old 330/500/1000 were stale and
+        # kept all three out of every 1500 s driver window). sf10_scaling
+        # runs only in full windows: in the driver window it spent 150 s
+        # emitting zero committed numbers (every point truncated) — that
+        # time now funds the three formerly-perennial skips, and sf10 query
+        # medians come from the committed full run's per-query-grouped warm
+        # meter.
+        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 120, ivf_build),
+        (
+            "semdedup_scale",
+            "SPARK_GRAFT_SKIP_SEMDEDUP",
+            80 if tight_window else 500,
+            semdedup,
+        ),
         (
             "contamination_sf10",
             None
@@ -2164,10 +2399,20 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_STRESS")
             and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_CROSSOVER")
             else "1",
-            1000,
+            150 if tight_window else 330,
             contamination_sf10,
         ),
+        # sf10_scaling self-budgets to the remaining window (minimum useful
+        # run ~60 s) and per-point cost guards keep it from overrunning —
+        # the est here is the minimum, not the typical.
+        ("sf10_scaling", None if sf10 and not tight_window else "1", 60, sf10_section),
     ]
+    if sf10 and tight_window:
+        payload.setdefault("sections_degraded", []).append(
+            "sf10_scaling: deferred to the full run (driver window; its "
+            "150 s yielded zero committed medians in r11 — now funds "
+            "ivf_build/semdedup_scale/contamination_sf10)"
+        )
     for name, skip_env, est, fn in plan:
         if skip_env is not None and (skip_env == "1" or os.environ.get(skip_env)):
             continue
