@@ -1861,6 +1861,7 @@ EXTENDED_QUERIES = [
     "events_forecast_backtest_snaive",
     # round-12 additions
     "events_forecast_backtest_hw",
+    "events_forecast_next_week_hw",
     "text_winnowing_overlap_incremental",
     "multimodal_image_jpeg_progressive",
     "text_winnowing_overlap",

@@ -1335,7 +1335,7 @@ _HW_LEV = (
     f"({_HW_ALPHA} * (y - element_at(acc.s, 1))"
     f" + {10000 - _HW_ALPHA} * (acc.lev + acc.tr)) div 10000"
 )
-_HW_FOLD = f"""
+_HW_FOLD_STATE = f"""
 aggregate(
   slice(ys, 8, greatest(size(ys) - 7, 0)),
   named_struct(
@@ -1352,8 +1352,10 @@ aggregate(
                       div 10000)),
     'sae', acc.sae + abs(y - (acc.lev + acc.tr + element_at(acc.s, 1)))
   )
-).sae
+)
 """
+
+_HW_FOLD = _HW_FOLD_STATE + ".sae"
 
 
 @register(
@@ -1527,4 +1529,140 @@ def events_forecast_backtest_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sae_hw_e4") <= F.col("sae_snaive") * 10000)
         .cast("bigint")
         .alias("beats_snaive"),
+    )
+
+
+@register(
+    "events_forecast_next_week_hw",
+    f"""
+    WITH RECURSIVE sparse AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY event_type
+    ),
+    dense AS (
+      SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT dense.event_type, dense.day,
+             CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+      FROM dense LEFT JOIN sparse USING (event_type, day)
+    ),
+    idx AS (
+      SELECT event_type, day, CAST(n * 10000 AS BIGINT) AS y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  - 1 AS BIGINT) AS t
+      FROM daily
+    ),
+    ntot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM idx GROUP BY event_type
+    ),
+    l0 AS (
+      SELECT event_type, CAST(SUM(y) // 7 AS BIGINT) AS L0
+      FROM idx WHERE t < 7 GROUP BY event_type
+    ),
+    sinit AS (
+      SELECT i.event_type,
+             list(CAST(i.y - l0.L0 AS BIGINT) ORDER BY i.t) AS s
+      FROM idx i JOIN l0 ON l0.event_type = i.event_type
+      WHERE i.t < 7 GROUP BY i.event_type
+    ),
+    hw AS (
+      SELECT s.event_type, CAST(7 AS BIGINT) AS t, l0.L0 AS lev,
+             CAST(0 AS BIGINT) AS tr, s.s AS s, CAST(0 AS BIGINT) AS sae
+      FROM sinit s JOIN l0 ON l0.event_type = s.event_type
+      UNION ALL
+      SELECT h.event_type, h.t + 1,
+             CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                   + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                  AS BIGINT),
+             CAST(({_HW_BETA} * (CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                     + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                     AS BIGINT) - h.lev)
+                   + {10000 - _HW_BETA} * h.tr) // 10000 AS BIGINT),
+             list_concat(h.s[2:7],
+               [CAST(({_HW_GAMMA} * (i.y
+                       - CAST(({_HW_ALPHA} * (i.y - h.s[1])
+                         + {10000 - _HW_ALPHA} * (h.lev + h.tr)) // 10000
+                         AS BIGINT))
+                      + {10000 - _HW_GAMMA} * h.s[1]) // 10000 AS BIGINT)]),
+             CAST(h.sae + ABS(i.y - (h.lev + h.tr + h.s[1])) AS BIGINT)
+      FROM hw h JOIN idx i ON i.event_type = h.event_type AND i.t = h.t
+    ),
+    fin AS (
+      SELECT h.event_type, nt.last_day, h.lev, h.tr, h.s
+      FROM hw h JOIN ntot nt
+        ON nt.event_type = h.event_type AND h.t = nt.n_days
+      WHERE nt.n_days >= 8
+    ),
+    horizons AS (SELECT UNNEST(generate_series(1, 7)) AS h),
+    fc AS (
+      SELECT f.event_type,
+             CAST(f.last_day + hz.h AS BIGINT) AS day,
+             CAST(hz.h AS BIGINT) AS horizon,
+             CAST(f.lev + hz.h * f.tr + f.s[hz.h] AS BIGINT) AS forecast_e4
+      FROM fin f CROSS JOIN horizons hz
+    )
+    SELECT event_type, day, horizon, forecast_e4,
+           CAST(CASE WHEN forecast_e4 < 0 THEN 0
+                     ELSE forecast_e4 // 10000 END AS BIGINT) AS forecast_n
+    FROM fc
+    """,
+    tags=("temporal", "forecasting", "smoothing", "serving"),
+)
+def events_forecast_next_week_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast tier's SERVE PATH: next-7-day ingest-volume forecasts
+    per event type from the Holt–Winters fold's FINAL state (the backtest
+    entry scores this same model; this entry emits what a capacity planner
+    actually consumes). h-step-ahead additive forecast: level + h*trend +
+    the h-th entry of the rotating seasonal vector (head = tomorrow's
+    factor by construction), all in the same exact e4 fixed-point int64
+    arithmetic, clamped at zero counts. One row per (type, horizon 1..7),
+    day = last observed day + h.
+
+    Scale shape: identical to the backtest — ONE partial-agg daily rollup
+    touches the corpus; the fold and the 7-row-per-type forecast expansion
+    run over the |days × types| aggregate. The DuckDB twin replays the
+    recurrence via the same recursive CTE and indexes the final seasonal
+    list directly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(e)
+    g = daily.groupBy("event_type").agg(
+        F.max("day").cast("bigint").alias("last_day"),
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("dn"),
+    )
+    staged = (
+        g.withColumn("ys", F.expr("transform(dn, p -> p.n * 10000L)"))
+        .filter(F.size("ys") >= 8)
+        .withColumn(
+            "L0", F.expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7")
+        )
+        .withColumn("hw", F.expr(_HW_FOLD_STATE))
+    )
+    fc = staged.select(
+        "event_type",
+        "last_day",
+        "hw",
+        F.explode(F.expr("sequence(1L, 7L)")).alias("horizon"),
+    ).withColumn(
+        "forecast_e4",
+        F.expr("hw.lev + horizon * hw.tr + element_at(hw.s, CAST(horizon AS INT))")
+        .cast("bigint"),
+    )
+    return fc.select(
+        "event_type",
+        (F.col("last_day") + F.col("horizon")).cast("bigint").alias("day"),
+        F.col("horizon").cast("bigint").alias("horizon"),
+        "forecast_e4",
+        F.when(F.col("forecast_e4") < 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("forecast_e4 div 10000"))
+        .cast("bigint")
+        .alias("forecast_n"),
     )

@@ -155,3 +155,47 @@ def test_hw_beats_snaive_on_fixture(spark):
     assert len(rows) == 5
     assert all(r["beats_snaive"] == 1 for r in rows)
     assert all(r["mase_hw_e4"] < 10000 for r in rows)  # also beats naive-1
+
+
+def _hw_python_state(ys, alpha, beta, gamma):
+    """Final (level, trend, seasonal-vector) of the integer HW fold."""
+    y = [v * 10000 for v in ys]
+    lev = _tdiv(sum(y[:7]), 7)
+    s = [v - lev for v in y[:7]]
+    tr = 0
+    for t in range(7, len(y)):
+        yt, head = y[t], s[0]
+        lev_n = _tdiv(alpha * (yt - head) + (10000 - alpha) * (lev + tr), 10000)
+        tr = _tdiv(beta * (lev_n - lev) + (10000 - beta) * tr, 10000)
+        s = s[1:] + [_tdiv(gamma * (yt - lev_n) + (10000 - gamma) * head, 10000)]
+        lev = lev_n
+    return lev, tr, s
+
+
+def test_next_week_forecast_matches_python_state(spark, tmp_path):
+    """The serve-path entry's 7 forecasts must equal level + h*trend +
+    seasonal[h] of the reference fold's final state, with negative
+    forecasts clamped to zero counts."""
+    from data_ingestion_bra_spark.plans.temporal import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        events_forecast_next_week_hw,
+    )
+
+    counts = [9, 2, 14, 0, 7, 21, 3, 11, 0, 0, 18, 5, 9, 2, 30, 1, 6, 12]
+    rows = [("click", day, n) for day, n in enumerate(counts) if n > 0]
+    sf = _write_events(tmp_path, rows)
+    lev, tr, s = _hw_python_state(counts, _HW_ALPHA, _HW_BETA, _HW_GAMMA)
+    got = {
+        r["horizon"]: r
+        for r in events_forecast_next_week_hw(spark, sf).collect()
+    }
+    assert len(got) == 7
+    last_day = max(r["day"] - r["horizon"] for r in got.values())
+    for h in range(1, 8):
+        want_e4 = lev + h * tr + s[h - 1]
+        assert got[h]["forecast_e4"] == want_e4, h
+        assert got[h]["day"] == last_day + h
+        want_n = 0 if want_e4 < 0 else _tdiv(want_e4, 10000)
+        assert got[h]["forecast_n"] == want_n

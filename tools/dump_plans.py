@@ -80,6 +80,11 @@ SHOWCASE: list[tuple[str, str]] = [
     ("approx_quantiles_histogram", "histogram quantiles: ONE partial-agg (group,bin) groupBy touches the corpus; cumsum + rank selection run over <= n_bins summary rows per group"),
     ("corpus_shard_rendezvous", "HRW resharding: assignment is a row-local struct argmax riding the scan; the only aggregation is the 16-cell (shard8, shard9) rollup"),
     ("sketch_users_intersection_kmv", "KMV set algebra: sketches from one (group,hash) distinct shuffle; every pair-wise stage after is |pairs| x k summary rows"),
+    # round 12
+    ("events_forecast_backtest_snaive", "forecast backtest: one partial-agg daily rollup touches the corpus (checkpointed — feeds bounds + dense join); densify/lag/score all run over |days×types| rows"),
+    ("events_forecast_backtest_hw", "Holt-Winters: the sequential recurrence is an aggregate() HOF fold over each type's collected daily array — corpus work is still the ONE rollup; fold state is 10 BIGINTs per type"),
+    ("text_winnowing_overlap_incremental", "overlap serve path: store side winnowed once (checkpointed, feeds hot-count + join); batch side one winnowing pass + one fp equi-join — never a corpus self-join"),
+    ("multimodal_image_jpeg_progressive", "progressive JPEG audit: baseline + 10-scan progressive encode/decode + bit-identity verdict in ONE Arrow-batched MapInPandas — scan data never shuffles"),
 ]
 
 
