@@ -1666,3 +1666,334 @@ def events_forecast_next_week_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("forecast_n"),
     )
+
+
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH sparse AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY event_type
+    ),
+    dense AS (
+      SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT dense.event_type, dense.day,
+             CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+      FROM dense LEFT JOIN sparse USING (event_type, day)
+    ),
+    params AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(n) * 10000 // COUNT(*) AS BIGINT) AS mu_e4
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, p.n_days, p.mu_e4,
+             CAST(p.mu_e4 // 20 AS BIGINT) AS k_e4,
+             CAST(p.mu_e4 * 4 AS BIGINT) AS h_e4,
+             d.n * 10000 - p.mu_e4 - p.mu_e4 // 20 AS d_pos,
+             p.mu_e4 - p.mu_e4 // 20 - d.n * 10000 AS d_neg
+      FROM daily d JOIN params p USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, day, n_days, mu_e4, k_e4, h_e4,
+             CAST(SUM(d_pos) OVER w AS BIGINT) AS c_pos,
+             CAST(SUM(d_neg) OVER w AS BIGINT) AS c_neg
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    runmin AS (
+      SELECT event_type, day, n_days, mu_e4, k_e4, h_e4, c_pos, c_neg,
+             CAST(MIN(c_pos) OVER w AS BIGINT) AS m_pos,
+             CAST(MIN(c_neg) OVER w AS BIGINT) AS m_neg
+      FROM cum
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+      SELECT event_type, day, n_days, mu_e4, k_e4, h_e4,
+             c_pos - LEAST(CAST(0 AS BIGINT), m_pos) AS s_pos,
+             c_neg - LEAST(CAST(0 AS BIGINT), m_neg) AS s_neg
+      FROM runmin
+    )
+    SELECT event_type,
+           MAX(n_days) AS n_days,
+           MAX(mu_e4) AS mu_e4,
+           MAX(k_e4) AS k_e4,
+           MAX(h_e4) AS h_e4,
+           CAST(MAX(s_pos) AS BIGINT) AS max_s_pos_e4,
+           CAST(MAX(s_neg) AS BIGINT) AS max_s_neg_e4,
+           CAST(MIN(CASE WHEN s_pos > h_e4 THEN day END) AS BIGINT)
+             AS first_alarm_day_up,
+           CAST(MIN(CASE WHEN s_neg > h_e4 THEN day END) AS BIGINT)
+             AS first_alarm_day_down,
+           CAST(SUM(CASE WHEN s_pos > h_e4 OR s_neg > h_e4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+           CAST(CASE
+                  WHEN MIN(CASE WHEN s_pos > h_e4 THEN day END) IS NULL
+                   AND MIN(CASE WHEN s_neg > h_e4 THEN day END) IS NULL THEN 0
+                  WHEN MIN(CASE WHEN s_neg > h_e4 THEN day END) IS NULL THEN 1
+                  WHEN MIN(CASE WHEN s_pos > h_e4 THEN day END) IS NULL THEN -1
+                  WHEN MIN(CASE WHEN s_pos > h_e4 THEN day END)
+                    <= MIN(CASE WHEN s_neg > h_e4 THEN day END) THEN 1
+                  ELSE -1
+                END AS BIGINT) AS alarm_dir
+    FROM stat GROUP BY event_type
+    """,
+    tags=("temporal", "changepoint", "cusum", "monitoring", "data-quality"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEAN-SHIFT changepoint monitor — Page's CUSUM (Biometrika 1954) over
+    each type's dense daily volume series. The MAD entry flags single
+    outlier DAYS and Theil-Sen reports a gradual SLOPE; CUSUM is the
+    missing third monitor: it accumulates small persistent deviations from
+    the historical mean and alarms on a sustained LEVEL SHIFT (an upstream
+    source going dark, a new feed doubling one type's volume) long before
+    any single day clears the 3-MAD bar.
+
+    Parameterization (deterministic, mean-scaled since sigma is unknown):
+    reference mu = the series mean (e4 fixed point, truncating div);
+    allowance k = mu/20 (half of a 10%-of-mean target shift); decision
+    interval h = 4*mu. Both one-sided statistics are computed in CLOSED
+    FORM instead of the textbook recursion: with d_t the allowanced
+    deviation and c_t its prefix sum, S+_t = max(0, S+_{t-1} + d_t) equals
+    c_t - min(0, min_{j<=t} c_j) — a cumulative sum plus a running minimum
+    OVER that sum, i.e. two window passes, no recursion, no UDF, identical
+    SQL in both engines. All arithmetic is int64 fixed point, so the
+    alarm day and direction are hash-exact.
+
+    Scale shape: identical to the forecast tier — the corpus-sized work is
+    the ONE partial-aggregable daily rollup (shared ``_dense_daily_counts``
+    harness, ADVICE-r11-densified so zero-volume days score); the window
+    passes run over |days x types| rows. At 100 TB the monitor's cost is
+    still the rollup scan."""
+    e = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(e).localCheckpoint(eager=True)
+    params = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("CAST(SUM(n) * 10000 div COUNT(*) AS BIGINT)").alias("mu_e4"),
+    )
+    dev = daily.join(params, "event_type").select(
+        "event_type",
+        "day",
+        "n_days",
+        "mu_e4",
+        F.expr("mu_e4 div 20").cast("bigint").alias("k_e4"),
+        (F.col("mu_e4") * 4).cast("bigint").alias("h_e4"),
+        F.expr("n * 10000 - mu_e4 - mu_e4 div 20").alias("d_pos"),
+        F.expr("mu_e4 - mu_e4 div 20 - n * 10000").alias("d_neg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        "event_type",
+        "day",
+        "n_days",
+        "mu_e4",
+        "k_e4",
+        "h_e4",
+        F.sum("d_pos").over(w).cast("bigint").alias("c_pos"),
+        F.sum("d_neg").over(w).cast("bigint").alias("c_neg"),
+    )
+    stat = cum.select(
+        "event_type",
+        "day",
+        "n_days",
+        "mu_e4",
+        "k_e4",
+        "h_e4",
+        (F.col("c_pos") - F.least(F.lit(0).cast("bigint"), F.min("c_pos").over(w)))
+        .cast("bigint")
+        .alias("s_pos"),
+        (F.col("c_neg") - F.least(F.lit(0).cast("bigint"), F.min("c_neg").over(w)))
+        .cast("bigint")
+        .alias("s_neg"),
+    )
+    up_day = F.min(F.when(F.col("s_pos") > F.col("h_e4"), F.col("day")))
+    down_day = F.min(F.when(F.col("s_neg") > F.col("h_e4"), F.col("day")))
+    return stat.groupBy("event_type").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("mu_e4").alias("mu_e4"),
+        F.max("k_e4").alias("k_e4"),
+        F.max("h_e4").alias("h_e4"),
+        F.max("s_pos").cast("bigint").alias("max_s_pos_e4"),
+        F.max("s_neg").cast("bigint").alias("max_s_neg_e4"),
+        up_day.cast("bigint").alias("first_alarm_day_up"),
+        down_day.cast("bigint").alias("first_alarm_day_down"),
+        F.sum(
+            F.when(
+                (F.col("s_pos") > F.col("h_e4")) | (F.col("s_neg") > F.col("h_e4")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_alarm_days"),
+        F.when(up_day.isNull() & down_day.isNull(), F.lit(0))
+        .when(down_day.isNull(), F.lit(1))
+        .when(up_day.isNull(), F.lit(-1))
+        .when(up_day <= down_day, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("alarm_dir"),
+    )
+
+
+@register(
+    "events_trend_mann_kendall",
+    """
+    WITH sparse AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+      FROM sparse GROUP BY event_type
+    ),
+    dense AS (
+      SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT dense.event_type, dense.day,
+             CAST(COALESCE(sparse.n, 0) AS BIGINT) AS n
+      FROM dense LEFT JOIN sparse USING (event_type, day)
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                           WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY event_type, n)
+      GROUP BY event_type
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type
+    ),
+    stat AS (
+      SELECT s.event_type, nd.n_days, s.n_pairs, s.s_stat, ties.tie_term,
+             CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                  - ties.tie_term AS BIGINT) AS var18
+      FROM s JOIN ties USING (event_type) JOIN nd USING (event_type)
+    )
+    SELECT event_type, n_days, n_pairs, s_stat, tie_term, var18,
+           CAST(CASE WHEN n_days < 2 THEN NULL
+                     ELSE s_stat * 20000 // (n_days * (n_days - 1))
+                END AS BIGINT) AS tau_a_e4,
+           CAST(CASE WHEN s_stat > 0 THEN 1
+                     WHEN s_stat < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS trend_dir,
+           CAST(CASE WHEN CAST(s_stat AS HUGEINT) * s_stat * 180000
+                        > CAST(38416 AS HUGEINT) * var18
+                     THEN 1 ELSE 0 END AS BIGINT) AS significant
+    FROM stat
+    """,
+    tags=("temporal", "robust-statistics", "mann-kendall", "monitoring"),
+)
+def events_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREND SIGNIFICANCE test — Mann-Kendall (Mann 1945 / Kendall 1975)
+    over each type's dense daily volume series. Theil-Sen answers "how
+    steep is the drift"; this answers the alerting question it leaves
+    open: "is there a monotonic trend AT ALL, or is the slope noise" —
+    the nonparametric S statistic (sum of pairwise count-comparison
+    signs) against its null variance, with the standard tie correction
+    (zero-volume days produce heavy ties, which is exactly why the
+    densified series needs the correction term).
+
+    Exactness: S, the tie term, and 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)
+    (2t+5) are pure int64; the normal-approximation verdict |S| >
+    1.96*sqrt(Var) is evaluated as the EXACT integer cross-multiplication
+    S^2 * 18 * 10000 > 38416 * var18 (1.96^2 = 38416/10000) in 128-bit
+    arithmetic (DECIMAL(38,0) / HUGEINT - the PMI-numerator discipline),
+    so no sqrt and no float ever runs and the verdict is hash-stable.
+    Kendall tau-a is e4 fixed point via truncating div. The uncorrected
+    (no continuity-correction) variant is used on both engines.
+
+    Scale shape: identical to Theil-Sen — ONE partial-aggregable daily
+    rollup touches the corpus; the O(d^2) pair join and the tie/variance
+    aggregates run over |days x types| rows, bounded by the calendar, not
+    the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    daily = _dense_daily_counts(e).localCheckpoint(eager=True)
+    a = daily.select("event_type", F.col("day").alias("day_a"), F.col("n").alias("n_a"))
+    b = daily.select("event_type", F.col("day").alias("day_b"), F.col("n").alias("n_b"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("n_b") > F.col("n_a"), F.lit(1))
+                .when(F.col("n_b") < F.col("n_a"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("s_stat"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).cast("bigint").alias("tie_term")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    stat = (
+        s.join(ties, "event_type")
+        .join(nd, "event_type")
+        .withColumn(
+            "var18",
+            F.expr(
+                "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS BIGINT)"
+            ),
+        )
+    )
+    return stat.select(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        "tie_term",
+        "var18",
+        F.expr(
+            "CAST(CASE WHEN n_days < 2 THEN NULL"
+            "     ELSE s_stat * 20000 div (n_days * (n_days - 1)) END AS BIGINT)"
+        ).alias("tau_a_e4"),
+        F.when(F.col("s_stat") > 0, F.lit(1))
+        .when(F.col("s_stat") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("trend_dir"),
+        F.expr(
+            "CAST(CASE WHEN CAST(s_stat AS DECIMAL(38,0)) * s_stat * 180000"
+            "        > CAST(38416 AS DECIMAL(38,0)) * var18"
+            "     THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("significant"),
+    )
