@@ -1640,3 +1640,167 @@ def approx_quantiles_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("within_bin"),
     )
+
+
+def _bloom_md5_positions(m_bits: int, k: int):
+    """Engine-portable bloom probe positions: hash j of a key is the 48-bit
+    md5 prefix of ``"j:" || key`` mod m_bits (the ``operators/sketch.py``
+    md5-prefix discipline; DuckDB replays it as
+    ``('0x' || substr(md5(j || ':' || key), 1, 12))::BIGINT % m``), so the
+    BITMAP ITSELF — not just the exact-join result — is oracle-checkable.
+    The xxhash64 default in ``operators/bloom.py`` is faster and right for
+    production; this variant exists for audited, cross-engine parity."""
+
+    def pos(c):
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), c.cast("string"))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(m_bits),
+            )
+            for j in range(k)
+        ]
+
+    return pos
+
+
+@register(
+    "join_bloom_runtime_filter",
+    """
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    pos AS (
+      SELECT ('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                 || CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT
+             % 65536 AS p
+      FROM keys, (SELECT UNNEST([0, 1, 2]) AS i)
+    ),
+    words AS (
+      SELECT p // 64 AS w,
+             bit_or((1::HUGEINT) << CAST(p % 64 AS INT)) AS word
+      FROM pos GROUP BY 1
+    ),
+    probe AS (
+      SELECT l_orderkey, l_returnflag,
+             ('0x' || substr(md5('0:' || CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT % 65536 AS p0,
+             ('0x' || substr(md5('1:' || CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT % 65536 AS p1,
+             ('0x' || substr(md5('2:' || CAST(l_orderkey AS VARCHAR)), 1, 12))::BIGINT % 65536 AS p2
+      FROM lineitem
+    ),
+    verdict AS (
+      SELECT pr.l_orderkey, pr.l_returnflag,
+             CASE WHEN COALESCE((w0.word >> CAST(pr.p0 % 64 AS INT)) & 1, 0) = 1
+                   AND COALESCE((w1.word >> CAST(pr.p1 % 64 AS INT)) & 1, 0) = 1
+                   AND COALESCE((w2.word >> CAST(pr.p2 % 64 AS INT)) & 1, 0) = 1
+                  THEN 1 ELSE 0 END AS pass
+      FROM probe pr
+      LEFT JOIN words w0 ON w0.w = pr.p0 // 64
+      LEFT JOIN words w1 ON w1.w = pr.p1 // 64
+      LEFT JOIN words w2 ON w2.w = pr.p2 // 64
+    ),
+    base AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(pass) AS BIGINT) AS n_pass_bloom
+      FROM verdict GROUP BY l_returnflag
+    ),
+    matched AS (
+      SELECT v.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_match_exact
+      FROM verdict v JOIN keys k ON v.l_orderkey = k.o_orderkey
+      WHERE v.pass = 1
+      GROUP BY v.l_returnflag
+    )
+    SELECT b.l_returnflag, b.n_rows, b.n_pass_bloom,
+           CAST(COALESCE(m.n_match_exact, 0) AS BIGINT) AS n_match_exact,
+           CAST(b.n_pass_bloom - COALESCE(m.n_match_exact, 0) AS BIGINT)
+             AS n_false_pos,
+           CAST(CASE WHEN b.n_rows = COALESCE(m.n_match_exact, 0) THEN NULL
+                     ELSE (b.n_pass_bloom - COALESCE(m.n_match_exact, 0))
+                          * 1000000 // (b.n_rows - COALESCE(m.n_match_exact, 0))
+                END AS BIGINT) AS fp_rate_e6
+    FROM base b LEFT JOIN matched m USING (l_returnflag)
+    """,
+    tags=("join", "bloom", "runtime-filter", "engine-internals"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME-FILTER join audit — the build/ship/probe discipline of
+    Spark's own ``InjectRuntimeFilter`` bloom join, expressed as an
+    explicit, measurable operator. The 100 TB join problem it models: a
+    full fact scan (lineitem) shuffled into a join against a SELECTIVE dim
+    (urgent orders) wastes the shuffle on rows that can never match; a
+    bloom filter built from the dim keys and broadcast as a FIXED-SIZE
+    bitmap (here 64 Kb = 8 KiB, 3 probes) strikes non-matching fact rows
+    row-locally BEFORE any exchange, and only bloom survivors (true
+    matches + a measured sliver of false positives) reach the exact
+    confirm join.
+
+    Unlike ``dedup_contamination_bloom`` (whose oracle checks the exact
+    RESULT, treating the bitmap as transparent), this entry's OUTPUT is
+    the filter audit itself: per returnflag, probed rows, bloom-pass
+    count, exact-match count, false positives, and the false-positive
+    rate over true negatives (e6 fixed point). That makes the bitmap
+    cross-engine-checkable bit for bit, so the md5-prefix position hash
+    (``operators/sketch.py`` discipline) replaces the production xxhash64:
+    DuckDB rebuilds the identical bitmap and must count identical FPs.
+
+    Scale shape: the build side is one distinct + 3-position explode over
+    the (small) filtered dim; the bitmap rides the allow-listed 1-row
+    broadcast attach (the ``dedup_contamination_bloom`` shape); probes are
+    whole-stage-codegen md5 expressions; the exact confirm join carries
+    ONLY bloom survivors against the broadcast dim keys — at fixture
+    selectivity that's ~20% of the fact relation ever reaching a join,
+    and the fact table is never shuffled at all (broadcast-hash confirm).
+    """
+    from data_ingestion_bra_spark.operators import bloom
+
+    m_bits, k = 65536, 3
+    pos_fn = _bloom_md5_positions(m_bits, k)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    keys = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+    )
+    bf = bloom.build_bloom_df(keys, "o_orderkey", m_bits=m_bits, pos_fn=pos_fn)
+    probed = bloom.bloom_probe(
+        li, "l_orderkey", bf, "pass", m_bits=m_bits, pos_fn=pos_fn
+    )
+    base = probed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("pass").cast("bigint").alias("n_pass_bloom"),
+    )
+    survivors = probed.filter(F.col("pass") == 1)
+    matched = (
+        survivors.join(
+            F.broadcast(keys),
+            survivors["l_orderkey"] == keys["o_orderkey"],
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_match_exact"))
+    )
+    out = base.join(matched, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_rows",
+        "n_pass_bloom",
+        F.coalesce("n_match_exact", F.lit(0)).cast("bigint").alias("n_match_exact"),
+        (F.col("n_pass_bloom") - F.coalesce("n_match_exact", F.lit(0)))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return out.withColumn(
+        "fp_rate_e6",
+        F.expr(
+            "CAST(CASE WHEN n_rows = n_match_exact THEN NULL"
+            "     ELSE n_false_pos * 1000000 div (n_rows - n_match_exact)"
+            "     END AS BIGINT)"
+        ),
+    )

@@ -1601,3 +1601,40 @@ def test_bucketed_range_join_equals_naive_and_plans_equi(spark):
         range_join_count_bucketed(
             left, right, left_ts="ts", right_ts="ts", lower_seconds=0
         )
+
+
+def test_bloom_md5_positions_match_python_reference(spark):
+    """The md5-prefix bloom variant (join_bloom_runtime_filter's
+    oracle-replayable hash family) must place EXACTLY the bits a pure-
+    Python md5 reference places, and the probe verdict must be 1 for every
+    member (zero false negatives) while rejecting most non-members."""
+    import hashlib
+
+    from data_ingestion_bra_spark.operators import bloom
+    from data_ingestion_bra_spark.plans.relational_ext import _bloom_md5_positions
+
+    m_bits, k = 4096, 3
+    keys = [7, 42, 99, 1234, 888888]
+    members = spark.createDataFrame([(v,) for v in keys], "k bigint")
+    pos_fn = _bloom_md5_positions(m_bits, k)
+    bf = bloom.build_bloom_df(members, "k", m_bits=m_bits, pos_fn=pos_fn)
+    spark_words = list(bf.first()["bf"])
+
+    ref = [0] * (m_bits // 64)
+    for v in keys:
+        for j in range(k):
+            h = int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:12], 16) % m_bits
+            ref[h // 64] |= 1 << (h % 64)
+    # two's-complement view into Spark's signed BIGINT domain
+    ref = [w - (1 << 64) if w >= (1 << 63) else w for w in ref]
+    assert spark_words == ref
+
+    probed = bloom.bloom_probe(members, "k", bf, "pass", m_bits=m_bits, pos_fn=pos_fn)
+    assert [r["pass"] for r in probed.collect()] == [1] * len(keys)
+    others = spark.createDataFrame([(v,) for v in range(10000, 10400)], "k bigint")
+    n_fp = (
+        bloom.bloom_probe(others, "k", bf, "pass", m_bits=m_bits, pos_fn=pos_fn)
+        .filter("pass = 1")
+        .count()
+    )
+    assert n_fp < 8, n_fp  # fpp ~ (15/4096*3)^3 with 15 set bits — near zero
