@@ -960,3 +960,87 @@ def corpus_shard_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("moved_to_new_only"),
         )
     )
+
+
+def _lpa_oracle(n_iter: int = 4) -> str:
+    """Unrolled synchronous label-propagation rounds (the pagerank-oracle
+    unroll discipline): counting + deterministic min-label tie-break only,
+    so DuckDB replays operators/graph.py:label_propagation exactly."""
+    parts = [
+        """
+    WITH raw AS (
+      SELECT doc_id % 50 AS s, (doc_id * 31 + 7) % 50 AS t FROM documents
+    ),
+    e AS (
+      SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v FROM raw WHERE s <> t
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    adj AS (SELECT u, v FROM sym
+            UNION ALL SELECT node AS u, node AS v FROM nodes),
+    l0 AS (SELECT node, node AS lbl FROM nodes)
+"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT a.u AS node, p.lbl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM adj a JOIN l{i - 1} p ON p.node = a.v
+      GROUP BY a.u, p.lbl
+    ),
+    r{i} AS (
+      SELECT node, lbl,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl ASC) AS rn
+      FROM c{i}
+    ),
+    l{i} AS (
+      SELECT p.node, COALESCE(r.lbl, p.lbl) AS lbl
+      FROM l{i - 1} p
+      LEFT JOIN (SELECT node, lbl FROM r{i} WHERE rn = 1) r ON r.node = p.node
+    )
+"""
+        )
+    parts.append(
+        f""",
+    sizes AS (
+      SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l{n_iter} GROUP BY lbl
+    )
+    SELECT l.node, CAST(l.lbl AS BIGINT) AS community, s.community_size
+    FROM l{n_iter} l JOIN sizes s ON s.lbl = l.lbl
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "web_link_communities_lpa",
+    _lpa_oracle(4),
+    tags=("web", "graph", "community-detection", "label-propagation"),
+)
+def web_link_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the same synthesized domain link graph as
+    ``web_link_pagerank`` / ``web_link_triangles`` — synchronous label
+    propagation (Raghavan et al. 2007) with the deterministic min-label
+    tie-break. The web-curation use: pagerank ranks domains GLOBALLY and
+    triangles score LOCAL density, but neither names the mirror/spam RING
+    itself; LPA's near-linear community assignment is the standard first
+    pass for grouping domains into link neighborhoods so per-community
+    caps and dedup policies can apply (a community of 400 mutually-linked
+    domains with near-identical content is one data source, not 400).
+
+    Determinism: the classic algorithm breaks count ties randomly and
+    updates asynchronously — both partitioning-dependent, both replaced
+    here (min-label tie-break, synchronous rounds, fixed budget of 4) so
+    the assignment is hash-exact; the oracle unrolls the identical rounds
+    (the pagerank-oracle discipline). Per round the work is one adjacency
+    equi-join + a partial-aggregable (node,label) count + a bounded
+    row_number — at a 10^7-node domain graph each round is one shuffle of
+    |E| rows, and labels checkpoint per round to truncate lineage."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = d.select(
+        (F.col("doc_id") % 50).alias("s"),
+        ((F.col("doc_id") * 31 + 7) % 50).alias("t"),
+    )
+    return graph.label_propagation(edges, "s", "t", n_iter=4)

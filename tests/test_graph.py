@@ -196,3 +196,52 @@ def test_triangles_hub_plus_triangle(spark):
     got = _tri(spark, edges)
     assert got[1] == (3, 1) and got[100] == (2, 1) and got[101] == (2, 1)
     assert got[0] == (30, 0)
+
+
+def _lpa(spark, edges, **kw):
+    from data_ingestion_bra_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "s BIGINT, t BIGINT")
+    rows = label_propagation(df, "s", "t", **kw).collect()
+    return (
+        {r.node: r.community for r in rows},
+        {r.node: r.community_size for r in rows},
+    )
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by a single bridge edge: LPA must assign each
+    clique its own community (labeled by the clique's min node id — the
+    deterministic tie-break) and must NOT let the bridge merge them."""
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = clique_a + clique_b + [(3, 10)]
+    comm, sizes = _lpa(spark, edges, n_iter=4)
+    assert comm[0] == comm[1] == comm[2] == comm[3] == 0
+    assert comm[10] == comm[11] == comm[12] == comm[13] == 10
+    assert sizes[0] == 4 and sizes[10] == 4
+
+
+def test_lpa_star_adopts_hub_min_label(spark):
+    """A star: with closed-neighborhood voting, every leaf ties its own
+    label 1-1 against the hub's and takes the min (the hub's 5), while the
+    hub's five-way tie also resolves to 5 — the whole star converges to
+    one community in a single round (pure synchronous LPA would two-cycle
+    here forever, hub and leaves trading majorities)."""
+    edges = [(5, leaf) for leaf in (6, 7, 8, 9)]
+    comm, sizes = _lpa(spark, edges, n_iter=4)
+    assert len(set(comm.values())) == 1
+    assert sizes[5] == 5
+
+
+def test_lpa_community_sizes_partition_nodes(spark):
+    """Community sizes must sum to the node count (every node assigned
+    exactly once), on a graph with an isolated-ish pendant pair."""
+    edges = [(0, 1), (1, 2), (2, 0), (50, 51)]
+    comm, sizes = _lpa(spark, edges, n_iter=4)
+    assert comm[50] == comm[51] == 50
+    total = {}
+    for node, c in comm.items():
+        total[c] = total.get(c, 0) + 1
+    for node, c in comm.items():
+        assert sizes[node] == total[c]
