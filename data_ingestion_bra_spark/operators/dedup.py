@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def tokens_expr(text: Column | str) -> Column:
@@ -546,3 +547,54 @@ def sorted_neighborhood_pairs(
         out = pass_pairs if out is None else out.unionByName(pass_pairs)
     assert out is not None, "key_orderings must be non-empty"
     return out.distinct()
+
+
+def jaccard_prefix_filter_pairs(sh: DataFrame, *, tau_e4: int) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (Chaudhuri,
+    Ganti & Kaushik ICDE'06 SSJoin; Xiao et al. WWW'08 PPJoin) — the
+    recall-complete alternative to MinHash-LSH candidate generation.
+
+    LSH candidates are probabilistic (a qualifying pair missing every band
+    is silently lost); prefix filtering is a THEOREM: order each doc's
+    shingle set by a global total order and keep only its first
+    |r| - ceil(tau*|r|) + 1 elements, and any pair with J >= tau MUST
+    share at least one prefix element (a disjoint-prefix pair has
+    intersection < ceil(tau*|r|) against either side's remainder, so
+    J < tau). Candidates therefore come from an equi-join on prefix
+    shingles — never all pairs, zero false negatives — and the exact
+    verify tier (``jaccard_pairs``) strikes the false positives.
+
+    The global order is (document-frequency ASC, shingle ASC) — rarest
+    first, the standard choice because rare shingles generate the fewest
+    candidate collisions. The order key is the TUPLE itself, not a dense
+    global rank: ranking |V| shingles with one row_number would serialize
+    the vocabulary through a single partition at 100 TB, while the tuple
+    sort key needs only the per-shingle df (one partial-aggregable
+    groupBy) and a PER-DOC window sort. Verification cost tracks the
+    candidate set exactly as in the LSH tier.
+
+    Returns (doc_a, doc_b, jaccard_e4) with jaccard_e4 >= tau_e4, rounded
+    per the catalog's fixed-point convention."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").cast("bigint").alias("df"))
+    sizes = sh.groupBy("doc").agg(F.count("*").cast("bigint").alias("sz"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    )
+    prefix = ordered.filter(
+        F.expr(f"pos <= sz - (sz * {tau_e4} + 9999) div 10000 + 1")
+    ).select("doc", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    return jaccard_pairs(sh, min_jaccard=tau_e4 / 10000.0, pair_filter=cand)

@@ -5722,3 +5722,60 @@ def corpus_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END AS BIGINT)"
         ).alias("simpson_e6"),
     )
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    "WITH "
+    + _SH_CTE
+    + """,
+    dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sh GROUP BY shingle),
+    szs AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc),
+    ordered AS (
+      SELECT s.doc, s.shingle, z.sz,
+             ROW_NUMBER() OVER (PARTITION BY s.doc
+                                ORDER BY d.df ASC, s.shingle ASC) AS pos
+      FROM sh s
+      JOIN dfreq d ON d.shingle = s.shingle
+      JOIN szs z ON z.doc = s.doc
+    ),
+    prefix AS (
+      SELECT doc, shingle FROM ordered
+      WHERE pos <= sz - (sz * 5000 + 9999) // 10000 + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc < b.doc
+    ),
+"""
+    + _JACCARD_TAIL.format(
+        cand_join="JOIN cand c ON c.doc_a = a.doc AND c.doc_b = b.doc", thr_e4=5000
+    ),
+    tags=("dedup", "jaccard", "prefix-filter", "exact"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL-COMPLETE near-dup pairs: exact 3-gram-shingle Jaccard >= 0.5
+    with candidates from PREFIX FILTERING instead of MinHash-LSH. The
+    policy-tier distinction: ``dedup_ngram_jaccard``'s LSH candidates are
+    probabilistic (a qualifying pair that collides in no band is silently
+    lost — acceptable for bulk dedup, not for a contractual "no
+    near-duplicate crosses the train/eval split" guarantee), while the
+    prefix filter is exact by theorem (Chaudhuri et al. ICDE'06, Xiao et
+    al. WWW'08): docs ordered rarest-shingle-first keep only their first
+    sz - ceil(tau*sz) + 1 shingles, any J >= tau pair must collide in
+    those prefixes, and the equi-join on prefix shingles yields every
+    qualifying pair — zero false negatives, exact verify strikes the rest.
+
+    Scale shape vs the LSH tier: same verify join, different candidate
+    generator — one extra partial-aggregable df groupBy + a per-doc window
+    sort (the global order is the (df, shingle) TUPLE, deliberately not a
+    dense row_number, which would serialize the vocabulary through one
+    partition); candidate volume is bounded by prefix-shingle collisions,
+    concentrated in RARE shingles (df-ascending order), never n^2. At
+    tau = 0.5 a doc keeps ~half its shingles as prefix — the tradeoff for
+    exactness; LSH stays the cheap first pass, this the guarantee pass."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    return dedup.jaccard_prefix_filter_pairs(sh, tau_e4=5000)

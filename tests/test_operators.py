@@ -1638,3 +1638,55 @@ def test_bloom_md5_positions_match_python_reference(spark):
         .count()
     )
     assert n_fp < 8, n_fp  # fpp ~ (15/4096*3)^3 with 15 set bits — near zero
+
+
+def test_jaccard_prefix_filter_is_recall_complete(spark):
+    """The prefix-filter candidate generator must reproduce EXACTLY the
+    all-pairs exact-Jaccard result at the same threshold (the theorem the
+    operator exists for: zero false negatives, unlike LSH banding), on a
+    corpus with decoy shared-common-shingle pairs below the threshold."""
+    from data_ingestion_bra_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, base),
+        (1, base + " tail"),  # near-dup of 0, J well above 0.5
+        (2, base.replace("quick", "slow")),  # mid-similarity to 0/1
+        (3, "completely different text about spark query engines here"),
+        (4, "completely different text about duckdb oracle engines here"),
+        (5, base),  # exact dup of 0 (J = 1)
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_e4
+        for r in dedup.jaccard_prefix_filter_pairs(sh, tau_e4=5000).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard_e4
+        for r in dedup.jaccard_pairs(sh, min_jaccard=0.5).collect()
+    }
+    assert got == want
+    assert (0, 5) in got and got[(0, 5)] == 10000  # the exact dup survives
+    assert all(v >= 5000 for v in got.values())
+
+
+def test_jaccard_prefix_length_bound(spark):
+    """Prefix length must be sz - ceil(tau*sz) + 1 per doc: at tau=0.8 a
+    10-shingle doc keeps 3 prefix shingles; candidates from disjoint
+    prefixes must not appear even when suffixes share shingles."""
+    from data_ingestion_bra_spark.operators import dedup
+
+    # two docs sharing only their COMMONEST shingles (which land at the
+    # prefix's far end under df-ascending order at high tau)
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta common1 common2 common3 common4"),
+        (1, "one two three four five six seven eight common1 common2 common3 common4"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id bigint, text string")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    out = dedup.jaccard_prefix_filter_pairs(sh, tau_e4=8000).collect()
+    # true J is far below 0.8, so the exact result is empty — and the
+    # all-pairs baseline agrees
+    assert out == []
+    assert dedup.jaccard_pairs(sh, min_jaccard=0.8).collect() == []
