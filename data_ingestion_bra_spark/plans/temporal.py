@@ -1997,3 +1997,205 @@ def events_trend_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("significant"),
     )
+
+
+@register(
+    "events_survival_kaplan_meier",
+    """
+    WITH RECURSIVE brk AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM brk
+    ),
+    sgrp AS (
+      SELECT user_id, sid,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM sess GROUP BY user_id, sid
+    ),
+    scoh AS (
+      SELECT user_id, sid, event_type AS cohort
+      FROM (SELECT user_id, sid, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id) AS rn
+            FROM sess)
+      WHERE rn = 1
+    ),
+    endd AS (SELECT MAX(end_ts) AS corpus_end FROM sgrp),
+    pu AS (
+      SELECT c.cohort,
+             CAST(date_diff('minute', g.start_ts, g.end_ts) AS BIGINT) AS dur,
+             CASE WHEN g.end_ts > e.corpus_end - INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS censored
+      FROM sgrp g
+      JOIN scoh c ON c.user_id = g.user_id AND c.sid = g.sid, endd e
+    ),
+    g AS (
+      SELECT cohort, dur,
+             CAST(COUNT(*) AS BIGINT) AS n_all,
+             CAST(SUM(CASE WHEN censored = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churn
+      FROM pu GROUP BY cohort, dur
+    ),
+    risk AS (
+      SELECT cohort, dur, n_all, n_churn,
+             CAST(SUM(n_all) OVER (PARTITION BY cohort ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_risk
+      FROM g
+    ),
+    steps AS (
+      SELECT cohort, dur, n_churn, n_risk,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY dur) AS rn
+      FROM risk WHERE n_churn >= 1
+    ),
+    rec AS (
+      SELECT cohort, rn, dur, n_churn, n_risk,
+             CAST(1000000 * (n_risk - n_churn) // n_risk AS BIGINT) AS s
+      FROM steps WHERE rn = 1
+      UNION ALL
+      SELECT s2.cohort, s2.rn, s2.dur, s2.n_churn, s2.n_risk,
+             CAST(r.s * (s2.n_risk - s2.n_churn) // s2.n_risk AS BIGINT)
+      FROM rec r JOIN steps s2
+        ON s2.cohort = r.cohort AND s2.rn = r.rn + 1
+    )
+    SELECT cohort, CAST(dur AS BIGINT) AS t_min,
+           n_risk, n_churn, CAST(s AS BIGINT) AS survival_e6
+    FROM rec
+    """,
+    tags=("temporal", "survival", "kaplan-meier", "product-analytics"),
+)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-DURATION survival curves — the Kaplan-Meier product-limit
+    estimator (Kaplan & Meier, JASA 1958) over 10-minute-gap sessions,
+    cohorted by each session's first event type. The session-window entry
+    reports per-session aggregates; KM answers the censoring-aware
+    question it cannot: "what fraction of sessions survive past t
+    minutes" when the observation window cuts sessions off mid-flight — a
+    session whose last event falls within one gap interval of the corpus
+    end may still be OPEN (the 10-minute silence that would close it
+    hasn't elapsed), so it is right-CENSORED: it leaves the risk set
+    without counting as an ended session, which a naive duration
+    histogram would silently score as short.
+
+    Exactness: S(t) = prod_{t_k <= t} (n_k - d_k)/n_k is inherently a
+    sequential truncated product in e6 fixed point (reassociating the
+    divisions changes the truncation), so it folds via the ``aggregate``
+    HOF over each cohort's sorted (t, d, n) step array — the Holt-Winters
+    discipline — and the DuckDB twin replays the identical recurrence via
+    recursive CTE. Risk sets are a descending-duration cumulative sum;
+    d/n are counts; durations are whole-minute boundary diffs (identical
+    truncation in both engines); every output column is BIGINT.
+
+    Scale shape: corpus-sized work is the ONE sessionization window
+    (shuffle on user_id — shared with every session entry) plus
+    partial-aggregable rollups; everything after runs on
+    |cohorts x distinct-durations| rows. The corpus-end anchor is the
+    1-row broadcast attach (the ``customer_rfm_segments`` shape); fold
+    state is one step array per cohort, bounded by the duration domain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | F.expr("ts - prev_ts >= INTERVAL 10 MINUTES"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("prev_ts")
+    )
+    sess = brk.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sgrp = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    w_s = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    scoh = (
+        sess.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "sid", F.col("event_type").alias("cohort"))
+    )
+    endd = sgrp.agg(F.max("end_ts").alias("corpus_end"))
+    pu = (
+        sgrp.join(scoh, ["user_id", "sid"])
+        .join(F.broadcast(endd))
+        .select(
+            "cohort",
+            F.expr(
+                "CAST(floor(unix_timestamp(end_ts) / 60)"
+                "   - floor(unix_timestamp(start_ts) / 60) AS BIGINT)"
+            ).alias("dur"),
+            F.when(
+                F.col("end_ts") > F.expr("corpus_end - INTERVAL 10 MINUTES"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("censored"),
+        )
+    )
+    g = pu.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.when(F.col("censored") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churn"),
+    )
+    w_risk = (
+        Window.partitionBy("cohort")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    steps = (
+        g.withColumn("n_risk", F.sum("n_all").over(w_risk).cast("bigint"))
+        .filter(F.col("n_churn") >= 1)
+        .groupBy("cohort")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dur", "n_churn", "n_risk"))).alias(
+                "steps"
+            )
+        )
+    )
+    folded = steps.select(
+        "cohort",
+        F.expr(
+            """
+            aggregate(
+              steps,
+              struct(CAST(1000000 AS BIGINT) AS s,
+                     CAST(array() AS
+                       array<struct<dur:bigint,n_churn:bigint,
+                                    n_risk:bigint,s:bigint>>) AS acc),
+              (a, x) -> struct(
+                CAST((a.s * (x.n_risk - x.n_churn)) div x.n_risk AS BIGINT) AS s,
+                array_append(a.acc,
+                  struct(x.dur AS dur, x.n_churn AS n_churn,
+                         x.n_risk AS n_risk,
+                         CAST((a.s * (x.n_risk - x.n_churn)) div x.n_risk
+                              AS BIGINT) AS s)) AS acc),
+              a -> a.acc
+            )
+            """
+        ).alias("curve"),
+    )
+    return folded.select("cohort", F.explode("curve").alias("p")).select(
+        "cohort",
+        F.col("p.dur").cast("bigint").alias("t_min"),
+        F.col("p.n_risk").alias("n_risk"),
+        F.col("p.n_churn").alias("n_churn"),
+        F.col("p.s").alias("survival_e6"),
+    )

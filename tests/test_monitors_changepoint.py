@@ -159,3 +159,73 @@ def test_mann_kendall_tie_correction_and_noise(spark, tmp_path):
     assert row["tie_term"] == tie
     assert row["var18"] == var18
     assert row["significant"] == sig == 0
+
+
+def _km_ref(spans: list[tuple[int, int]]):
+    """Pure-Python Kaplan-Meier on (duration, censored) pairs with the
+    pipeline's e6 truncating fold. Returns {t: (n_risk, n_churn, s_e6)}."""
+    steps = {}
+    for dur, cens in spans:
+        if not cens:
+            steps.setdefault(dur, 0)
+            steps[dur] += 1
+    out = {}
+    s = 1_000_000
+    for t in sorted(steps):
+        n_risk = sum(1 for d, _ in spans if d >= t)
+        d = steps[t]
+        s = s * (n_risk - d) // n_risk
+        out[t] = (n_risk, d, s)
+    return out
+
+
+def test_kaplan_meier_matches_hand_reference(spark, tmp_path):
+    """Synthetic single-user-per-session corpus: each user produces one
+    session of a KNOWN minute duration (events at minute offsets within
+    one day, then silence), and the corpus-end anchor censors the last
+    sessions. The per-step risk set, churn count, and truncated-product
+    survival must equal the textbook computation exactly."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_bra_spark.plans.temporal import events_survival_kaplan_meier
+
+    base = dt.datetime(2024, 1, 1)
+    # (user, start_hour, duration_minutes) — one session each, all 'click';
+    # user 9's session ends at the global max ts, so it is censored
+    sessions = [(1, 0, 5), (2, 1, 5), (3, 2, 12), (4, 3, 12), (5, 4, 30), (9, 5, 40)]
+    recs, eid = [], 0
+    for user, hour, dur in sessions:
+        t0 = base + dt.timedelta(hours=hour)
+        # events every 4 minutes up to the duration endpoint: intra-session
+        # gaps stay below the 10-minute sessionization threshold
+        for m in sorted({*range(0, dur, 4), dur}):
+            recs.append(
+                {
+                    "event_id": eid,
+                    "ts": t0 + dt.timedelta(minutes=m),
+                    "user_id": user,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    df = pd.DataFrame.from_records(recs)
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    rows = events_survival_kaplan_meier(spark, str(tmp_path)).collect()
+    got = {r["t_min"]: (r["n_risk"], r["n_churn"], r["survival_e6"]) for r in rows}
+    # corpus end = user 9's last event; only that session is within 10 min
+    # of it -> censored. Everything else churns at its duration.
+    spans = [(5, 0), (5, 0), (12, 0), (12, 0), (30, 0), (40, 1)]
+    assert got == _km_ref(spans)
+    # spot-check the arithmetic: S(5) = 4/6, S(12) = S(5)*2/4, S(30) = *1/2
+    assert got[5] == (6, 2, 666666)
+    assert got[12] == (4, 2, 333333)
+    assert got[30] == (2, 1, 166666)

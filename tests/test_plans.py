@@ -172,10 +172,15 @@ def test_no_python_udfs_in_any_query(spark, name):
 #  - sketch_users_intersection_kmv: the |groups|x|groups| PAIR frame is a
 #    deliberately-broadcast tiny cross (pairs of sketches, never of keys);
 #    all sketch-row joins are (type, h) equi-keys.
+#  - events_survival_kaplan_meier: the corpus-end anchor is a 1-ROW broadcast
+#    attach (the customer_rfm_segments shape) feeding exact censoring
+#    comparisons; sessionization, rollups, and the step fold are windows +
+#    equi-joins.
 #  - join_bloom_runtime_filter: the 1-ROW bloom-bitmap DataFrame attaches to
 #    the fact scan via broadcast (1×N, the dedup_contamination_bloom shape);
 #    the confirm join and the word lookups are equi-joins / codegen probes.
 BNLJ_ALLOWED = {
+    "events_survival_kaplan_meier",
     "join_bloom_runtime_filter",
     "approx_quantiles_histogram",
     "sketch_users_intersection_kmv",
