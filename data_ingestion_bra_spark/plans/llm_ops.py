@@ -5779,3 +5779,106 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
     return dedup.jaccard_prefix_filter_pairs(sh, tau_e4=5000)
+
+
+@register(
+    "multimodal_audio_lpc_residual",
+    """
+    WITH base AS (
+      SELECT doc_id, 64 + doc_id % 64 AS n,
+             list_transform(generate_series(0, 64 + doc_id % 64 - 1),
+                            i -> (doc_id * 7919 + i * 131) % 4096 - 2048)
+               AS s
+      FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(list_sum(list_transform(generate_series(3, n),
+                    i -> abs(s[i]))) AS BIGINT) AS sum_abs_r0,
+             CAST(list_sum(list_transform(generate_series(3, n),
+                    i -> abs(s[i] - s[i-1]))) AS BIGINT) AS sum_abs_r1,
+             CAST(list_sum(list_transform(generate_series(3, n),
+                    i -> abs(s[i] - 2 * s[i-1] + s[i-2]))) AS BIGINT)
+               AS sum_abs_r2
+      FROM base
+    )
+    SELECT doc_id, n_samples, sum_abs_r0, sum_abs_r1, sum_abs_r2,
+           CAST(CASE WHEN sum_abs_r0 <= sum_abs_r1 AND sum_abs_r0 <= sum_abs_r2
+                     THEN 0
+                     WHEN sum_abs_r1 <= sum_abs_r2 THEN 1 ELSE 2
+                END AS BIGINT) AS best_order,
+           CAST(CASE WHEN LEAST(sum_abs_r0, sum_abs_r1, sum_abs_r2) = 0
+                     THEN NULL
+                     ELSE sum_abs_r0 * 10000
+                          // LEAST(sum_abs_r0, sum_abs_r1, sum_abs_r2)
+                END AS BIGINT) AS gain_e4
+    FROM sums
+    """,
+    tags=("multimodal", "audio", "lpc", "flac", "compression-planning"),
+)
+def multimodal_audio_lpc_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS-COMPRESSION planning audit for the audio tier — FLAC's
+    fixed linear predictors (RFC 9639 §5.2: verbatim, order-1 delta,
+    order-2 second difference) scored per doc by their residual
+    magnitude sums, the same sum-of-absolute-residuals proxy a real FLAC
+    encoder uses to pick the predictor per subframe. The pipeline
+    question it answers at 100 TB: "would a predictive lossless codec
+    shrink this audio corpus, and by how much" — ``gain_e4`` is the
+    verbatim-to-best-residual ratio (> 1e4 means the predictor tier wins;
+    smooth signals predict well, noise doesn't), ``best_order`` the
+    winning predictor with ties to the cheaper order, both BEFORE paying
+    for a single encode pass.
+
+    Plan shape: the audit is entirely ROW-LOCAL — the deterministic PCM
+    (the ``_synth_samples`` waveform the WAV/mu-law entries decode from
+    real RIFF containers) regenerates as an array expression and the
+    three residual sums fold per row inside whole-stage codegen; ZERO
+    shuffles, zero UDFs, nothing but doc_id-sized rows ever move. The
+    oracle replays the identical integer arithmetic over DuckDB list
+    lambdas. Residuals are scored on the common support i >= 2 so the
+    three orders compare over identical sample counts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = d.withColumn("n", (F.lit(64) + F.col("doc_id") % 64).cast("bigint")).withColumn(
+        "s",
+        F.expr(
+            "transform(sequence(0L, n - 1),"
+            " i -> (doc_id * 7919 + i * 131) % 4096 - 2048)"
+        ),
+    )
+    sums = base.select(
+        "doc_id",
+        F.col("n").alias("n_samples"),
+        F.expr(
+            "CAST(aggregate(sequence(2L, n - 1), 0L,"
+            " (acc, i) -> acc + abs(element_at(s, CAST(i + 1 AS INT)))) AS BIGINT)"
+        ).alias("sum_abs_r0"),
+        F.expr(
+            "CAST(aggregate(sequence(2L, n - 1), 0L,"
+            " (acc, i) -> acc + abs(element_at(s, CAST(i + 1 AS INT))"
+            "   - element_at(s, CAST(i AS INT)))) AS BIGINT)"
+        ).alias("sum_abs_r1"),
+        F.expr(
+            "CAST(aggregate(sequence(2L, n - 1), 0L,"
+            " (acc, i) -> acc + abs(element_at(s, CAST(i + 1 AS INT))"
+            "   - 2 * element_at(s, CAST(i AS INT))"
+            "   + element_at(s, CAST(i - 1 AS INT)))) AS BIGINT)"
+        ).alias("sum_abs_r2"),
+    )
+    return sums.select(
+        "doc_id",
+        "n_samples",
+        "sum_abs_r0",
+        "sum_abs_r1",
+        "sum_abs_r2",
+        F.expr(
+            "CAST(CASE WHEN sum_abs_r0 <= sum_abs_r1 AND sum_abs_r0 <= sum_abs_r2"
+            "          THEN 0"
+            "          WHEN sum_abs_r1 <= sum_abs_r2 THEN 1 ELSE 2 END AS BIGINT)"
+        ).alias("best_order"),
+        F.expr(
+            "CAST(CASE WHEN LEAST(sum_abs_r0, sum_abs_r1, sum_abs_r2) = 0 THEN NULL"
+            "          ELSE sum_abs_r0 * 10000"
+            "               div LEAST(sum_abs_r0, sum_abs_r1, sum_abs_r2)"
+            "     END AS BIGINT)"
+        ).alias("gain_e4"),
+    )
