@@ -1278,6 +1278,84 @@ def _pagerank_scale_bench(
     }
 
 
+def _exact_join_bench(spark, sf_dir: str, *, passes: int = 2) -> dict:
+    """The exactness premium of the prefix-filter similarity join, measured
+    (round 12): dedup_jaccard_prefix_filter guarantees every J >= 0.5 pair
+    (recall-complete by theorem) while the MinHash-LSH tier is
+    probabilistic — this section prices both at the same threshold and
+    MEASURES the LSH recall against the prefix filter's ground truth, so
+    the "LSH for bulk, prefix filter for the guarantee pass" routing
+    advice in the operator docstring carries numbers: candidate volumes,
+    verified-pair counts, measured LSH recall (e4), and median seconds per
+    path."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_bra_spark.operators import dedup
+    from data_ingestion_bra_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3).persist()
+    n_docs = d.count()
+    sh.count()
+    out: dict = {"n_docs": n_docs}
+
+    prefix_secs, lsh_secs = [], []
+    n_exact = n_lsh = None
+    for _ in range(passes):
+        t0 = _time.perf_counter()
+        n_exact = dedup.jaccard_prefix_filter_pairs(sh, tau_e4=5000).count()
+        prefix_secs.append(_time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        sig = dedup.minhash_signatures(
+            dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False),
+            num_hashes=16,
+        )
+        cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+        n_lsh = dedup.jaccard_pairs(sh, min_jaccard=0.5, pair_filter=cand).count()
+        lsh_secs.append(_time.perf_counter() - t0)
+    out["n_pairs_exact"] = n_exact
+    out["n_pairs_lsh_verified"] = n_lsh
+    out["lsh_recall_e4"] = (
+        None if not n_exact else n_lsh * 10000 // n_exact
+    )
+    out["prefix_filter_sec"] = round(_median(prefix_secs), 3)
+    out["lsh_sec"] = round(_median(lsh_secs), 3)
+    # candidate volumes, once (the cost drivers behind the seconds)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    from pyspark.sql.window import Window as _W
+
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                _W.partitionBy("doc").orderBy(F.asc("df"), F.asc("shingle"))
+            ),
+        )
+    )
+    prefix = ordered.filter(F.expr("pos <= sz - (sz * 5000 + 9999) div 10000 + 1"))
+    out["n_cand_prefix"] = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc"), F.col("b.doc"))
+        .distinct()
+        .count()
+    )
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False), num_hashes=16
+    )
+    out["n_cand_lsh"] = dedup.lsh_candidate_pairs(
+        sig, band_size=4, num_hashes=16
+    ).count()
+    sh.unpersist()
+    return out
+
+
 def _linkage_bench(spark, points: list[tuple[str, str]], *, passes: int = 3) -> dict:
     """Fellegi-Sunter linkage priced at scale (round-11 verdict item 7):
     candidate-pair volume under PROGRESSIVELY FINER blocking keys plus
@@ -2386,6 +2464,17 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # time now funds the three formerly-perennial skips, and sf10 query
         # medians come from the committed full run's per-query-grouped warm
         # meter.
+        # full-run-only (driver window stays reserved for the three
+        # formerly-perennial skips): the exactness premium of the
+        # prefix-filter join vs LSH, with measured LSH recall.
+        (
+            "exact_join_bench",
+            None if not tight_window else "1",
+            90,
+            lambda: payload.__setitem__(
+                "exact_join_bench", _exact_join_bench(spark, sf_dir)
+            ),
+        ),
         ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 120, ivf_build),
         (
             "semdedup_scale",

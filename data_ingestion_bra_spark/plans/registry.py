@@ -460,7 +460,6 @@ GATE_ORDER: tuple[str, ...] = (
     #      sole_returning_suppliers (Q21, r1..r10-verified; join family
     #      keeps the flagship broadcast join + full-outer gated).
     # All four displaced entries stay hash-verified below the window.
-    "dedup_sorted_neighborhood",
     # Round-11e: the session's last two new classes get driver credit:
     # corpus_shard_rendezvous (HRW minimal-disruption resharding — verdict
     # columns prove docs only move TO the new shard) IN for
@@ -495,7 +494,6 @@ GATE_ORDER: tuple[str, ...] = (
     # stub twins (multimodal_decode_features, multimodal_audio_features,
     # multimodal_binary_meta) stay registered below the window and
     # hash-verified in the full-catalog report.
-    "multimodal_image_dhash",
     "dedup_contamination_bloom",
     "text_heavy_hitters",
     "text_bpe_roundtrip",
@@ -508,7 +506,6 @@ GATE_ORDER: tuple[str, ...] = (
     # manifest row; stays hash-verified below the window).
     # Relational core: projection/filter, agg, joins, distincts, sketches.
     "flagship_customer_orders",
-    "agg_pricing_summary",
     "approx_distinct_users_kmv",
     "approx_term_counts_cms",
     # PII scrub is a first-class curation capability; the semi-join it
@@ -516,7 +513,6 @@ GATE_ORDER: tuple[str, ...] = (
     # (Q21: decorrelated EXISTS/NOT EXISTS → semi + anti) and remains
     # hash-verified below the gate window.
     "text_pii_redaction",
-    "join_full_outer_nation_activity",
     # Displaced family twins (still registered + verified in the committed
     # full-catalog report): approx_count_distinct_customers (sketch twin of
     # the gated exact count-distinct), pivot_orders_status (reshape twin of
@@ -529,16 +525,13 @@ GATE_ORDER: tuple[str, ...] = (
     # Window families: rank, frames (RANGE 30d).
     "window_rank_family",
     # Function suites + subqueries + TPC-H-shape joins.
-    "web_link_pagerank",
     "linkage_customers_fellegi_sunter",
     # Temporal + headline TPC-H shapes.
     # Round-11 incoming (see rotation note above).
     "text_pmi_collocations",
     "text_phrase_search",
     "text_quality_model",
-    "events_time_weighted_value",
     "events_range_join_global_bucketed",
-    "funnel_click_to_purchase",
     "unpivot_lineitem_metrics",
     "multimodal_audio_features",
     "shipping_priority_top10",
@@ -595,6 +588,43 @@ GATE_ORDER: tuple[str, ...] = (
     #     approx_distinct_users_kmv keeps the KMV family gated;
     #   similarity_pq_adc (r11-gated) -> similarity_topk_ivfpq keeps the
     #     ANN/PQ family gated (its serve path runs ADC inside).
+    # Round-12b rotation (the session's seven NEW capabilities gate the
+    # round they are born; every displaced entry keeps a gated family
+    # representative and stays hash-verified in ORACLE_FULL_r12.json):
+    # IN:  events_changepoint_cusum + events_trend_mann_kendall (the
+    #      monitor tier's level-shift + trend-significance members),
+    #      events_survival_kaplan_meier (censoring-aware session survival),
+    #      join_bloom_runtime_filter (runtime bloom join with
+    #      cross-engine-checkable bitmap + FP audit),
+    #      web_link_communities_lpa (label-propagation communities),
+    #      dedup_jaccard_prefix_filter (recall-complete exact similarity
+    #      join), multimodal_audio_lpc_residual (FLAC fixed-predictor
+    #      compression planning).
+    # OUT (displaced, with the family rep that keeps the capability gated):
+    #   agg_pricing_summary (gated r1-r11; the agg family keeps FOUR gated
+    #     reps: agg_filtered_counts, minby_maxby, arrayagg,
+    #     orders_above_customer_avg) -> events_changepoint_cusum;
+    #   events_time_weighted_value (r11-gated; corpus_split_leakage_safe
+    #     keeps governance gated, the daily-rollup shape now has four gated
+    #     members incl. both backtests) -> events_trend_mann_kendall;
+    #   funnel_click_to_purchase (r11-gated; the product-analytics family
+    #     stays gated via the KM entry's sessionization + risk rollups;
+    #     funnel/cohort/attribution hash-verified below) ->
+    #     events_survival_kaplan_meier;
+    #   join_full_outer_nation_activity (r11-gated; the join family keeps
+    #     flagship_customer_orders, the gated range join, and now the bloom
+    #     runtime-filter shape) -> join_bloom_runtime_filter;
+    #   web_link_pagerank (gated r5+; the graph family's gated rep becomes
+    #     LPA over the SAME synthesized link graph — per-round join shape
+    #     identical to a pagerank round; pagerank/triangles hash-verified
+    #     below) -> web_link_communities_lpa;
+    #   dedup_sorted_neighborhood (r11-gated; simhash_full +
+    #     contamination_bloom keep dedup gated, and the prefix filter IS a
+    #     candidate-generation + exact-verify member of the same family)
+    #     -> dedup_jaccard_prefix_filter;
+    #   multimodal_image_dhash (gated r5+; jpeg_progressive keeps the
+    #     real-decoder mapInPandas surface gated, audio_features keeps the
+    #     audio decode gated) -> multimodal_audio_lpc_residual.
     "agg_filtered_counts",
     "minby_maxby_per_status",
     "approx_percentile_quantity",
@@ -610,6 +640,13 @@ GATE_ORDER: tuple[str, ...] = (
     "events_forecast_backtest_hw",
     "text_winnowing_overlap_incremental",
     "multimodal_image_jpeg_progressive",
+    "events_changepoint_cusum",
+    "events_trend_mann_kendall",
+    "events_survival_kaplan_meier",
+    "join_bloom_runtime_filter",
+    "web_link_communities_lpa",
+    "dedup_jaccard_prefix_filter",
+    "multimodal_audio_lpc_residual",
 )
 
 

@@ -85,6 +85,14 @@ SHOWCASE: list[tuple[str, str]] = [
     ("events_forecast_backtest_hw", "Holt-Winters: the sequential recurrence is an aggregate() HOF fold over each type's collected daily array — corpus work is still the ONE rollup; fold state is 10 BIGINTs per type"),
     ("text_winnowing_overlap_incremental", "overlap serve path: store side winnowed once (checkpointed, feeds hot-count + join); batch side one winnowing pass + one fp equi-join — never a corpus self-join"),
     ("multimodal_image_jpeg_progressive", "progressive JPEG audit: baseline + 10-scan progressive encode/decode + bit-identity verdict in ONE Arrow-batched MapInPandas — scan data never shuffles"),
+    # round 12b
+    ("events_changepoint_cusum", "CUSUM: one partial-agg daily rollup touches the corpus; the closed-form statistic is cumsum + running-min windows over |days×types| rows — no recursion, no UDF"),
+    ("events_trend_mann_kendall", "Mann-Kendall: same one-rollup shape as Theil-Sen; S/tie/variance aggregates partial-aggregate over the days×types relation; the 128-bit verdict is codegen decimal arithmetic"),
+    ("events_survival_kaplan_meier", "Kaplan-Meier: ONE sessionization window on user_id + partial-agg rollups; the truncated-product fold is an aggregate() HOF over per-cohort step arrays; corpus-end anchor is a 1-row broadcast attach"),
+    ("join_bloom_runtime_filter", "runtime bloom join: bitmap builds from one distinct+explode groupBy, ships as a 1-row broadcast, probes are codegen md5 expressions at the scan; only survivors reach the broadcast confirm join — the fact table NEVER shuffles"),
+    ("web_link_communities_lpa", "LPA communities: per round one adjacency equi-join + one partial-aggregable (node,label) count + a per-node row_number — pagerank's per-round cost class, labels checkpointed per round"),
+    ("dedup_jaccard_prefix_filter", "prefix-filter exact join: df groupBy + per-DOC window sort (global order is the (df,shingle) tuple — no vocabulary-wide rank); candidates from the prefix-shingle equi-join; same verify tier as LSH"),
+    ("multimodal_audio_lpc_residual", "FLAC predictor audit: PCM regenerates as an array expression, three residual folds run row-local in codegen — ZERO exchanges, rides the scan"),
 ]
 
 
