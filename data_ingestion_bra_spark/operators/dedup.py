@@ -587,9 +587,14 @@ def jaccard_prefix_filter_pairs(sh: DataFrame, *, tau_e4: int) -> DataFrame:
             ),
         )
     )
-    prefix = ordered.filter(
-        F.expr(f"pos <= sz - (sz * {tau_e4} + 9999) div 10000 + 1")
-    ).select("doc", "shingle")
+    # the prefix relation feeds BOTH sides of its self-join; checkpoint so
+    # the df-join + per-doc window sort lineage materializes once (the
+    # persisted-signature discipline of the LSH tier)
+    prefix = (
+        ordered.filter(F.expr(f"pos <= sz - (sz * {tau_e4} + 9999) div 10000 + 1"))
+        .select("doc", "shingle")
+        .localCheckpoint(eager=True)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")

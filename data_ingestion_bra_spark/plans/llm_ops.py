@@ -5777,7 +5777,10 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau = 0.5 a doc keeps ~half its shingles as prefix — the tradeoff for
     exactness; LSH stays the cheap first pass, this the guarantee pass."""
     d = load_table(spark, sf_dir, "documents")
-    sh = dedup.doc_shingles(d, "doc_id", "text", n=3)
+    # the distinct shingle relation feeds df counts, sizes, the per-doc
+    # ordering, AND the exact verify tier — checkpoint so the tokenize +
+    # distinct shuffle runs once, not once per consumer
+    sh = dedup.doc_shingles(d, "doc_id", "text", n=3).localCheckpoint(eager=True)
     return dedup.jaccard_prefix_filter_pairs(sh, tau_e4=5000)
 
 

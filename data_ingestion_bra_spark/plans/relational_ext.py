@@ -1769,7 +1769,13 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .distinct()
     )
-    bf = bloom.build_bloom_df(keys, "o_orderkey", m_bits=m_bits, pos_fn=pos_fn)
+    # the 1-row bitmap feeds BOTH audit branches (per-flag base counts and
+    # the survivor confirm join); checkpoint so the build subtree
+    # (distinct + explode + bit_or groupBy + range densify) runs once, not
+    # once per branch — 8 KiB of control-plane state
+    bf = bloom.build_bloom_df(
+        keys, "o_orderkey", m_bits=m_bits, pos_fn=pos_fn
+    ).localCheckpoint(eager=True)
     probed = bloom.bloom_probe(
         li, "l_orderkey", bf, "pass", m_bits=m_bits, pos_fn=pos_fn
     )
