@@ -2423,6 +2423,32 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             110,
             lambda: payload.__setitem__("skew_bench", _skew_bench(spark)),
         ),
+        # Round-12b reorder: the three formerly-perennial skips run EARLY
+        # (right after the trend sections), because "order = evidence value
+        # per second" and their evidence debt is the highest in the catalog
+        # — two rounds with zero driver artifacts (r11 verdict item 4). The
+        # round-12 sim on this box still skipped ivf_build + contamination
+        # at the tail (extended/sf1/bitext ran over their estimates and ate
+        # the reserve); placed here they run before the overrun can
+        # accumulate, and the sections that now risk the tail cut
+        # (bitext_serve, ivfpq_serve) both carry r10+r11 driver evidence.
+        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 120, ivf_build),
+        (
+            "semdedup_scale",
+            "SPARK_GRAFT_SKIP_SEMDEDUP",
+            80 if tight_window else 500,
+            semdedup,
+        ),
+        (
+            "contamination_sf10",
+            None
+            if sf10
+            and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_STRESS")
+            and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_CROSSOVER")
+            else "1",
+            150 if tight_window else 330,
+            contamination_sf10,
+        ),
         # estimates re-synced to the round-8 clean full run's measured
         # section_seconds (idle box, +headroom): skew 95, incremental 97,
         # bpe 108, simhash 67, ivf_build 291, pagerank 66
@@ -2437,8 +2463,18 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         ("incremental_dedup", "SPARK_GRAFT_SKIP_INCREMENTAL", 120, incremental),
         ("bpe_strategy", "SPARK_GRAFT_SKIP_BPE_BENCH", 130, bpe_bench),
         ("simhash_vocab", "SPARK_GRAFT_SKIP_SIMHASH_VOCAB", 90, simhash_vocab),
-        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 170, bitext_serve),
-        ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
+        # Cheap never-or-newly-evidenced sections run BEFORE the two serve
+        # monsters: linkage_bench is new in r12 (no driver row yet, ~45 s),
+        # trainers/pagerank are ~20-35 s each, while bitext_serve (276 s in
+        # the r12 sim) and ivfpq_serve (180 s est) both carry r10+r11
+        # driver evidence — if the window's tail cuts anything, it should
+        # cut the multiply-evidenced monsters, not three cheap rows.
+        (
+            "linkage_bench",
+            "SPARK_GRAFT_SKIP_LINKAGE_BENCH",
+            70 if tight_window else 280,
+            linkage,
+        ),
         (
             "trainers",
             "SPARK_GRAFT_SKIP_TRAINERS",
@@ -2448,12 +2484,9 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             ),
         ),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
-        (
-            "linkage_bench",
-            "SPARK_GRAFT_SKIP_LINKAGE_BENCH",
-            70 if tight_window else 280,
-            linkage,
-        ),
+        # est re-synced: 227-276 s measured in the r12 window sims (r10: 295)
+        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 230, bitext_serve),
+        ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
         # Round-12 tail rebalance (r11 verdict item 4): estimates re-synced
         # to the r11 clean full run's MEASURED section_seconds + headroom
         # (ivf_build 90 -> est 120, semdedup 434/3-pass -> 180 single-pass,
@@ -2474,23 +2507,6 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
             lambda: payload.__setitem__(
                 "exact_join_bench", _exact_join_bench(spark, sf_dir)
             ),
-        ),
-        ("ivf_build", "SPARK_GRAFT_SKIP_IVF_BUILD", 120, ivf_build),
-        (
-            "semdedup_scale",
-            "SPARK_GRAFT_SKIP_SEMDEDUP",
-            80 if tight_window else 500,
-            semdedup,
-        ),
-        (
-            "contamination_sf10",
-            None
-            if sf10
-            and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_STRESS")
-            and not os.environ.get("SPARK_GRAFT_SKIP_CONTAM_CROSSOVER")
-            else "1",
-            150 if tight_window else 330,
-            contamination_sf10,
         ),
         # sf10_scaling self-budgets to the remaining window (minimum useful
         # run ~60 s) and per-point cost guards keep it from overrunning —
