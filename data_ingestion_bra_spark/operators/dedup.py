@@ -128,15 +128,24 @@ def minhash_seed_params(s: int) -> tuple[int, int]:
 def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
     """Wide signature (doc, mh0..mh{k-1}) in ONE shuffle on doc: base hash
     per shingle via md5→int64 (engine-portable, unlike xxhash64), k affine
-    permutations as integer min-aggregates."""
-    base = sh.withColumn(
-        "__h31",
-        (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % MINHASH_P),
+    permutations as integer min-aggregates.
+
+    Expressions are built as single SQL strings: the Column-API equivalent
+    costs one py4j round trip per operator node (~0.45 ms each on the bench
+    box), and this builder sits on the serve path of every minhash entry —
+    measured ~0.3 s of pure driver-side expression construction per
+    invocation before the switch (optimization guide §4: the Python
+    boundary is not only per-row data movement, it is also per-expression
+    plan construction)."""
+    base = sh.selectExpr(
+        "doc",
+        f"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+        f" % {MINHASH_P} as __h31",
     )
     aggs = []
     for s in range(num_hashes):
         a, b = minhash_seed_params(s)
-        aggs.append(F.min((F.col("__h31") * a + b) % MINHASH_P).alias(f"mh{s}"))
+        aggs.append(F.expr(f"min((__h31 * {a} + {b}) % {MINHASH_P})").alias(f"mh{s}"))
     return base.groupBy("doc").agg(*aggs)
 
 
@@ -147,19 +156,14 @@ def band_buckets(
     bucket is the band's minhashes joined in seed order; sharing any
     (band, bucket) is the LSH candidate condition."""
     n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + i}").cast("string") for i in range(band_size)]
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    return signatures.select("doc", F.explode(bands).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} as band, concat_ws('|', "
+        + ", ".join(f"cast(mh{b * band_size + i} as string)" for i in range(band_size))
+        + ") as bucket)"
+        for b in range(n_bands)
+    ) + ")"
+    return signatures.selectExpr("doc", f"explode({bands_sql}) as bb").selectExpr(
+        "doc", "bb.band as band", "bb.bucket as bucket"
     )
 
 
@@ -219,27 +223,25 @@ def minhash_jaccard_estimate(
     wide signature — no re-shingling, no shingle self-join; this is what
     makes MinHash dedup linear-ish at 100 TB (exact verify stays available
     via ``jaccard_pairs`` as a second tier)."""
-    a = signatures.select(
-        F.col("doc").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(num_hashes)]
+    a = signatures.selectExpr(
+        "doc as doc_a", *[f"mh{s} as a{s}" for s in range(num_hashes)]
     )
-    b = signatures.select(
-        F.col("doc").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(num_hashes)]
+    b = signatures.selectExpr(
+        "doc as doc_b", *[f"mh{s} as b{s}" for s in range(num_hashes)]
     )
     if 10000 % num_hashes:
         raise ValueError("num_hashes must divide 10000 for an exact e4 estimate")
-    agree = sum(
-        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(num_hashes)
-    )
+    agree = " + ".join(f"cast(a{s} = b{s} as int)" for s in range(num_hashes))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select(
+        # agree/k at 1e-4 fixed point stays pure-integer (k | 10000), so
+        # the estimate is the same BIGINT on every engine — no float in
+        # the output schema at all
+        .selectExpr(
             "doc_a",
             "doc_b",
-            # agree/k at 1e-4 fixed point stays pure-integer (k | 10000), so
-            # the estimate is the same BIGINT on every engine — no float in
-            # the output schema at all
-            (agree.cast("bigint") * F.lit(10000 // num_hashes)).alias("jaccard_est_e4"),
+            f"cast(({agree}) as bigint) * {10000 // num_hashes} as jaccard_est_e4",
         )
     )
 
@@ -250,7 +252,7 @@ def simhash_fingerprints(
     text_col: str,
     *,
     nibbles: int = 8,
-    broadcast_vocab: bool = False,
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """SimHash (``nibbles`` md5 nibbles × 4 bits, up to 60 bits) per doc.
 
@@ -258,60 +260,72 @@ def simhash_fingerprints(
     (+1 | -1) to bit position 4*i+b; final bit = (sum > 0). All arithmetic is
     SQL-portable, so the DuckDB oracle matches bit-for-bit.
 
-    Scale shape: per-distinct-token weights are computed once per VOCABULARY
-    entry as a packed ``array<bigint>`` and joined back, then summed with
-    ``nbits`` parallel column aggregates in ONE groupBy(doc) — the shuffle
-    carries |docs| rows (map-side combined), never |doc,token| × nbits
-    exploded rows. The earlier (doc, bit)-exploded formulation shuffled
-    60× the corpus token count at 60-bit width — a 4.5-billion-row shuffle
-    at the 100× replica; this one moves three orders of magnitude less.
+    Scale shape (default, ``broadcast_vocab=None``): the per-token nibble
+    weights are computed INLINE on each (doc, distinct-token) row — md5 is
+    ~100 ns of codegen per row — and summed with ``nbits`` parallel column
+    aggregates in ONE map-side-combinable groupBy(doc). Nothing shuffles
+    except the per-doc partial sums: the earlier default first built a
+    DISTINCT vocabulary relation and equi-joined it back, which shuffled
+    the whole Zipf-skewed (doc, token) relation by token just to avoid
+    recomputing a hash that is cheaper than the exchange it caused
+    (optimization guide §2.4: remove shuffles outright). Plan diff at
+    sf0.1: 4 exchanges → 2, and the duplicated-scan vocab subtree is gone.
 
-    ``broadcast_vocab=True`` broadcasts the packed weight table instead of
-    shuffling the (doc, tok) relation against it — the right plan whenever
-    the DISTINCT vocabulary fits in executor memory (a web corpus's
-    vocabulary is millions of tokens × (tok + nbits longs) ≈ low GBs, vs a
-    (doc, tok) relation that is orders of magnitude larger AND Zipf-skewed
-    on the token key). The default stays the shuffled join, which never
-    assumes the vocabulary fits anywhere; AQE skew-split covers the hot
-    tokens there. Fingerprints are bit-identical either way (asserted in
-    tests/test_operators.py) — the knob only picks the join strategy.
+    ``broadcast_vocab`` keeps the explicit vocab-relation strategies for
+    corpora where per-occurrence hashing is the wrong trade (an
+    astronomically repeated token set): ``True`` broadcasts the packed
+    per-VOCAB-entry weight table, ``False`` shuffle-joins it (AQE
+    skew-split covers hot tokens). Fingerprints are bit-identical on every
+    path (asserted in tests/test_operators.py) — the knob only picks the
+    strategy.
+
+    Expressions are single SQL strings end-to-end: the lambda-based
+    Column-API construction of the nibble/weight transforms cost ~0.9 s of
+    py4j round trips per invocation (measured, guide §4) before this
+    rewrite.
     """
     nbits = nibbles * 4
     doc_toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).distinct()
-    # hex nibble -> int via conv(); weights packed per token: bit 4i+b of
-    # nibble i contributes (nib>>b & 1)*2-1
-    nibs = F.transform(
-        F.slice(F.split(F.md5(F.col("tok")), ""), 1, nibbles),
-        lambda c: F.conv(c, 16, 10).cast("int"),
+    # hex nibble -> int via conv(); bit 4i+b of nibble i contributes
+    # (nib>>b & 1)*2-1 to the bit-position sum
+    nibs_sql = (
+        f"transform(slice(split(md5(tok), ''), 1, {nibbles}),"
+        f" c -> cast(conv(c, 16, 10) as int))"
     )
-    ws = F.flatten(
-        F.transform(
-            nibs,
-            lambda nib: F.array(
+    if broadcast_vocab is None:
+        sums = (
+            doc_toks.selectExpr("doc", f"{nibs_sql} as nibs")
+            .groupBy("doc")
+            .agg(
                 *[
-                    (F.shiftright(nib, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                    for b in range(4)
+                    F.expr(
+                        f"sum(cast((shiftright(nibs[{i // 4}], {i % 4}) & 1) * 2 - 1 as bigint))"
+                    ).alias(f"s{i}")
+                    for i in range(nbits)
                 ]
-            ),
+            )
         )
-    )
-    tok_contrib = doc_toks.select("tok").distinct().select("tok", ws.alias("ws"))
-    if broadcast_vocab:
-        tok_contrib = F.broadcast(tok_contrib)
-    sums = (
-        doc_toks.join(tok_contrib, "tok")
-        .groupBy("doc")
-        .agg(*[F.sum(F.col("ws")[i]).alias(f"s{i}") for i in range(nbits)])
-    )
-    fp = None
-    for i in range(nbits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    else:
+        ws_sql = (
+            f"flatten(transform({nibs_sql}, nib -> "
+            f"array(" + ", ".join(
+                f"cast((shiftright(nib, {b}) & 1) * 2 - 1 as bigint)" for b in range(4)
+            ) + ")))"
         )
-        fp = term if fp is None else fp + term
-    return sums.select("doc", fp.alias("simhash"))
+        tok_contrib = doc_toks.select("tok").distinct().selectExpr("tok", f"{ws_sql} as ws")
+        if broadcast_vocab:
+            tok_contrib = F.broadcast(tok_contrib)
+        sums = (
+            doc_toks.join(tok_contrib, "tok")
+            .groupBy("doc")
+            .agg(*[F.expr(f"sum(ws[{i}])").alias(f"s{i}") for i in range(nbits)])
+        )
+    fp_sql = " + ".join(
+        f"(case when s{i} > 0 then {1 << i}L else 0L end)" for i in range(nbits)
+    )
+    return sums.selectExpr("doc", f"{fp_sql} as simhash")
 
 
 def simhash_near_pairs(
@@ -343,27 +357,22 @@ def simhash_near_pairs(
     if materialize_input:
         fps = fps.localCheckpoint(eager=True)
     mask = (1 << band_bits) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.expr(f"(simhash >> {b * band_bits}) & {mask}").alias("val"),
-            )
-            for b in range(n_bands)
-        ]
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} as band, shiftright(simhash, {b * band_bits}) & {mask} as val)"
+        for b in range(n_bands)
+    ) + ")"
+    banded = fps.selectExpr("doc", "simhash", f"explode({bands_sql}) as bb").selectExpr(
+        "doc", "simhash", "bb.band as band", "bb.val as val"
     )
-    banded = fps.select("doc", "simhash", F.explode(bands).alias("bb")).select(
-        "doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
-    )
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("h_a"), "band", "val")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("h_b"), "band", "val")
+    a = banded.selectExpr("doc as doc_a", "simhash as h_a", "band", "val")
+    b = banded.selectExpr("doc as doc_b", "simhash as h_b", "band", "val")
     return (
         a.join(b, ["band", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("bigint").alias("hamming"),
+            "cast(bit_count(h_a ^ h_b) as bigint) as hamming",
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

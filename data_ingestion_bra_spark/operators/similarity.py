@@ -29,6 +29,50 @@ from pyspark.sql.window import Window
 SCALE = 1_000_000
 
 
+# --------------------------------------------------------------------------
+# SQL-string expression builders
+# --------------------------------------------------------------------------
+# The Column-API higher-order functions below each cost a dozen-plus py4j
+# round trips to construct (a lambda alone is ~12-15 ms measured on the bench
+# box); the serve-path builders call them several times per query, adding
+# ~0.5 s of pure driver-side plan construction per invocation (optimization
+# guide §4: the Python boundary). These _sql twins emit the IDENTICAL
+# Catalyst expression from one parse call; hot call sites use them via
+# selectExpr. The Column variants stay for callers composing arbitrary
+# Column inputs.
+
+
+def quantize_sql(a: str) -> str:
+    """SQL text of ``quantize_expr`` over a column/fragment named ``a``."""
+    return (
+        f"transform(cast({a} as array<double>),"
+        f" x -> cast(round(x * {float(SCALE)!r}D, 0) as bigint))"
+    )
+
+
+def idot_sql(a: str, b: str) -> str:
+    """SQL text of ``idot_expr``: exact integer dot of two array<bigint>."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+
+def inorm2_sql(a: str) -> str:
+    """SQL text of ``inorm2_expr``: exact integer squared norm."""
+    return f"aggregate(transform({a}, x -> x * x), 0L, (acc, x) -> acc + x)"
+
+
+def norm_sql(a: str) -> str:
+    """SQL text of ``norm_expr``: sqrt of the exact integer squared norm."""
+    return f"sqrt(cast({inorm2_sql(a)} as double))"
+
+
+def cosine_e4_sql(dot: str, norm_a: str, norm_b: str) -> str:
+    """SQL text of ``cosine_e4_expr`` (same IEEE op sequence, same BIGINT)."""
+    return (
+        f"cast(floor(cast({dot} as double) / ({norm_a} * {norm_b})"
+        f" * 10000.0D + 0.5D) as bigint)"
+    )
+
+
 def quantize_expr(a: Column) -> Column:
     """array<float|double> -> array<bigint> fixed-point at 1e-6 resolution."""
     return F.transform(
@@ -102,22 +146,20 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Queries broadcast; candidates
     never shuffle until the final per-query k-row window."""
-    q = with_quantized_vec(queries, vec_col, "qv").select(
-        F.col(id_col).alias("query_id"), "qv", norm_expr(F.col("qv")).alias("qn")
-    )
-    c = with_quantized_vec(candidates, vec_col, "cv").select(
-        F.col(id_col).alias("cand_id"), "cv", norm_expr(F.col("cv")).alias("cn")
-    )
+    q = queries.selectExpr(
+        f"{id_col} as query_id", f"{quantize_sql(vec_col)} as qv"
+    ).selectExpr("query_id", "qv", f"{norm_sql('qv')} as qn")
+    c = candidates.selectExpr(
+        f"{id_col} as cand_id", f"{quantize_sql(vec_col)} as cv"
+    ).selectExpr("cand_id", "cv", f"{norm_sql('cv')} as cn")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "cand_id",
-            cosine_e4_expr(idot_expr(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
-                "cosine_e4"
-            ),
+            f"{cosine_e4_sql(idot_sql('qv', 'cv'), 'qn', 'cn')} as cosine_e4",
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_e4").desc(), F.col("cand_id").asc())
@@ -153,9 +195,9 @@ def assign_cells(
     a handful of vectors where the shuffle is pure overhead, so ``ivf_topk``
     passes ``spread=False`` there.
     """
-    v = with_quantized_vec(vectors, vec_col, "v").select(
-        F.col(id_col).alias("vid"), "v", norm_expr(F.col("v")).alias("vn")
-    )
+    v = vectors.selectExpr(
+        f"{id_col} as vid", f"{quantize_sql(vec_col)} as v"
+    ).selectExpr("vid", "v", f"{norm_sql('v')} as vn")
     if spread:
         # Spread the n×k scoring across the cluster BEFORE fanning out
         # against the broadcast centroids: a compact vector table (the
@@ -167,9 +209,7 @@ def assign_cells(
         # sparkContext.defaultParallelism, which Spark Connect can't reach).
         par = int(vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         v = v.repartition(par, F.col("vid"))
-    c = centroids.select(
-        F.col("cell"), F.col("cvec").alias("c"), norm_expr(F.col("cvec")).alias("cn")
-    )
+    c = centroids.selectExpr("cell", "cvec as c", f"{norm_sql('cvec')} as cn")
     # The argmax window shuffles n_vectors * n_centroids candidate rows;
     # project them down to (vid, cell, sim) BEFORE that shuffle and re-join
     # the ~n_probe winners back to the quantized vectors after. Carrying the
@@ -179,10 +219,10 @@ def assign_cells(
     # slim projection. (The dot product stays the higher-order-function
     # fold: an unrolled 64-term element_at sum was MEASURED 2.7x slower than
     # the HOF evaluator on Spark 4, even over materialized arrays.)
-    scored = v.crossJoin(F.broadcast(c)).select(
+    scored = v.crossJoin(F.broadcast(c)).selectExpr(
         "vid",
         "cell",
-        cosine_e4_expr(idot_expr(F.col("v"), F.col("c")), F.col("vn"), F.col("cn")).alias("sim"),
+        f"{cosine_e4_sql(idot_sql('v', 'c'), 'vn', 'cn')} as sim",
     )
     if n_probe == 1:
         # Corpus assignment (the n×k hot path): argmax as a MAX_BY
@@ -379,8 +419,19 @@ def load_or_train_centroids(
     path = cache_dir / key
     schema = "cell int, cvec array<bigint>"
     if path.exists():
-        rows = json.loads(path.read_text())
-        return spark.createDataFrame([(r["cell"], r["cvec"]) for r in rows], schema)
+        # plan-handle memo (see sources.tables): createDataFrame of even a
+        # k-row local relation costs a py4j/Arrow round trip per call on the
+        # serve path; the handle is a literal plan, invalidated on rewrite
+        from data_ingestion_bra_spark.sources.tables import _PLAN_CACHE, _stat_sig
+
+        per_session = _PLAN_CACHE.setdefault(spark, {})
+        ckey = (f"centroids:{path}", _stat_sig(str(path)))
+        df = per_session.get(ckey)
+        if df is None:
+            rows = json.loads(path.read_text())
+            df = spark.createDataFrame([(r["cell"], r["cvec"]) for r in rows], schema)
+            per_session[ckey] = df
+        return df
     cents = kmeans_train(
         vectors,
         id_col=id_col,
@@ -450,7 +501,9 @@ def load_or_build_ivf_index(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return cents, spark.read.parquet(str(lists_dir))
+    from data_ingestion_bra_spark.sources.tables import read_parquet_cached
+
+    return cents, read_parquet_cached(spark, str(lists_dir))
 
 
 def ivf_topk(
@@ -490,24 +543,20 @@ def ivf_topk(
         ccells = assignments
     else:
         ccells = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
-    qs = qcells.select(
-        F.col("vid").alias("query_id"), "cell", F.col("v").alias("qv"),
-        norm_expr(F.col("v")).alias("qn"),
+    qs = qcells.selectExpr(
+        "vid as query_id", "cell", "v as qv", f"{norm_sql('v')} as qn"
     )
-    cs = ccells.select(
-        F.col("vid").alias("cand_id"), "cell", F.col("v").alias("cv"),
-        norm_expr(F.col("v")).alias("cn"),
+    cs = ccells.selectExpr(
+        "vid as cand_id", "cell", "v as cv", f"{norm_sql('v')} as cn"
     )
     scored = (
         F.broadcast(qs)
         .join(cs, "cell")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "cand_id",
-            cosine_e4_expr(idot_expr(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn")).alias(
-                "cosine_e4"
-            ),
+            f"{cosine_e4_sql(idot_sql('qv', 'cv'), 'qn', 'cn')} as cosine_e4",
         )
     )
     if n_probe > 1:

@@ -12,6 +12,7 @@ DataFrames — so loaders do nothing clever: no collect, no caching policy here.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,9 +30,49 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+#: Per-session memo of lazy PLAN handles (never data): repeated
+#: ``spark.read.parquet`` of the same fixture re-lists the directory and
+#: re-reads footers for schema inference on the DRIVER — measured 230-250 ms
+#: per call on this box — once per load_table call, i.e. once per query per
+#: bench pass (optimization guide §6: repeated listing is driver-side,
+#: single-process work). A DataFrame is a lazy logical plan; memoizing the
+#: handle changes nothing about execution — every action still scans the
+#: parquet files — it only stops re-deriving identical metadata. Keyed by
+#: (dataset path, stat signature) so any rewrite/append of the dataset
+#: invalidates the entry; keyed weakly by session so a stopped session's
+#: plans can never leak into a new one.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
+
+
+def _stat_sig(path: str) -> tuple[int, int]:
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """Plan-handle memo for non-fixture parquet datasets (e.g. the IVF index
+    lists): same contract as ``load_table`` — the handle is a lazy plan,
+    every action re-scans the files, and any rewrite of the dataset (new
+    mtime/size, incl. atomic dir replace) misses the cache."""
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (path, _stat_sig(path))
+    cached = per_session.get(key)
+    if cached is None:
+        cached = spark.read.parquet(path)
+        for k in [k for k in per_session if k[0] == path and k != key]:
+            del per_session[k]
+        per_session[key] = cached
+    return cached
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (path, _stat_sig(path))
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events":
         # The fixture stores ts as INT64 TIMESTAMP(NANOS), which Spark's
         # vectorized Parquet reader rejects; we read nanos as long
@@ -41,6 +82,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # int64 (a double round-trip would lose precision at 1e18 ns).
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # drop superseded signatures for the same path (rewritten dataset)
+    for k in [k for k in per_session if k[0] == path and k != key]:
+        del per_session[k]
+    per_session[key] = df
     return df
 
 
