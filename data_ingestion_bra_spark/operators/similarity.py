@@ -149,7 +149,9 @@ def brute_force_topk(
     q = queries.selectExpr(
         f"{id_col} as query_id", f"{quantize_sql(vec_col)} as qv"
     ).selectExpr("query_id", "qv", f"{norm_sql('qv')} as qn")
-    c = candidates.selectExpr(
+    from data_ingestion_bra_spark.sources.tables import spread_scan
+
+    c = spread_scan(candidates).selectExpr(
         f"{id_col} as cand_id", f"{quantize_sql(vec_col)} as cv"
     ).selectExpr("cand_id", "cv", f"{norm_sql('cv')} as cn")
     scored = (
@@ -430,6 +432,10 @@ def load_or_train_centroids(
         if df is None:
             rows = json.loads(path.read_text())
             df = spark.createDataFrame([(r["cell"], r["cvec"]) for r in rows], schema)
+            # local values ride along for the row-local probe path (ivf_topk)
+            df._centroid_rows = [
+                (int(r["cell"]), [int(x) for x in r["cvec"]]) for r in rows
+            ]
             per_session[ckey] = df
         return df
     cents = kmeans_train(
@@ -445,7 +451,9 @@ def load_or_train_centroids(
     tmp = path.with_suffix(f".tmp{os.getpid()}")
     tmp.write_text(json.dumps([{"cell": c, "cvec": v} for c, v in sorted(local)]))
     os.replace(tmp, path)
-    return spark.createDataFrame(local, schema)
+    out = spark.createDataFrame(local, schema)
+    out._centroid_rows = [(int(c), [int(x) for x in v]) for c, v in local]
+    return out
 
 
 def load_or_build_ivf_index(
@@ -536,16 +544,70 @@ def ivf_topk(
     else:
         cents = seed_centroids(vectors, id_col=id_col, n_centroids=n_centroids)
     qsrc = vectors.filter(F.col(id_col).isin(query_ids) if query_ids else F.lit(True))
-    qcells = assign_cells(
-        qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, spread=False
-    )
+    # Row-local query-side probe assignment: when the centroid VALUES are
+    # available locally (the persisted-index serve path) and small enough to
+    # inline as a literal, the query side needs NO crossJoin, NO argmax
+    # window exchange, and NO join back to the vectors — each query row
+    # scores the centroid array in-expression and explodes its n_probe
+    # winners (same (sim DESC, cell ASC) total order as assign_cells, so
+    # the probed cells are bit-identical). Plan diff at sf0.1: the query
+    # subtree drops from 2 exchanges + 1 broadcast to ZERO exchanges.
+    # Centroid relations too big to inline (the literal rides in the task
+    # closure like a broadcast, so cap it) fall back to the broadcast
+    # crossJoin path, which never assumes the index fits in a plan.
+    cent_rows = getattr(cents, "_centroid_rows", None)
+    inline_ok = cent_rows is not None and sum(len(v) for _, v in cent_rows) <= 100_000
+    if inline_ok:
+        # the literal centroid array makes a multi-KB SQL string whose parse
+        # + analysis costs tens of ms — parse it ONCE per (index, n_probe)
+        # and reuse the unresolved Column across invocations (the centroid
+        # frame itself is memoized per dataset signature, so the cache
+        # cannot outlive the index version it was built from)
+        probe_cache = getattr(cents, "_probe_expr_cache", None)
+        if probe_cache is None:
+            probe_cache = {}
+            cents._probe_expr_cache = probe_cache
+        probe_col = probe_cache.get(int(n_probe))
+        if probe_col is None:
+            cents_sql = "array(" + ", ".join(
+                f"struct({int(cell)} as cell,"
+                f" array({','.join(str(int(x)) + 'L' for x in vec)}) as cvec,"
+                # exact integer squared norm computed in Python (no float);
+                # sqrt stays an engine-side correctly-rounded IEEE op
+                f" sqrt(cast({sum(int(x) * int(x) for x in vec)}L as double)) as cn)"
+                for cell, vec in cent_rows
+            ) + ")"
+            sim_sql = cosine_e4_sql(idot_sql("v", "c.cvec"), "vn", "c.cn")
+            probe_col = F.expr(
+                f"slice(array_sort(transform({cents_sql}, c -> "
+                f"struct({sim_sql} as sim, c.cell as cell)), "
+                "(l, r) -> case when l.sim > r.sim then -1 when l.sim < r.sim then 1 "
+                "when l.cell < r.cell then -1 when l.cell > r.cell then 1 else 0 end), "
+                f"1, {int(n_probe)})"
+            )
+            probe_cache[int(n_probe)] = probe_col
+        qs = (
+            qsrc.selectExpr(f"{id_col} as vid", f"{quantize_sql(vec_col)} as v")
+            .selectExpr("vid", "v", f"{norm_sql('v')} as vn")
+            .select(
+                F.col("vid").alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("vn").alias("qn"),
+                F.explode(probe_col).alias("pc"),
+            )
+            .selectExpr("query_id", "pc.cell as cell", "qv", "qn")
+        )
+    else:
+        qcells = assign_cells(
+            qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, spread=False
+        )
+        qs = qcells.selectExpr(
+            "vid as query_id", "cell", "v as qv", f"{norm_sql('v')} as qn"
+        )
     if assignments is not None:
         ccells = assignments
     else:
         ccells = assign_cells(vectors, cents, id_col=id_col, vec_col=vec_col, n_probe=1)
-    qs = qcells.selectExpr(
-        "vid as query_id", "cell", "v as qv", f"{norm_sql('v')} as qn"
-    )
     cs = ccells.selectExpr(
         "vid as cand_id", "cell", "v as cv", f"{norm_sql('v')} as cn"
     )
@@ -560,8 +622,15 @@ def ivf_topk(
         )
     )
     if n_probe > 1:
-        # multi-probe can see the same candidate from two cells; keep one
-        scored = scored.dropDuplicates(["query_id", "cand_id"])
+        # multi-probe can see the same candidate from two cells (identical
+        # cosine both times). One repartition on query_id serves the dedup
+        # AND the rank window below (hashpartitioning(query_id) clusters
+        # (query_id, cand_id) groups too) — one exchange, not two.
+        scored = (
+            scored.repartition(F.col("query_id"))
+            .groupBy("query_id", "cand_id")
+            .agg(F.max("cosine_e4").alias("cosine_e4"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_e4").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

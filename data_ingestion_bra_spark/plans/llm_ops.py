@@ -22,7 +22,7 @@ from data_ingestion_bra_spark.operators import (
     text,
 )
 from data_ingestion_bra_spark.plans.registry import register
-from data_ingestion_bra_spark.sources.tables import load_table
+from data_ingestion_bra_spark.sources.tables import load_table, spread_scan
 
 # Shared DuckDB CTE: distinct 3-gram shingles per document.
 _SH_CTE = """
@@ -2319,7 +2319,10 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprints: md5 (exact-dedup key) + polynomial
     rolling hash (streaming/windowed fingerprint family) — both folds are
     engine-portable integer/string ops."""
-    d = load_table(spark, sf_dir, "documents")
+    # the per-char rolling-hash fold dominates the scan by ~5x; spread_scan
+    # parallelizes it when the fixture's single row group under-splits
+    # (no-op at warehouse scale — see sources.tables.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         text.fingerprint_expr("text").alias("fingerprint"),
@@ -2474,7 +2477,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking. Plan shape at 100 TB: the quality+language gates are narrow
     codegen filters at the scan (most of the corpus dies before any
     shuffle); the ONLY shuffle is the dedup's hash partition on the 32-byte
-    content fingerprint; chunking explodes row-locally after it."""
+    content fingerprint; chunking explodes row-locally after it. (A
+    spread_scan exchange before the gates was MEASURED here and reverted:
+    shuffling the raw text cost more than the single-threaded gate compute
+    it parallelized — 0.48 s -> 0.92 s at sf0.1.)"""
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")

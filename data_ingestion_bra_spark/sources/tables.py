@@ -91,3 +91,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition a scan-rooted relation to the session's parallelism when
+    the source cannot feed every core — optimization guide §2.5 "input
+    skew": one huge unsplittable file (here: single-row-group parquet
+    fixtures, which Spark cannot split below row-group granularity) leaves
+    every downstream narrow stage single-threaded no matter the core count.
+
+    Scale-adaptive by construction: a warehouse-scale table scans as
+    thousands of splits, the condition is false, and NO exchange is added —
+    this never becomes a constant tuned for local mode. When it does fire,
+    one slim round-robin exchange of the scan output buys full compute
+    parallelism for everything narrow above it (filters, explodes, hashes,
+    higher-order folds). Use on paths whose per-row compute dominates the
+    scan itself; the partition count caps at the scheduler's task slots.
+
+    The scan partition count is probed once per memoized plan handle (the
+    probe itself costs a plan translation) and remembered on the handle.
+    """
+    spark = df.sparkSession
+    slots = spark.sparkContext.defaultParallelism
+    nparts = getattr(df, "_scan_nparts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._scan_nparts = nparts
+        except Exception:  # pragma: no cover - foreign DataFrame subclass
+            pass
+    if nparts >= slots:
+        return df
+    spread = getattr(df, "_spread_handle", None)
+    if spread is None:
+        spread = df.repartition(slots)
+        try:
+            df._spread_handle = spread
+        except Exception:  # pragma: no cover
+            pass
+    return spread
