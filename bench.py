@@ -769,8 +769,9 @@ def _ivfpq_serve_bench(spark, sf_dirs: list[tuple[str, str]]) -> dict:
         }
         ivf_sec = time.perf_counter() - t0
 
-        cb = pq.pq_train(emb)
-        codes = pq.pq_encode(emb, cb)
+        # persisted PQ index (train-once discipline, same as the IVF lists
+        # above) — this section prices the QUERY path, not construction
+        cb, codes = pq.load_or_build_pq_index(spark, emb, d)
         codes.persist().count()
 
         def _pack(sec: float, got: set | None, truth: set) -> dict:
@@ -1981,7 +1982,7 @@ def main() -> None:
         "sf": sf_dir,
         "mode": "pre-warmed catalog + median of 3 timed runs per query (spread recorded)",
         "materialization": "noop-write (all output columns computed)",
-        "index_cache": "ivf centroids+lists persisted across runs (.ivf_cache)",
+        "index_cache": "ivf centroids+lists AND pq codebook+codes persisted across runs (.ivf_cache)",
     }
     try:
         _run_all_sections(payload, sf_dir)

@@ -252,6 +252,64 @@ def assign_cells(
     return winners.join(v.select("vid", "v"), "vid").select(*cols)
 
 
+def inline_probe_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame | None:
+    """Row-local n_probe nearest-cell assignment, or ``None`` when it does
+    not apply. Returns (vid, cell, v: quantized vector, vn: norm), one row
+    per (vector, probed cell).
+
+    When the centroid VALUES are locally available (the persisted-index
+    serve path rides them along as ``_centroid_rows``) and small enough to
+    inline as a literal, each vector scores the centroid array
+    in-expression and explodes its n_probe winners — same
+    (sim DESC, cell ASC) total order as ``assign_cells``' window, so the
+    probes are bit-identical, with ZERO exchanges on the query subtree
+    (vs crossJoin-broadcast + argmax-window + join-back). The literal
+    rides in the task closure like a broadcast, so it is capped; callers
+    fall back to ``assign_cells`` on ``None``. The parsed expression is
+    cached per (index, n_probe): the multi-KB literal costs tens of ms to
+    analyze, once, not per invocation.
+    """
+    cent_rows = getattr(centroids, "_centroid_rows", None)
+    if cent_rows is None or sum(len(v) for _, v in cent_rows) > 100_000:
+        return None
+    probe_cache = getattr(centroids, "_probe_expr_cache", None)
+    if probe_cache is None:
+        probe_cache = {}
+        centroids._probe_expr_cache = probe_cache
+    probe_col = probe_cache.get(int(n_probe))
+    if probe_col is None:
+        cents_sql = "array(" + ", ".join(
+            f"struct({int(cell)} as cell,"
+            f" array({','.join(str(int(x)) + 'L' for x in vec)}) as cvec,"
+            # exact integer squared norm computed in Python (no float);
+            # sqrt stays an engine-side correctly-rounded IEEE op
+            f" sqrt(cast({sum(int(x) * int(x) for x in vec)}L as double)) as cn)"
+            for cell, vec in cent_rows
+        ) + ")"
+        sim_sql = cosine_e4_sql(idot_sql("v", "c.cvec"), "vn", "c.cn")
+        probe_col = F.expr(
+            f"slice(array_sort(transform({cents_sql}, c -> "
+            f"struct({sim_sql} as sim, c.cell as cell)), "
+            "(l, r) -> case when l.sim > r.sim then -1 when l.sim < r.sim then 1 "
+            "when l.cell < r.cell then -1 when l.cell > r.cell then 1 else 0 end), "
+            f"1, {int(n_probe)})"
+        )
+        probe_cache[int(n_probe)] = probe_col
+    return (
+        vectors.selectExpr(f"{id_col} as vid", f"{quantize_sql(vec_col)} as v")
+        .selectExpr("vid", "v", f"{norm_sql('v')} as vn")
+        .select("vid", "v", "vn", F.explode(probe_col).alias("pc"))
+        .selectExpr("vid", "pc.cell as cell", "v", "vn")
+    )
+
+
 def seed_centroids(
     vectors: DataFrame, *, id_col: str = "vec_id", n_centroids: int = 8
 ) -> DataFrame:
@@ -555,48 +613,9 @@ def ivf_topk(
     # Centroid relations too big to inline (the literal rides in the task
     # closure like a broadcast, so cap it) fall back to the broadcast
     # crossJoin path, which never assumes the index fits in a plan.
-    cent_rows = getattr(cents, "_centroid_rows", None)
-    inline_ok = cent_rows is not None and sum(len(v) for _, v in cent_rows) <= 100_000
-    if inline_ok:
-        # the literal centroid array makes a multi-KB SQL string whose parse
-        # + analysis costs tens of ms — parse it ONCE per (index, n_probe)
-        # and reuse the unresolved Column across invocations (the centroid
-        # frame itself is memoized per dataset signature, so the cache
-        # cannot outlive the index version it was built from)
-        probe_cache = getattr(cents, "_probe_expr_cache", None)
-        if probe_cache is None:
-            probe_cache = {}
-            cents._probe_expr_cache = probe_cache
-        probe_col = probe_cache.get(int(n_probe))
-        if probe_col is None:
-            cents_sql = "array(" + ", ".join(
-                f"struct({int(cell)} as cell,"
-                f" array({','.join(str(int(x)) + 'L' for x in vec)}) as cvec,"
-                # exact integer squared norm computed in Python (no float);
-                # sqrt stays an engine-side correctly-rounded IEEE op
-                f" sqrt(cast({sum(int(x) * int(x) for x in vec)}L as double)) as cn)"
-                for cell, vec in cent_rows
-            ) + ")"
-            sim_sql = cosine_e4_sql(idot_sql("v", "c.cvec"), "vn", "c.cn")
-            probe_col = F.expr(
-                f"slice(array_sort(transform({cents_sql}, c -> "
-                f"struct({sim_sql} as sim, c.cell as cell)), "
-                "(l, r) -> case when l.sim > r.sim then -1 when l.sim < r.sim then 1 "
-                "when l.cell < r.cell then -1 when l.cell > r.cell then 1 else 0 end), "
-                f"1, {int(n_probe)})"
-            )
-            probe_cache[int(n_probe)] = probe_col
-        qs = (
-            qsrc.selectExpr(f"{id_col} as vid", f"{quantize_sql(vec_col)} as v")
-            .selectExpr("vid", "v", f"{norm_sql('v')} as vn")
-            .select(
-                F.col("vid").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("vn").alias("qn"),
-                F.explode(probe_col).alias("pc"),
-            )
-            .selectExpr("query_id", "pc.cell as cell", "qv", "qn")
-        )
+    inline = inline_probe_cells(qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe)
+    if inline is not None:
+        qs = inline.selectExpr("vid as query_id", "cell", "v as qv", "vn as qn")
     else:
         qcells = assign_cells(
             qsrc, cents, id_col=id_col, vec_col=vec_col, n_probe=n_probe, spread=False
@@ -860,9 +879,17 @@ def bitext_mining_margin_ivf(
     re-assigning the corpus, which is the part of the query path that
     otherwise scales with corpus volume. Assignment is deterministic, so
     the served plan is bit-identical to the re-assigning one."""
-    a_cells = assign_cells(
+    a_inline = inline_probe_cells(
         side_a, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
-    ).select(F.col("vid").alias("a_id"), F.col("cell"), F.col("v").alias("av"))
+    )
+    if a_inline is not None:
+        # row-local probe: no crossJoin row explosion, no argmax-window
+        # exchange, no join-back — the A side stays a narrow map
+        a_cells = a_inline.selectExpr("vid as a_id", "cell", "v as av")
+    else:
+        a_cells = assign_cells(
+            side_a, centroids, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+        ).select(F.col("vid").alias("a_id"), F.col("cell"), F.col("v").alias("av"))
     if b_assignments is None:
         b_cells = assign_cells(side_b, centroids, id_col=id_col, vec_col=vec_col).select(
             F.col("vid").alias("b_id"), F.col("cell"), F.col("v").alias("bv")
@@ -875,14 +902,11 @@ def bitext_mining_margin_ivf(
         )
     pairs = (
         a_cells.join(b_cells, "cell")
-        .select(
+        .selectExpr(
             "a_id",
             "b_id",
-            cosine_e4_expr(
-                idot_expr(F.col("av"), F.col("bv")),
-                norm_expr(F.col("av")),
-                norm_expr(F.col("bv")),
-            ).alias("cos_e4"),
+            f"{cosine_e4_sql(idot_sql('av', 'bv'), norm_sql('av'), norm_sql('bv'))}"
+            " as cos_e4",
         )
         # multi-probe can surface the same (a, b) via two probed cells;
         # keep one scored row per pair (cos is cell-independent)

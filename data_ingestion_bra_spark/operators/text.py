@@ -437,67 +437,52 @@ def winnowing_fingerprints(
     # - the selection array is CASE-guarded to array() on short docs, so
     #   the size()>0 predicate InferFiltersFromGenerate derives from the
     #   explode can evaluate on ANY row without erroring.
+    # (All expressions below are single SQL strings: the Column-API lambda
+    # form cost ~1 s of py4j round trips per builder invocation — guide §4.
+    # The projection STRUCTURE is unchanged from the measured-hazard notes
+    # above: multi-consumer arrays still land in their own projections.)
     doc_len = F.length("norm")
     base = df.select(F.col(id_col).alias("doc"), norm.alias("norm")).filter(
         (doc_len >= k + window - 1) & (doc_len < WINNOW_POS_LIMIT)
     )
-    codes = base.select(
+    codes = base.selectExpr(
         "doc",
-        (F.length("norm") - k + 1).alias("np"),
-        F.transform(
-            F.filter(F.split("norm", "(?!^)"), lambda ch: ch != ""),
-            lambda ch: F.ascii(ch).cast("bigint"),
-        ).alias("codes"),
+        f"length(norm) - {k} + 1 as np",
+        "transform(filter(split(norm, '(?!^)'), ch -> ch != ''),"
+        " ch -> cast(ascii(ch) as bigint)) as codes",
     )
     # gram hashes: k shifted slices zipped → per-gram struct → unrolled
     # left-fold polynomial (mod at every step, matching rolling_hash_expr)
-    gram_parts = [
-        F.slice(F.col("codes"), j + 1, F.col("np")).alias(f"g{j}") for j in range(k)
-    ]
-
-    def poly(s) -> Column:
-        h = F.lit(0).cast("bigint")
-        for j in range(k):
-            h = (h * ROLLING_HASH_B + s[f"g{j}"]) % ROLLING_HASH_P
-        return h
-
-    hashed = codes.select(
+    gram_cols = [f"slice(codes, {j + 1}, np) as g{j}" for j in range(k)]
+    poly_sql = "0L"
+    for j in range(k):
+        poly_sql = f"(({poly_sql}) * {ROLLING_HASH_B} + s.g{j}) % {ROLLING_HASH_P}"
+    hashed = codes.selectExpr("doc", "np", *gram_cols).selectExpr(
         "doc",
         "np",
-        F.transform(
-            F.arrays_zip(*gram_parts),
-            lambda s, i: poly(s) * WINNOW_POS_LIMIT
-            + (F.lit(WINNOW_POS_LIMIT - 1) - (i + 1)),
-        ).alias("coded"),
+        f"transform(arrays_zip({', '.join(f'g{j}' for j in range(k))}),"
+        f" (s, i) -> ({poly_sql}) * {WINNOW_POS_LIMIT}"
+        f" + ({WINNOW_POS_LIMIT - 1} - (i + 1))) as coded",
     )
     # robust winnowing: each of the np-w+1 windows selects min(code) —
     # w shifted slices zipped, least() per struct, distinct per doc
-    win_parts = [
-        F.slice(F.col("coded"), j + 1, F.col("np") - window + 1).alias(f"c{j}")
-        for j in range(window)
+    win_cols = [
+        f"slice(coded, {j + 1}, np - {window} + 1) as c{j}" for j in range(window)
     ]
-    sel = hashed.select(
+    least_sql = "least(" + ", ".join(f"s.c{j}" for j in range(window)) + ")"
+    sel = hashed.selectExpr("doc", "np", *win_cols).selectExpr(
         "doc",
-        F.when(
-            F.col("np") >= window,
-            F.array_distinct(
-                F.transform(
-                    F.arrays_zip(*win_parts),
-                    lambda s: F.least(*[s[f"c{j}"] for j in range(window)]),
-                )
-            ),
-        )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("sel_codes"),
+        f"case when np >= {window} then array_distinct("
+        f"transform(arrays_zip({', '.join(f'c{j}' for j in range(window))}),"
+        f" s -> {least_sql}))"
+        " else cast(array() as array<bigint>) end as sel_codes",
     )
     # codes are unique per doc after array_distinct (fp and pos both ride
     # in the code), so no post-explode distinct — zero shuffles end to end.
-    return sel.select("doc", F.explode("sel_codes").alias("sel_code")).select(
+    return sel.selectExpr("doc", "explode(sel_codes) as sel_code").selectExpr(
         "doc",
-        F.expr(f"sel_code div {WINNOW_POS_LIMIT}").cast("bigint").alias("fp"),
-        (
-            F.lit(WINNOW_POS_LIMIT - 1) - (F.col("sel_code") % F.lit(WINNOW_POS_LIMIT))
-        ).cast("bigint").alias("pos"),
+        f"cast(sel_code div {WINNOW_POS_LIMIT} as bigint) as fp",
+        f"cast({WINNOW_POS_LIMIT - 1} - (sel_code % {WINNOW_POS_LIMIT}) as bigint) as pos",
     )
 
 

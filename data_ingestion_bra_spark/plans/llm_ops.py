@@ -1876,7 +1876,11 @@ def text_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, packing, window, cap, and join arithmetic bit-for-bit."""
     from data_ingestion_bra_spark.operators.text import winnowing_fingerprints
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread_scan: the whole gram-hash + selection pipeline is narrow
+    # (zero shuffle), so a single-row-group source runs it on ONE core;
+    # the conditional exchange parallelizes the heavy fold (no-op at
+    # warehouse scale). Measured: 3.0 s -> ~0.4 s per materialization.
+    d = spread_scan(load_table(spark, sf_dir, "documents"))
     # Eagerly materialize the sparse (doc, fp) relation: it feeds THREE
     # consumers (hot-cap count + both self-join sides) and AQE exchange
     # reuse does not cover the window-selection subtree — without this the
@@ -2574,9 +2578,11 @@ def _cross_doc_gram_hits(d: DataFrame) -> DataFrame:
     executor memory at scale, so memory caching would evict mid-query;
     sequential local-disk reads of the 48-byte (doc, pos, h) triples beat
     recomputing a full-corpus substring+md5 pass. The plan shows one
-    Exchange-ancestored gram scan (asserted in tests/test_plans.py)."""
+    Exchange-ancestored gram scan (asserted in tests/test_plans.py).
+    spread_scan parallelizes the explode+md5 gram build when the source
+    under-splits (conditional; no-op at warehouse scale)."""
     grams = (
-        d.filter(F.length("text") >= 40)
+        spread_scan(d).filter(F.length("text") >= 40)
         .select(
             "doc_id",
             "text",
@@ -4934,12 +4940,16 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable struct-min groupBy; ADC is linear in candidates by design
     — the IVF tier (``similarity_topk_ivf``) is the cell-pruning path
     that bounds the candidate set, PQ is the memory-bound path that makes
-    each candidate 4 bytes. Top-k uses the two-phase salted window."""
+    each candidate 4 bytes. Top-k uses the two-phase salted window.
+
+    Train/serve split: codebook + codes come from the persisted PQ index
+    (``pq.load_or_build_pq_index``, the IVF tier's train-once discipline
+    extended to the compressed domain) — the query path reads the index
+    artifacts, never re-trains or re-encodes the corpus."""
     from data_ingestion_bra_spark.operators import pq
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    cb = pq.pq_train(vecs)
-    codes = pq.pq_encode(vecs, cb)
+    cb, codes = pq.load_or_build_pq_index(spark, vecs, sf_dir)
     queries = vecs.filter(F.col("vec_id") % 97 == 0)
     return pq.adc_topk(queries, codes, cb)
 
@@ -5056,8 +5066,9 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, lists = similarity.load_or_build_ivf_index(
         spark, emb, sf_dir, n_centroids=8, n_iter=1, train_sample_rate=0.5
     )
-    cb = pq.pq_train(emb)
-    codes = pq.pq_encode(emb, cb)
+    # train-once/serve-many for the PQ half too: the query path reads the
+    # persisted codebook + codes, never re-trains or re-encodes the corpus
+    cb, codes = pq.load_or_build_pq_index(spark, emb, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     return pq.ivfpq_topk(queries, lists, cents, codes, cb, emb)
 
