@@ -295,17 +295,24 @@ def simhash_fingerprints(
         f" c -> cast(conv(c, 16, 10) as int))"
     )
     if broadcast_vocab is None:
-        sums = (
-            doc_toks.selectExpr("doc", f"{nibs_sql} as nibs")
-            .groupBy("doc")
-            .agg(
-                *[
-                    F.expr(
-                        f"sum(cast((shiftright(nibs[{i // 4}], {i % 4}) & 1) * 2 - 1 as bigint))"
-                    ).alias(f"s{i}")
-                    for i in range(nbits)
-                ]
-            )
+        # ONE conv() packs all `nibbles` hex digits into a single bigint
+        # (16^15 = 2^60 < 2^63); each bit-position sum extracts its bit by
+        # a constant shift — no per-char regex split, no nibble array, no
+        # vocab relation. Hex digit i (1-based position i+1) is the
+        # (nibbles-1-i)-th hex place of the packed value, so bit b of
+        # nibble i lives at shift 4*(nibbles-1-i) + b.
+        based = doc_toks.selectExpr(
+            "doc",
+            f"cast(conv(substring(md5(tok), 1, {nibbles}), 16, 10) as bigint) as h",
+        )
+        sums = based.groupBy("doc").agg(
+            *[
+                F.expr(
+                    f"sum((shiftright(h, {4 * (nibbles - 1 - i // 4) + i % 4}) & 1)"
+                    " * 2 - 1)"
+                ).alias(f"s{i}")
+                for i in range(nbits)
+            ]
         )
     else:
         ws_sql = (
