@@ -38,7 +38,12 @@ def doc_shingles(
     duplicates), so the signature path passes ``distinct=False`` and skips
     that whole shuffle.
     """
-    shingled = df.select(
+    # spread_scan: tokenize + shingle-build + the downstream hash work are
+    # narrow above the scan; a single-row-group source runs them on one
+    # core (conditional; no-op at warehouse scale)
+    from data_ingestion_bra_spark.sources.tables import spread_scan
+
+    shingled = spread_scan(df).select(
         F.col(id_col).alias("doc"), F.split(F.col(text_col), " ").alias("__toks")
     ).select(
         "doc",
@@ -284,8 +289,10 @@ def simhash_fingerprints(
     py4j round trips per invocation (measured, guide §4) before this
     rewrite.
     """
+    from data_ingestion_bra_spark.sources.tables import spread_scan
+
     nbits = nibbles * 4
-    doc_toks = df.select(
+    doc_toks = spread_scan(df).select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).distinct()
     # hex nibble -> int via conv(); bit 4i+b of nibble i contributes

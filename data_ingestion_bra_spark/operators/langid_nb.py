@@ -82,8 +82,12 @@ def langid_nb(
 
     # materialize norm as a real attribute BEFORE the trigram lambda: a
     # lambda-internal reference to the regexp chain would re-evaluate it
-    # per element (the HOF re-eval hazard SCALE.md documents)
-    normed = df.select(
+    # per element (the HOF re-eval hazard SCALE.md documents).
+    # spread_scan: the trigram explode + broadcast weight probe are narrow
+    # above the scan (conditional; no-op at warehouse scale).
+    from data_ingestion_bra_spark.sources.tables import spread_scan
+
+    normed = spread_scan(df).select(
         F.col(id_col).alias("doc_id"), normalize_expr(text_col).alias("norm")
     )
     grams = normed.select(

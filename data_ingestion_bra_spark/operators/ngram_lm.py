@@ -90,7 +90,14 @@ def perplexity_scores(
         F.slice(toks, 2, count),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    base = df.select(F.col(id_col).alias("doc_id"), norm.alias("_norm"), grams.alias("_grams"))
+    # spread_scan: normalize + gram build + the broadcast-probe scoring are
+    # all narrow above the scan — a single-row-group source would run them
+    # on one core (conditional; no-op at warehouse scale)
+    from data_ingestion_bra_spark.sources.tables import spread_scan
+
+    base = spread_scan(df).select(
+        F.col(id_col).alias("doc_id"), norm.alias("_norm"), grams.alias("_grams")
+    )
 
     exploded = (
         base.filter((F.col("_norm") != "") & (F.size(F.col("_grams")) > 0))
