@@ -2479,15 +2479,32 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         (
             "trainers",
             "SPARK_GRAFT_SKIP_TRAINERS",
-            150,
+            # r12-opt re-measure: 60.5 s isolated at sf0.1 (the old 150 was
+            # a stale pre-optimization number that gated the section out of
+            # the window while cheaper sections ran)
+            90,
             lambda: payload.__setitem__(
                 "trainer_bench", _trainer_bench(spark, sf_dir)
             ),
         ),
         ("pagerank_scale", "SPARK_GRAFT_SKIP_PAGERANK_SCALE", 90, pagerank_scale),
-        # est re-synced: 227-276 s measured in the r12 window sims (r10: 295)
-        ("bitext_serve", "SPARK_GRAFT_SKIP_BITEXT_SERVE", 230, bitext_serve),
-        ("ivfpq_serve", "SPARK_GRAFT_SKIP_IVFPQ_SERVE", 180, ivfpq_serve),
+        # tight-window estimates re-synced post-optimization: bitext_serve's
+        # internal budget caps its tight-window cost at ~100 s + one
+        # in-flight point (full run still 227-276 s measured); ivfpq_serve
+        # now reads the PERSISTED PQ index (no inline training) and its
+        # tight-window sf1-only shape measured 38 s isolated.
+        (
+            "bitext_serve",
+            "SPARK_GRAFT_SKIP_BITEXT_SERVE",
+            150 if tight_window else 276,
+            bitext_serve,
+        ),
+        (
+            "ivfpq_serve",
+            "SPARK_GRAFT_SKIP_IVFPQ_SERVE",
+            60 if tight_window else 180,
+            ivfpq_serve,
+        ),
         # Round-12 tail rebalance (r11 verdict item 4): estimates re-synced
         # to the r11 clean full run's MEASURED section_seconds + headroom
         # (ivf_build 90 -> est 120, semdedup 434/3-pass -> 180 single-pass,
