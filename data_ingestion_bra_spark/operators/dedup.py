@@ -192,6 +192,61 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_pair_estimates(
+    signatures: DataFrame, *, band_size: int = 4, num_hashes: int = 16
+) -> DataFrame:
+    """Candidate pairs AND their MinHash Jaccard estimate from ONE banded
+    self-join: the wide signature (k bigints, ~8k B/row) rides the band
+    explode, so the estimate is computed in-row on the joined pair and the
+    classic pipeline's two signature re-joins never happen.
+
+    Plan diff vs ``lsh_candidate_pairs`` + ``minhash_jaccard_estimate``
+    (round-13, guide §2.4 "remove shuffles outright"): the pair relation was
+    shuffled for the DISTINCT, then twice more to equi-join the signature
+    back on doc_a and doc_b (plus the signature relation shuffled once per
+    side) — 4 exchanges and 2 joins replaced by sig-wide band rows flowing
+    through the exchange the candidate join needs anyway. At corpus scale
+    the extra shuffle payload is k×8 bytes per banded row (Spark ML's own
+    MinHashLSH carries full signatures through its explode the same way),
+    bought back by never re-shuffling the (larger) candidate pair relation.
+
+    Estimates are identical to ``minhash_jaccard_estimate`` (same integer
+    arithmetic); the DISTINCT dedups multi-band collisions over
+    (doc_a, doc_b, est) — est is functionally dependent on the pair, so the
+    pair set is unchanged.
+    """
+    if 10000 % num_hashes:
+        raise ValueError("num_hashes must divide 10000 for an exact e4 estimate")
+    n_bands = num_hashes // band_size
+    bands_sql = "array(" + ", ".join(
+        f"struct({b} as band, concat_ws('|', "
+        + ", ".join(f"cast(mh{b * band_size + i} as string)" for i in range(band_size))
+        + ") as bucket)"
+        for b in range(n_bands)
+    ) + ")"
+    sig_cols = [f"mh{s}" for s in range(num_hashes)]
+    banded = signatures.selectExpr(
+        "doc", f"explode({bands_sql}) as bb", *sig_cols
+    ).selectExpr("doc", "bb.band as band", "bb.bucket as bucket", *sig_cols)
+    a = banded.selectExpr(
+        "doc as doc_a", "band", "bucket", *[f"mh{s} as a{s}" for s in range(num_hashes)]
+    )
+    b = banded.selectExpr(
+        "doc as doc_b", "band", "bucket", *[f"mh{s} as b{s}" for s in range(num_hashes)]
+    )
+    agree = " + ".join(f"cast(a{s} = b{s} as int)" for s in range(num_hashes))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"cast(({agree}) as bigint) * {10000 // num_hashes} as jaccard_est_e4",
+        )
+        .distinct()
+    )
+
+
 def incremental_lsh_candidates(
     corpus_sigs: DataFrame,
     batch_sigs: DataFrame,
@@ -289,10 +344,20 @@ def simhash_fingerprints(
     py4j round trips per invocation (measured, guide §4) before this
     rewrite.
     """
-    from data_ingestion_bra_spark.sources.tables import spread_scan
-
+    if nibbles > 15:
+        # the packed-bigint path below folds all nibbles into ONE
+        # conv(hex, 16, 10); 16^15 = 2^60 is the last power that fits a
+        # BIGINT — 16 nibbles would overflow to NULL in non-ANSI mode and
+        # silently null every bit sum (round-12 advice item 4)
+        raise ValueError("simhash_fingerprints supports at most 15 nibbles (60 bits)")
     nbits = nibbles * 4
-    doc_toks = spread_scan(df).select(
+    # No spread_scan here (round-13): the token explode is cheap relative to
+    # the distinct + 60-column aggregate shuffles that follow, and the
+    # round-12 driver artifact measured the inserted exchange as a pure
+    # regression (dedup_simhash 1.47 -> 1.96 s at 32 cores, worst core-scaling
+    # ratio in the set); the sf1 A/B saw no win either (dedup_simhash_full
+    # unchanged — OPTIMIZATION_r12.md Finding 7).
+    doc_toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).distinct()
     # hex nibble -> int via conv(); bit 4i+b of nibble i contributes

@@ -319,7 +319,7 @@ def connected_components(
         sym.select(F.col("s").alias("doc"))
         .distinct()
         .select("doc", F.col("doc").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     converged = False
@@ -327,11 +327,17 @@ def connected_components(
         prop = sym.join(labels.withColumnRenamed("doc", "s"), "s").select(
             F.col("t").alias("doc"), "cluster_id"
         )
+        # LAZY checkpoint (round-13, the star-contraction pattern): the
+        # logical plan still truncates at the LogicalRDD boundary every
+        # round, but materialization rides the witness aggregate below —
+        # ONE driver action per round instead of the former eager-checkpoint
+        # job + witness collect pair (halves control-plane jobs per round;
+        # rounds between witnesses materialize with the next action).
         labels = (
             labels.union(prop)
             .groupBy("doc")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if it % check_every == 0 or it == max_iter:
             cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
@@ -452,8 +458,13 @@ def label_propagation(
     adj = sym.union(
         nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
     ).localCheckpoint(eager=True)
+    # LAZY per-round checkpoints (round-13): the plan still truncates at
+    # every round's LogicalRDD boundary, but nothing forces a per-round
+    # driver action — the caller's single action materializes all rounds
+    # (each round's RDD is cached as it computes), collapsing n_iter
+    # checkpoint jobs into the consumer's one.
     labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint(
-        eager=True
+        eager=False
     )
     for _ in range(n_iter):
         nbr = labels.select(F.col("node").alias("v"), F.col("lbl").alias("nbr_lbl"))
@@ -471,7 +482,7 @@ def label_propagation(
         labels = (
             labels.join(top, "node", "left")
             .select("node", F.coalesce("new_lbl", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("community_size")

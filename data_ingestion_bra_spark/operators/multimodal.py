@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 from data_ingestion_bra_spark.sources.tables import spread_scan
 from pyspark.sql import types as T
 
+#: spread sizing for the Python codec tier: these pipelines hand every row to
+#: an Arrow-batched pure-Python encoder/decoder whose per-byte cost is ~3-4
+#: orders of magnitude above a JVM expression (measured round 12:
+#: multimodal_image_jpeg_roundtrip 6.0 s -> 1.2 s when the single-row-group
+#: scan was fanned out), so the spread width must track compute, not I/O —
+#: 4 KiB of scan input already funds >100 ms of codec work per task.
+_CODEC_SPREAD_BYTES = 4 * 1024
+
 try:  # optional dependency — the container ships without image libs
     from PIL import Image as _PILImage
 except ImportError:  # pragma: no cover - exercised via decoder selection tests
@@ -52,7 +60,7 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     spread_scan: the consumers are Arrow-batched Python decoders, so a
     single-row-group source would run the whole modality tier on one core
     (conditional — no-op when the scan already feeds every slot)."""
-    return spread_scan(df).select(
+    return spread_scan(df, bytes_per_task=_CODEC_SPREAD_BYTES).select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.length(F.encode(F.col(text_col), "UTF-8")).cast("bigint").alias("n_bytes"),
@@ -380,7 +388,7 @@ def synth_wav_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def synthesize_wav(df: DataFrame) -> DataFrame:
     """Attach a real WAV payload per doc_id (deterministic synthetic PCM)."""
-    return spread_scan(df.select("doc_id")).mapInPandas(synth_wav_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(synth_wav_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
 
 
 def _wav_decode_features(payload: bytes) -> tuple[int, int, int, int, int]:
@@ -500,7 +508,7 @@ def synth_png_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def synthesize_png(df: DataFrame) -> DataFrame:
     """Attach a real PNG payload per doc_id (deterministic synthetic RGB)."""
-    return spread_scan(df.select("doc_id")).mapInPandas(synth_png_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(synth_png_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
 
 
 PNG_META_SCHEMA = T.StructType(
@@ -653,7 +661,7 @@ def synth_gif_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 def synthesize_gif(df: DataFrame) -> DataFrame:
     """Attach a real animated-GIF payload per doc_id (deterministic
     synthetic frames through the vendored encoder)."""
-    return spread_scan(df.select("doc_id")).mapInPandas(synth_gif_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(synth_gif_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
 
 
 GIF_META_SCHEMA = T.StructType(
@@ -893,7 +901,7 @@ def synth_jpeg_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def synthesize_jpeg(df: DataFrame) -> DataFrame:
     """Attach a real baseline-JPEG payload per doc_id."""
-    return spread_scan(df.select("doc_id")).mapInPandas(synth_jpeg_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(synth_jpeg_batch_fn, schema=WAV_PAYLOAD_SCHEMA)
 
 
 JPEG_ROUNDTRIP_SCHEMA = T.StructType(
@@ -1086,7 +1094,7 @@ def jpeg_error_audit(df: DataFrame) -> DataFrame:
     inside (a) the table-DERIVED hard bound and (b) the measured smooth
     pin — the catalog's generalization of the constant-image bit-exact
     oracle to genuinely lossy content."""
-    return spread_scan(df.select("doc_id")).mapInPandas(
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(
         jpeg_error_audit_batch_fn, schema=JPEG_ERROR_AUDIT_SCHEMA
     )
 
@@ -1231,7 +1239,7 @@ def jpeg_error_audit_420(df: DataFrame) -> DataFrame:
     """4:2:0 chroma-subsampled lossy roundtrip audit — the decode path for
     the subsampling real corpora actually contain, with the same
     bounded-error verdict discipline as the 4:4:4 audit."""
-    return spread_scan(df.select("doc_id")).mapInPandas(
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(
         jpeg_error_audit_420_batch_fn, schema=JPEG_ERROR_AUDIT_SCHEMA
     )
 
@@ -1302,7 +1310,7 @@ def jpeg_progressive_audit_batch_fn(
 def jpeg_progressive_audit(df: DataFrame) -> DataFrame:
     """Progressive (SOF2) decode audit: spectral-selection + successive-
     approximation scans reassemble the exact baseline coefficients."""
-    return spread_scan(df.select("doc_id")).mapInPandas(
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(
         jpeg_progressive_audit_batch_fn, schema=JPEG_PROGRESSIVE_AUDIT_SCHEMA
     )
 
@@ -1328,7 +1336,7 @@ def synth_jpeg420_batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 def synthesize_jpeg420(df: DataFrame) -> DataFrame:
     """Attach a production-shaped (Annex K, 4:2:0) JPEG payload per doc."""
-    return spread_scan(df.select("doc_id")).mapInPandas(
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(
         synth_jpeg420_batch_fn, schema=WAV_PAYLOAD_SCHEMA
     )
 
@@ -1688,6 +1696,6 @@ def mulaw_roundtrip_audit(df: DataFrame) -> DataFrame:
     """G.711 mu-law companding roundtrip audit: real encode+decode per clip,
     bit-exact oracle replay of every statistic (integer codec — no float
     anywhere in the chain)."""
-    return spread_scan(df.select("doc_id")).mapInPandas(
+    return spread_scan(df.select("doc_id"), bytes_per_task=_CODEC_SPREAD_BYTES).mapInPandas(
         mulaw_roundtrip_batch_fn, schema=MULAW_AUDIT_SCHEMA
     )

@@ -151,7 +151,10 @@ def brute_force_topk(
     ).selectExpr("query_id", "qv", f"{norm_sql('qv')} as qn")
     from data_ingestion_bra_spark.sources.tables import spread_scan
 
-    c = spread_scan(candidates).selectExpr(
+    # 16 KiB/task: each candidate row pays |Q| quantize+norm+dot products
+    # against the broadcast query side — far above scan cost (round-12
+    # driver: +1.21x at 32c from fanning this out)
+    c = spread_scan(candidates, bytes_per_task=16 * 1024).selectExpr(
         f"{id_col} as cand_id", f"{quantize_sql(vec_col)} as cv"
     ).selectExpr("cand_id", "cv", f"{norm_sql('cv')} as cn")
     scored = (
@@ -816,22 +819,57 @@ def _margin_mutual_pairs(
 ) -> DataFrame:
     """Mutual-top-1 + ratio-margin filter over a scored (a_id, b_id,
     cos_e4) candidate relation — shared by the exact bipartite form and
-    the IVF cell-restricted serve form. All windows partition by one side's
-    id (per-query-sized frames); integer floor-division margin."""
-    from pyspark.sql.window import Window as W
+    the IVF cell-restricted serve form. Integer floor-division margin.
 
-    wx = W.partitionBy("a_id").orderBy(F.col("cos_e4").desc(), "b_id")
-    wy = W.partitionBy("b_id").orderBy(F.col("cos_e4").desc(), "a_id")
-    ranked = pairs.withColumn("rn_x", F.row_number().over(wx)).withColumn(
-        "rn_y", F.row_number().over(wy)
+    Round-13 single-pass shape (guide §2.3 "aggregate before you shuffle";
+    round-12 verdict item 4): the old form ran TWO row_number windows over
+    the full pair relation — an exchange + full sort by a_id, then another
+    exchange + full sort by b_id, each carrying every scored candidate row.
+    Mutual-top-1 only needs each side's argmax and the margin only needs
+    each side's top-k sum, both of which are aggregates: each pair row is
+    exploded into its two directed halves (side, id, other, cos — 4 narrow
+    columns), ONE partially-aggregated groupBy(side, id) computes
+    (top-1 partner, top-k sum) per node, and a tiny stats-vs-stats equi-join
+    keeps exactly the mutual pairs. The pair relation is scored once, never
+    sorted, and crosses the wire once (2x half-rows ≈ the bytes one of the
+    two old sorts carried); the max(struct) reduces map-side.
+
+    Tie-breaks replay the old windows exactly: ORDER BY cos_e4 DESC,
+    other_id ASC == min(struct(-cos_e4, other)) — cos_e4 is BIGINT by the
+    catalog's fixed-point convention, so the negation is exact. The top-k
+    sum (sort_array desc, slice k, sum) matches SUM(CASE WHEN rn <= k)
+    over the full frame: both sum all rows when a node has < k candidates.
+    The per-node stats relation (2 slim rows per distinct id) is lazily
+    localCheckpoint-ed so the two sides of the mutual join never recompute
+    the scored-candidate subtree."""
+    stacked = pairs.selectExpr(
+        "explode(array(named_struct('side', 0, 'id', a_id, 'other', b_id),"
+        " named_struct('side', 1, 'id', b_id, 'other', a_id))) as h",
+        "cos_e4",
+    ).selectExpr("h.side as side", "h.id as id", "h.other as other", "cos_e4")
+    stats = (
+        stacked.groupBy("side", "id")
+        .agg(
+            F.expr("min(named_struct('nc', -cos_e4, 'o', other))").alias("t"),
+            F.expr(
+                f"aggregate(slice(sort_array(collect_list(cos_e4), false), 1, {k}),"
+                " 0L, (s, x) -> s + x)"
+            ).alias("sum_k"),
+        )
+        .selectExpr("side", "id", "-t.nc as top_cos", "t.o as top_other", "sum_k")
+        .localCheckpoint(eager=False)
     )
-    wxa = W.partitionBy("a_id").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    wyb = W.partitionBy("b_id").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    summed = ranked.withColumn(
-        "sum_x", F.sum(F.when(F.col("rn_x") <= k, F.col("cos_e4"))).over(wxa)
-    ).withColumn("sum_y", F.sum(F.when(F.col("rn_y") <= k, F.col("cos_e4"))).over(wyb))
+    a_stats = stats.filter(F.col("side") == 0).selectExpr(
+        "id as a_id", "top_other as top_b", "top_cos as cos_e4", "sum_k as sum_x"
+    )
+    b_stats = stats.filter(F.col("side") == 1).selectExpr(
+        "id as b_id", "top_other as top_a", "sum_k as sum_y"
+    )
     return (
-        summed.filter((F.col("rn_x") == 1) & (F.col("rn_y") == 1))
+        a_stats.join(
+            b_stats,
+            (F.col("top_b") == F.col("b_id")) & (F.col("top_a") == F.col("a_id")),
+        )
         .filter(F.col("sum_x") + F.col("sum_y") > 0)
         .withColumn(
             "margin_e4",

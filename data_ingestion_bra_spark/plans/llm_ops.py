@@ -165,11 +165,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: the signature min is multiset-invariant, so the
     # distinct shuffle is pure waste on this path.
     sh = dedup.doc_shingles(d, "doc_id", "text", n=3, distinct=False)
-    # sig feeds both the banding and the estimate joins; persist so the
-    # hash-heavy signature aggregation runs once, not once per branch.
+    # sig feeds both sides of the banded self-join; persist so the
+    # hash-heavy signature aggregation runs once, not once per side.
     sig = dedup.minhash_signatures(sh, num_hashes=16).persist()
-    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
-    est = dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16)
+    # round-13 stage diet (guide §2.4): the signature rides the band explode
+    # and the estimate is computed in-row on the banded self-join — the old
+    # candidate-distinct + two signature re-joins (4 exchanges of the pair
+    # relation) are gone; see dedup.lsh_pair_estimates.
+    est = dedup.lsh_pair_estimates(sig, band_size=4, num_hashes=16)
     return est.filter(F.col("jaccard_est_e4") >= 2500)
 
 
@@ -2325,8 +2328,12 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable integer/string ops."""
     # the per-char rolling-hash fold dominates the scan by ~5x; spread_scan
     # parallelizes it when the fixture's single row group under-splits
-    # (no-op at warehouse scale — see sources.tables.spread_scan)
-    d = spread_scan(load_table(spark, sf_dir, "documents"))
+    # (no-op at warehouse scale — see sources.tables.spread_scan).
+    # 16 KiB/task: the fold costs ~0.7 µs/byte single-core (0.4 s over the
+    # 584 KiB sf0.1 corpus, round-12 measurement), so 16 KiB ≈ 10+ ms of
+    # compute per task — the driver artifact confirmed the full fan-out
+    # (0.546 -> 0.302 s at 32c) and this keeps most of that width.
+    d = spread_scan(load_table(spark, sf_dir, "documents"), bytes_per_task=16 * 1024)
     return d.select(
         "doc_id",
         text.fingerprint_expr("text").alias("fingerprint"),

@@ -93,40 +93,103 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-def spread_scan(df: DataFrame) -> DataFrame:
-    """Repartition a scan-rooted relation to the session's parallelism when
-    the source cannot feed every core — optimization guide §2.5 "input
-    skew": one huge unsplittable file (here: single-row-group parquet
-    fixtures, which Spark cannot split below row-group granularity) leaves
-    every downstream narrow stage single-threaded no matter the core count.
+#: Default spread sizing: one task per ~64 KiB of SCAN input. The unit is
+#: "scan bytes per task at equal task duration", i.e. it encodes the measured
+#: per-byte compute cost of the pipeline above the scan, NOT an I/O split
+#: size: callers pass a SMALLER value for heavier per-byte work (Python codec
+#: decoders) and a LARGER one for cheap explodes. 64 KiB/task ≈ 100-300 ms of
+#: task compute for the md5/shingle-class pipelines this engine spreads
+#: (measured round 13, A/B at sf0.1/sf1 — see OPTIMIZATION_r13.md), which
+#: amortizes the ~10-20 ms per-task overhead ~10x while still fanning a
+#: multi-MB corpus out to every slot. The round-12 version spread to ALL
+#: slots unconditionally, which at 32 local cores put a 32-task round-robin
+#: exchange under 500-row inputs and regressed the official dedup_simhash
+#: meter 0.75x (round-12 verdict item 1: cap the spread by input size).
+SPREAD_BYTES_PER_TASK = 64 * 1024
 
-    Scale-adaptive by construction: a warehouse-scale table scans as
-    thousands of splits, the condition is false, and NO exchange is added —
-    this never becomes a constant tuned for local mode. When it does fire,
-    one slim round-robin exchange of the scan output buys full compute
-    parallelism for everything narrow above it (filters, explodes, hashes,
-    higher-order folds). Use on paths whose per-row compute dominates the
-    scan itself; the partition count caps at the scheduler's task slots.
 
-    The scan partition count is probed once per memoized plan handle (the
-    probe itself costs a plan translation) and remembered on the handle.
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the files feeding ``df``'s scan (best effort,
+    memoized on the handle). None when the input is not file-backed or the
+    probe fails (foreign session, Spark Connect)."""
+    cached = getattr(df, "_scan_bytes", None)
+    if cached is not None:
+        return cached if cached >= 0 else None
+    total: int | None
+    try:
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in df.inputFiles():
+            p = urlparse(f)
+            total += os.stat(unquote(p.path) if p.scheme in ("", "file") else f).st_size
+    except Exception:
+        total = None
+    try:
+        df._scan_bytes = -1 if total is None else total
+    except Exception:  # pragma: no cover - foreign DataFrame subclass
+        pass
+    return total
+
+
+def spread_scan(
+    df: DataFrame, *, bytes_per_task: int = SPREAD_BYTES_PER_TASK
+) -> DataFrame:
+    """Repartition a scan-rooted relation when the source cannot feed the
+    compute above it — optimization guide §2.5 "input skew": one huge
+    unsplittable file (here: single-row-group parquet fixtures, which Spark
+    cannot split below row-group granularity) leaves every downstream narrow
+    stage single-threaded no matter the core count.
+
+    Scale-adaptive in BOTH directions (round-12 verdict item 1):
+
+    - warehouse scale: thousands of scan splits already ≥ the task slots —
+      the condition is false and NO exchange is added (never a local-mode
+      constant);
+    - tiny inputs: the spread width is ``ceil(input_bytes / bytes_per_task)``
+      capped at the slots, so a 500-row fixture no longer pays a full
+      32-task round-robin exchange for sub-millisecond per-task compute
+      (that exchange regressed the round-12 official dedup_simhash 0.75x).
+
+    ``bytes_per_task`` encodes the caller's measured per-byte compute cost —
+    see ``SPREAD_BYTES_PER_TASK``. Connect-safe per the round-12 advice: the
+    slots/partition probes degrade to returning ``df`` unchanged.
+
+    The probes run once per memoized plan handle (each costs a driver round
+    trip) and are remembered on the handle.
     """
     spark = df.sparkSession
-    slots = spark.sparkContext.defaultParallelism
+    try:
+        slots = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Spark Connect: no sparkContext
+        return df
     nparts = getattr(df, "_scan_nparts", None)
     if nparts is None:
-        nparts = df.rdd.getNumPartitions()
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - non-translatable plan
+            return df
         try:
             df._scan_nparts = nparts
         except Exception:  # pragma: no cover - foreign DataFrame subclass
             pass
     if nparts >= slots:
         return df
-    spread = getattr(df, "_spread_handle", None)
-    if spread is None:
-        spread = df.repartition(slots)
+    target = slots
+    nbytes = _input_bytes(df)
+    if nbytes is not None:
+        target = min(slots, max(1, -(-nbytes // max(1, bytes_per_task))))
+    if target <= nparts:
+        return df
+    spreads = getattr(df, "_spread_handles", None)
+    if spreads is None:
+        spreads = {}
         try:
-            df._spread_handle = spread
+            df._spread_handles = spreads
         except Exception:  # pragma: no cover
             pass
+    spread = spreads.get(target)
+    if spread is None:
+        spread = df.repartition(target)
+        spreads[target] = spread
     return spread

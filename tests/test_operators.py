@@ -84,6 +84,25 @@ def test_minhash_lsh_candidates_and_estimate(spark):
     assert est[(0, 1)] == 10000
 
 
+def test_lsh_pair_estimates_matches_classic_pipeline(spark):
+    """The fused banded self-join (signature rides the band explode,
+    estimate computed in-row — round-13 stage diet) must produce EXACTLY the
+    classic candidate-join + estimate-rejoin composition, pair for pair and
+    estimate for estimate."""
+    sh = dedup.doc_shingles(_docs(spark), "doc_id", "text", n=3, distinct=False)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    cand = dedup.lsh_candidate_pairs(sig, band_size=4, num_hashes=16)
+    classic = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est_e4"]
+        for r in dedup.minhash_jaccard_estimate(sig, cand, num_hashes=16).collect()
+    }
+    fused = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_est_e4"]
+        for r in dedup.lsh_pair_estimates(sig, band_size=4, num_hashes=16).collect()
+    }
+    assert fused == classic
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     fps = dedup.simhash_fingerprints(_docs(spark), "doc_id", "text")
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
