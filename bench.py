@@ -683,6 +683,26 @@ def _ivf_build_bench(spark, sf_dirs: list[tuple[str, str]]) -> dict:
                 "build_sec": round(build_s, 3),
                 "recall_at_5": round(len(got & truth) / len(truth), 3),
             }
+        # PQ index CONSTRUCTION cost (round-12 verdict item 6: the serve
+        # entries read the persisted codebook+codes, so train-once/serve-many
+        # stays honest only while build cost has a measured row). Same
+        # (m, k, n_iter, dim) as the serve entries' load_or_build_pq_index
+        # defaults; the encode is materialized through the noop sink.
+        from data_ingestion_bra_spark.operators import pq
+
+        t0 = time.perf_counter()
+        cb = pq.pq_train(emb, n_iter=1)
+        cb_rows = cb.count()
+        train_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _materialize(pq.pq_encode(emb, cb))
+        encode_s = time.perf_counter() - t0
+        per_rate["pq_index"] = {
+            "codebook_train_sec": round(train_s, 3),
+            "corpus_encode_sec": round(encode_s, 3),
+            "codebook_rows": cb_rows,
+            "n_vectors": emb.count(),
+        }
         out[label] = per_rate
     return out
 
@@ -2493,17 +2513,22 @@ def _run_all_sections(payload: dict, sf_dir: str) -> None:
         # in-flight point (full run still 227-276 s measured); ivfpq_serve
         # now reads the PERSISTED PQ index (no inline training) and its
         # tight-window sf1-only shape measured 38 s isolated.
-        (
-            "bitext_serve",
-            "SPARK_GRAFT_SKIP_BITEXT_SERVE",
-            150 if tight_window else 276,
-            bitext_serve,
-        ),
+        # Round-13 (r12 verdict item 2): ivfpq_serve runs BEFORE
+        # bitext_serve — in r12 its 60 s estimate fit the window but it was
+        # the one skipped section because bitext's accumulated overrun ate
+        # the reserve; the cheap never-yet-driver-timed row must not queue
+        # behind the expensive multiply-evidenced one.
         (
             "ivfpq_serve",
             "SPARK_GRAFT_SKIP_IVFPQ_SERVE",
             60 if tight_window else 180,
             ivfpq_serve,
+        ),
+        (
+            "bitext_serve",
+            "SPARK_GRAFT_SKIP_BITEXT_SERVE",
+            150 if tight_window else 276,
+            bitext_serve,
         ),
         # Round-12 tail rebalance (r11 verdict item 4): estimates re-synced
         # to the r11 clean full run's MEASURED section_seconds + headroom

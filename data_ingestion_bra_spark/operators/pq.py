@@ -448,6 +448,15 @@ def load_or_build_pq_index(
     oracle (which replays training + encoding from the raw table) stays
     valid. Writes are atomic (tmp + rename); the codebook is a tiny JSON
     control-plane artifact, the codes one parquet of (id, s, code).
+
+    CONTRACT (round-12 advice item 2): ``vectors`` must be the FULL
+    ``sf_dir/embeddings.parquet`` relation (unfiltered, unprojected) —
+    the cache key is that dataset's content fingerprint plus every
+    training parameter INCLUDING ``id_col``/``vec_col``, so a caller that
+    renames columns gets its own artifacts, but a caller that pre-filters
+    rows would still train a different index under the full-table key.
+    Filter AFTER the index is loaded (the serve entries all do), or don't
+    use the shared cache.
     """
     import json
     import os
@@ -465,8 +474,9 @@ def load_or_build_pq_index(
 
     cache_dir = _ivf_cache_root()
     src = Path(sf_dir) / "embeddings.parquet"
+    cols = "" if (id_col, vec_col) == ("vec_id", "embedding") else f"-{id_col}-{vec_col}"
     stem = (
-        f"{Path(sf_dir).name}-pq-m{m}-k{k}-i{n_iter}-d{dim}"
+        f"{Path(sf_dir).name}-pq-m{m}-k{k}-i{n_iter}-d{dim}{cols}"
         f"-{_dataset_fingerprint(src)}"
     )
     cb_path = cache_dir / f"{stem}-codebook.json"

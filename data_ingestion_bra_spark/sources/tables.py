@@ -53,7 +53,16 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     """Plan-handle memo for non-fixture parquet datasets (e.g. the IVF index
     lists): same contract as ``load_table`` — the handle is a lazy plan,
     every action re-scans the files, and any rewrite of the dataset (new
-    mtime/size, incl. atomic dir replace) misses the cache."""
+    mtime/size, incl. atomic dir replace) misses the cache.
+
+    HARD CONTRACT (round-12 advice item 3): invalidation keys on the
+    dataset PATH's own stat, so writers must replace the whole directory
+    atomically (write to a tmp sibling, then ``os.replace``/``os.rename``
+    over the published path) — every writer in this repo does. Rewriting
+    part files INSIDE an existing directory leaves the dir stat unchanged
+    and would serve a stale plan handle with a stale file listing; don't
+    add such a writer without switching this memo to a member-file
+    fingerprint (see ``similarity._dataset_fingerprint``)."""
     per_session = _PLAN_CACHE.setdefault(spark, {})
     key = (path, _stat_sig(path))
     cached = per_session.get(key)
